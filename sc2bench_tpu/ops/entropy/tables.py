@@ -1,0 +1,128 @@
+"""Coding-table construction — the functional equivalent of the reference's
+`model.update()` (`/root/reference/sc2bench/models/layer.py:388-398,698-705`,
+SURVEY.md §3.5).
+
+Instead of mutating registered buffers in-place like CompressAI, `update` is a
+pure function `params -> CodingTables`: quantized 16-bit CDF rows, per-row
+lengths and symbol offsets, held host-side as numpy (they feed the C++ range
+coder, which runs on host — same placement as the reference's CPU rANS).
+Table shapes are data-dependent (depend on learned quantiles), mirroring the
+reference's buffer-shape plasticity contract (SURVEY.md §5.4).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.stats import norm as _scipy_norm
+
+from ..math import pmf_to_quantized_cdf
+from .gaussian import get_scale_table
+
+
+@dataclasses.dataclass
+class CodingTables:
+    """Quantized CDF tables for one entropy model (host-side numpy)."""
+
+    quantized_cdf: np.ndarray   # int32 (num_dists, max_cdf_length)
+    cdf_length: np.ndarray      # int32 (num_dists,)
+    offset: np.ndarray          # int32 (num_dists,)
+    # Per-channel medians (factorized prior only) used to center symbols.
+    medians: np.ndarray | None = None
+    # Scale table (gaussian conditional only) for build_indexes.
+    scale_table: np.ndarray | None = None
+
+    def state_dict(self):
+        return {k: v for k, v in dataclasses.asdict(self).items() if v is not None}
+
+    @classmethod
+    def from_state_dict(cls, d):
+        return cls(**{k: np.asarray(v) for k, v in d.items()})
+
+
+def _pack_rows(pmfs, pmf_lengths, tail_masses, precision=16):
+    """Quantize each pmf row (+ tail symbol) into a padded int32 CDF matrix."""
+    n = len(pmf_lengths)
+    max_cdf_len = int(max(pmf_lengths)) + 2 + 1
+    cdf = np.zeros((n, max_cdf_len), np.int32)
+    cdf_length = np.zeros(n, np.int32)
+    for i in range(n):
+        L = int(pmf_lengths[i])
+        prob = np.concatenate([pmfs[i][:L], [max(float(tail_masses[i]), 1e-30)]])
+        row = pmf_to_quantized_cdf(prob, precision)
+        cdf[i, :len(row)] = row
+        cdf_length[i] = L + 2
+    return cdf, cdf_length
+
+
+def build_factorized_tables(bottleneck, params, precision: int = 16) -> CodingTables:
+    """Build tables for an `EntropyBottleneck` flax module + its params.
+
+    `params` is the module's variable dict (`{'params': {...}}` or the inner
+    dict). The pmf support per channel spans the learned tail quantiles.
+    """
+    if 'params' in params:
+        params = params['params']
+    quantiles = np.asarray(params['quantiles'])  # (C, 1, 3)
+    medians = quantiles[:, 0, 1]
+    minima = np.maximum(np.ceil(medians - quantiles[:, 0, 0]), 0).astype(np.int32)
+    maxima = np.maximum(np.ceil(quantiles[:, 0, 2] - medians), 0).astype(np.int32)
+    pmf_start = medians - minima
+    pmf_length = (maxima + minima + 1).astype(np.int32)
+    max_length = int(pmf_length.max())
+
+    samples = np.arange(max_length, dtype=np.float32)[None, None, :] \
+        + pmf_start[:, None, None]  # (C, 1, max_length)
+
+    def _logits(v):
+        return bottleneck.apply({'params': params}, jnp.asarray(v),
+                                method=bottleneck.logits_cumulative)
+
+    lower = np.asarray(jax.jit(_logits)(samples - 0.5))
+    upper = np.asarray(jax.jit(_logits)(samples + 0.5))
+    sign = -np.sign(lower + upper)
+    pmf = np.abs(_sigmoid(sign * upper) - _sigmoid(sign * lower))[:, 0, :]
+    tail_mass = _sigmoid(lower[:, 0, 0]) + _sigmoid(-upper[:, 0, -1])
+
+    cdf, cdf_length = _pack_rows(pmf, pmf_length, tail_mass, precision)
+    return CodingTables(quantized_cdf=cdf, cdf_length=cdf_length,
+                        offset=-minima.astype(np.int32),
+                        medians=medians.astype(np.float32))
+
+
+def build_gaussian_tables(scale_table: np.ndarray | None = None,
+                          tail_mass: float = 1e-9,
+                          precision: int = 16) -> CodingTables:
+    """Build tables for a `GaussianConditional` from a scale table
+    (reference: `GaussianConditional.update_scale_table`,
+    `sc2bench/models/layer.py:698-705`)."""
+    if scale_table is None:
+        scale_table = get_scale_table()
+    scale_table = np.asarray(scale_table, np.float64)
+    multiplier = -_scipy_norm.ppf(tail_mass / 2)
+    pmf_center = np.ceil(scale_table * multiplier).astype(np.int32)
+    pmf_length = 2 * pmf_center + 1
+    max_length = int(pmf_length.max())
+
+    samples = np.abs(np.arange(max_length, dtype=np.float64)[None, :]
+                     - pmf_center[:, None])
+    scales = scale_table[:, None]
+    upper = _std_cdf((0.5 - samples) / scales)
+    lower = _std_cdf((-0.5 - samples) / scales)
+    pmf = upper - lower
+    tail_mass_arr = 2 * lower[:, 0]
+
+    cdf, cdf_length = _pack_rows(pmf, pmf_length, tail_mass_arr, precision)
+    return CodingTables(quantized_cdf=cdf, cdf_length=cdf_length,
+                        offset=-pmf_center.astype(np.int32),
+                        scale_table=scale_table.astype(np.float32))
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _std_cdf(x):
+    return _scipy_norm.cdf(x)

@@ -1,0 +1,58 @@
+"""GDN / IGDN normalization (TPU-native).
+
+The reference uses CompressAI's `GDN1` (abs-variant of Generalized Divisive
+Normalization) inside every learned bottleneck encoder/decoder
+(`/root/reference/sc2bench/models/layer.py:478-494,594-607`). Here it is a
+Flax module over NHWC tensors: the channel mixing `|x| @ gamma^T` is a single
+MXU matmul that XLA fuses with the surrounding elementwise ops; a fused
+Pallas kernel is provided in `ops/pallas_kernels.py` for the hot path.
+
+Parameterization matches CompressAI's `NonNegativeParametrizer`:
+stored = sqrt(max(value + pedestal, pedestal)); effective =
+lower_bound(stored, bound)^2 - pedestal, with pedestal = 2**-18 and
+bound = sqrt(minimum + pedestal).
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from .math import lower_bound
+
+_PEDESTAL = 2.0 ** -18
+
+
+def nonneg_init(value: np.ndarray) -> np.ndarray:
+    """Transform an initial non-negative value into stored (sqrt) space."""
+    return np.sqrt(np.maximum(value + _PEDESTAL, _PEDESTAL))
+
+
+def nonneg_forward(stored, minimum: float):
+    bound = (minimum + _PEDESTAL) ** 0.5
+    return lower_bound(stored, bound) ** 2 - _PEDESTAL
+
+
+class GDN1(nn.Module):
+    """Simplified GDN: y = x / (beta + sum_j gamma_ij |x_j|); inverse
+    multiplies instead of divides. Input layout NHWC (or any (..., C))."""
+
+    channels: int
+    inverse: bool = False
+    beta_min: float = 1e-6
+    gamma_init: float = 0.1
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.channels
+        beta_raw = self.param(
+            'beta', lambda rng: jnp.asarray(nonneg_init(np.ones(c)), jnp.float32))
+        gamma_raw = self.param(
+            'gamma',
+            lambda rng: jnp.asarray(
+                nonneg_init(self.gamma_init * np.eye(c)), jnp.float32))
+        beta = nonneg_forward(beta_raw, self.beta_min)
+        gamma = nonneg_forward(gamma_raw, 0.0)
+        # norm_i = beta_i + sum_j gamma[i, j] * |x_j|  →  |x| @ gamma^T
+        norm = jnp.abs(x) @ gamma.T + beta
+        return x * norm if self.inverse else x / norm
