@@ -1,0 +1,145 @@
+"""Host-side data pipelines.
+
+The reference uses torchvision/torchdistill datasets with multi-worker
+PyTorch loaders (SURVEY.md §2.1). TPU-native equivalent: simple host loaders
+with a background-thread prefetcher feeding `device_put` — the TPU's input
+pipeline is host CPU → HBM, no worker process pool required at these image
+rates. ImageFolder layout matches ILSVRC-2012 (`train/<wnid>/*.JPEG`);
+synthetic datasets back tests and benchmarks where no data is mounted.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from pathlib import Path
+
+import numpy as np
+
+from ..registry import register_dataset
+
+IMG_EXTENSIONS = {'.jpg', '.jpeg', '.png', '.ppm', '.bmp', '.webp'}
+
+
+@register_dataset
+class ImageFolderDataset:
+    """ImageNet-style directory dataset: root/<class>/<image>."""
+
+    def __init__(self, root, transform=None, **kwargs):
+        self.root = Path(root)
+        self.transform = transform
+        classes = sorted(d.name for d in self.root.iterdir() if d.is_dir())
+        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        self.samples = [
+            (p, self.class_to_idx[c]) for c in classes
+            for p in sorted((self.root / c).iterdir())
+            if p.suffix.lower() in IMG_EXTENSIONS]
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, idx):
+        from PIL import Image
+        path, target = self.samples[idx]
+        img = Image.open(path).convert('RGB')
+        if self.transform is not None:
+            img = self.transform(img)
+        return img, target
+
+
+@register_dataset
+class SyntheticClassificationDataset:
+    """Deterministic random images for tests/benchmarks (no data mounted)."""
+
+    def __init__(self, num_samples=64, image_size=(224, 224),
+                 num_classes=1000, seed=0, normalized=True, **kwargs):
+        self.num_samples = num_samples
+        self.image_size = tuple(image_size)
+        self.num_classes = num_classes
+        self.seed = seed
+        self.normalized = normalized
+
+    def __len__(self):
+        return self.num_samples
+
+    def __getitem__(self, idx):
+        rng = np.random.default_rng(self.seed + idx)
+        h, w = self.image_size
+        if self.normalized:
+            img = rng.normal(0, 1, (h, w, 3)).astype(np.float32)
+        else:
+            img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        target = int(rng.integers(0, self.num_classes))
+        return img, target
+
+
+class DataLoader:
+    """Minimal batched loader with optional shuffle and a one-deep
+    background prefetch thread."""
+
+    def __init__(self, dataset, batch_size=1, shuffle=False, drop_last=False,
+                 collate_fn=None, seed=0, prefetch=True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.collate_fn = collate_fn or self._default_collate
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    @staticmethod
+    def _default_collate(batch):
+        xs, ys = zip(*batch)
+        return np.stack([np.asarray(x, np.float32) for x in xs]), \
+            np.asarray(ys, np.int64)
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last \
+            else -(-n // self.batch_size)
+
+    def _indices(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        return idx
+
+    def _batches(self):
+        idx = self._indices()
+        bs = self.batch_size
+        end = len(idx) - (len(idx) % bs) if self.drop_last else len(idx)
+        for start in range(0, end, bs):
+            chunk = idx[start:start + bs]
+            yield self.collate_fn([self.dataset[int(i)] for i in chunk])
+        self.epoch += 1
+
+    def __iter__(self):
+        if not self.prefetch:
+            yield from self._batches()
+            return
+        q: queue.Queue = queue.Queue(maxsize=2)
+        sentinel = object()
+
+        def producer():
+            try:
+                for b in self._batches():
+                    q.put(b)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+
+
+def build_dataset(dataset_config):
+    """Instantiate a dataset from config via the registry (the reference's
+    YAML `!import_call` equivalent, SURVEY.md §5.6)."""
+    from ..registry import get as registry_get
+    key = dataset_config.get('key', dataset_config.get('type'))
+    return registry_get('dataset', key)(**dataset_config.get('kwargs', {}))

@@ -6,17 +6,20 @@ Functional re-design of the torchvision ResNets the reference builds on
 `torchvision.models.resnet50/101/152`). Torchvision v1.5 semantics: stride
 lives on the 3x3 conv of each bottleneck block. Intermediate activations are
 exposed with `sow('intermediates', ...)` — the functional replacement for
-torchdistill forward hooks (SURVEY.md §7 design stance).
+torchdistill forward hooks (SURVEY.md §7 design stance). BatchNorm train/eval
+is selected per-call via `use_running_average`, so one parameter set serves
+both separately-jitted train and eval programs.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Sequence
+from typing import Callable, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 
-ModuleDef = Any
+
+def _bn(name: str) -> nn.BatchNorm:
+    return nn.BatchNorm(momentum=0.9, epsilon=1e-5, name=name)
 
 
 class BottleneckBlock(nn.Module):
@@ -24,27 +27,32 @@ class BottleneckBlock(nn.Module):
 
     filters: int
     strides: int = 1
-    norm: ModuleDef = nn.BatchNorm
     expansion: int = 4
+    zero_init_residual: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
+        ura = not train
         residual = x
         y = nn.Conv(self.filters, (1, 1), use_bias=False, name='conv1')(x)
-        y = self.norm(name='bn1')(y)
+        y = _bn('bn1')(y, use_running_average=ura)
         y = nn.relu(y)
         y = nn.Conv(self.filters, (3, 3), strides=(self.strides, self.strides),
                     padding=((1, 1), (1, 1)), use_bias=False, name='conv2')(y)
-        y = self.norm(name='bn2')(y)
+        y = _bn('bn2')(y, use_running_average=ura)
         y = nn.relu(y)
         y = nn.Conv(self.filters * self.expansion, (1, 1), use_bias=False,
                     name='conv3')(y)
-        y = self.norm(name='bn3', scale_init=nn.initializers.zeros)(y)
+        bn3 = nn.BatchNorm(
+            momentum=0.9, epsilon=1e-5, name='bn3',
+            scale_init=nn.initializers.zeros if self.zero_init_residual
+            else nn.initializers.ones)
+        y = bn3(y, use_running_average=ura)
         if residual.shape != y.shape:
             residual = nn.Conv(self.filters * self.expansion, (1, 1),
                                strides=(self.strides, self.strides),
                                use_bias=False, name='downsample_conv')(x)
-            residual = self.norm(name='downsample_bn')(residual)
+            residual = _bn('downsample_bn')(residual, use_running_average=ura)
         return nn.relu(y + residual)
 
 
@@ -54,27 +62,24 @@ class ResNetStage(nn.Module):
     filters: int
     blocks: int
     strides: int = 1
-    norm: ModuleDef = nn.BatchNorm
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         for i in range(self.blocks):
             x = BottleneckBlock(
                 self.filters, strides=self.strides if i == 0 else 1,
-                norm=self.norm, name=f'block{i}')(x)
+                name=f'block{i}')(x, train)
         return x
 
 
 class ResNetStem(nn.Module):
     """conv7x7 s2 + BN + ReLU + maxpool3x3 s2 (ImageNet stem)."""
 
-    norm: ModuleDef = nn.BatchNorm
-
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, name='conv1')(x)
-        x = self.norm(name='bn1')(x)
+        x = _bn('bn1')(x, use_running_average=not train)
         x = nn.relu(x)
         return nn.max_pool(x, (3, 3), strides=(2, 2),
                            padding=((1, 1), (1, 1)))
@@ -82,27 +87,63 @@ class ResNetStem(nn.Module):
 
 class ResNet(nn.Module):
     """Full classifier. `stage_sizes`: [3,4,6,3]=R50, [3,4,23,3]=R101,
-    [3,8,36,3]=R152."""
+    [3,8,36,3]=R152. `forward_until`/`forward_from` split the network at a
+    named layer — the head/tail boundary used by the feature-compression and
+    fine-tuning families (reference `wrapper.py:138-264` via torchdistill
+    `redesign_model`)."""
 
     stage_sizes: Sequence[int]
     num_classes: int = 1000
-    norm_momentum: float = 0.9
     sow_intermediates: bool = True
 
-    @nn.compact
+    def setup(self):
+        self.stem = ResNetStem()
+        self.layer1 = ResNetStage(64, self.stage_sizes[0], strides=1)
+        self.layer2 = ResNetStage(128, self.stage_sizes[1], strides=2)
+        self.layer3 = ResNetStage(256, self.stage_sizes[2], strides=2)
+        self.layer4 = ResNetStage(512, self.stage_sizes[3], strides=2)
+        self.fc = nn.Dense(self.num_classes)
+
+    def _stages(self):
+        return [('layer1', self.layer1), ('layer2', self.layer2),
+                ('layer3', self.layer3), ('layer4', self.layer4)]
+
     def __call__(self, x, train: bool = False):
-        norm = partial(nn.BatchNorm, use_running_average=not train,
-                       momentum=self.norm_momentum, epsilon=1e-5)
-        x = ResNetStem(norm=norm, name='stem')(x)
-        for i, blocks in enumerate(self.stage_sizes):
-            x = ResNetStage(64 * 2 ** i, blocks,
-                            strides=1 if i == 0 else 2, norm=norm,
-                            name=f'layer{i + 1}')(x)
+        x = self.stem(x, train)
+        for name, stage in self._stages():
+            x = stage(x, train)
             if self.sow_intermediates:
-                self.sow('intermediates', f'layer{i + 1}', x)
+                self.sow('intermediates', f'{name}_out', x)
         x = jnp.mean(x, axis=(1, 2))
-        x = nn.Dense(self.num_classes, name='fc')(x)
-        return x
+        return self.fc(x)
+
+    def forward_until(self, x, split_layer: str = 'layer2',
+                      train: bool = False, include_stem: bool = True):
+        """Head program: stem..split_layer inclusive ('stem' = stem only)."""
+        if include_stem:
+            x = self.stem(x, train)
+        if split_layer == 'stem':
+            return x
+        for name, stage in self._stages():
+            x = stage(x, train)
+            if name == split_layer:
+                return x
+        raise ValueError(f'unknown split layer {split_layer}')
+
+    def forward_from(self, feature, split_layer: str = 'layer2',
+                     train: bool = False):
+        """Tail program: layers after split_layer + avgpool + fc.
+        split_layer='avgpool' means only fc remains (feature is pooled)."""
+        x = feature
+        if split_layer != 'avgpool':
+            passed = split_layer == 'stem'
+            for name, stage in self._stages():
+                if passed:
+                    x = stage(x, train)
+                elif name == split_layer:
+                    passed = True
+            x = jnp.mean(x, axis=(1, 2))
+        return self.fc(x)
 
 
 def resnet50(**kwargs) -> ResNet:

@@ -1,0 +1,274 @@
+"""Stateful model runtimes: the deploy-path orchestration layer.
+
+The reference keeps train/deploy mode as mutable module state
+(`bottleneck_updated`, `sc2bench/models/backbone.py:225-258`). Here a
+runtime object owns: the Flax module, its variables, the coding tables
+(built by the functional `update()`), the host rANS coders, and the
+analyzers — and exposes the reference's API surface (`update()`,
+`activate_analysis()`, `__call__`) over separately-jitted pure programs:
+
+    encode_fn   (mobile side)  x -> integer symbols          [jit #1]
+    rANS        (host, C++)    symbols -> bytes -> symbols
+    decode_fn   (server side)  symbols -> feature -> logits  [jit #2]
+
+This split-at-the-compilation-boundary is the TPU-native realization of
+split computing (SURVEY.md §7 design stance).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..analysis import AnalyzerHolder
+from ..ops.entropy.tables import (
+    CodingTables, build_factorized_tables, build_gaussian_tables)
+from ..ops.rans.coder import RansCoder
+from .layer import (EntropyBottleneckLayer, FPBasedResNetBottleneck,
+                    SHPBasedResNetBottleneck, SimpleBottleneck)
+
+
+def _channel_major(symbols: np.ndarray) -> np.ndarray:
+    """(h, w, c) -> channel-major flat order (c, h*w) for per-channel CDFs."""
+    return np.transpose(symbols, (2, 0, 1)).reshape(symbols.shape[-1], -1)
+
+
+class FactorizedCodec:
+    """Bitstream codec for an `EntropyBottleneck`-only bottleneck (FP)."""
+
+    def __init__(self, bottleneck_path='bottleneck_layer'):
+        self.bottleneck_path = bottleneck_path
+        self.tables: CodingTables | None = None
+        self.coder: RansCoder | None = None
+
+    def eb_params(self, variables):
+        params = variables['params']
+        if self.bottleneck_path:
+            for part in self.bottleneck_path.split('.'):
+                params = params[part]
+        return params['entropy_bottleneck']
+
+    def update(self, module, variables, eb_module):
+        self.tables = build_factorized_tables(eb_module,
+                                              {'params': self.eb_params(variables)})
+        self.coder = RansCoder(self.tables.quantized_cdf,
+                               self.tables.cdf_length, self.tables.offset)
+
+    def compress_symbols(self, symbols: np.ndarray):
+        """symbols: (n, h, w, c) int32 -> list of per-sample byte strings."""
+        n, h, w, c = symbols.shape
+        indexes = np.repeat(np.arange(c, dtype=np.int32), h * w)
+        return [self.coder.encode_with_indexes(
+            _channel_major(symbols[i]).ravel(), indexes) for i in range(n)]
+
+    def decompress_symbols(self, strings, shape, channels):
+        h, w = shape
+        indexes = np.repeat(np.arange(channels, dtype=np.int32), h * w)
+        out = []
+        for s in strings:
+            flat = self.coder.decode_with_indexes(s, indexes)
+            out.append(np.transpose(flat.reshape(channels, h, w), (1, 2, 0)))
+        return np.stack(out)
+
+
+class HyperpriorCodec(FactorizedCodec):
+    """Codec for SHP/MSHP: factorized-coded z + gaussian-coded y."""
+
+    def __init__(self, bottleneck_path='bottleneck_layer'):
+        super().__init__(bottleneck_path)
+        self.g_tables: CodingTables | None = None
+        self.g_coder: RansCoder | None = None
+
+    def update(self, module, variables, eb_module, scale_table=None):
+        super().update(module, variables, eb_module)
+        self.g_tables = build_gaussian_tables(scale_table)
+        self.g_coder = RansCoder(self.g_tables.quantized_cdf,
+                                 self.g_tables.cdf_length,
+                                 self.g_tables.offset)
+
+    def compress_y(self, y_symbols: np.ndarray, y_indexes: np.ndarray):
+        n = y_symbols.shape[0]
+        return [self.g_coder.encode_with_indexes(
+            y_symbols[i].ravel(), y_indexes[i].ravel()) for i in range(n)]
+
+    def decompress_y(self, strings, y_indexes: np.ndarray):
+        out = []
+        for i, s in enumerate(strings):
+            flat = self.g_coder.decode_with_indexes(s, y_indexes[i].ravel())
+            out.append(flat.reshape(y_indexes[i].shape))
+        return np.stack(out)
+
+
+class SplitClassifierRuntime(AnalyzerHolder):
+    """Runtime for `SplittableResNet`-style models with an FP/SHP/MSHP or
+    Simple bottleneck. Mirrors the reference's updatable-backbone contract
+    (`backbone.py:47-76`): `update()`, `get_aux_module()`,
+    `bottleneck_updated`, plus the analyzable surface."""
+
+    def __init__(self, module, variables, analyzer_configs=None,
+                 analysis_unit='KB'):
+        if analyzer_configs is None:
+            analyzer_configs = [{'key': 'FileSizeAnalyzer',
+                                 'kwargs': {'unit': analysis_unit}}]
+        super().__init__(analyzer_configs)
+        self.module = module
+        self.variables = variables
+        self.bottleneck_updated = False
+        self.training = False
+        # Module-level deploy ops (EntropicClassifierModule) vs. a
+        # bottleneck_layer submodule (SplittableResNet family).
+        self._module_level_ops = hasattr(module, 'encode_ops') and not \
+            hasattr(module, 'bottleneck_layer')
+        if self._module_level_ops:
+            self._bneck = None
+            self.codec = FactorizedCodec(bottleneck_path='')
+        else:
+            self._bneck = module.bottleneck_layer
+            if isinstance(self._bneck, SHPBasedResNetBottleneck):
+                self.codec = HyperpriorCodec()
+            elif isinstance(self._bneck, (FPBasedResNetBottleneck,
+                                          EntropyBottleneckLayer)):
+                self.codec = FactorizedCodec()
+            else:
+                self.codec = None
+        self._jit_cache = {}
+
+    # ---- reference API surface -----------------------------------------
+    def update(self, scale_table=None):
+        """Build coding tables from learned params (reference
+        `backbone.py:256-258` → `layer.py:388-398`). The EntropyBottleneck
+        module definition is reconstructed from the stored quantiles shape
+        (submodules built in setup() are not reachable on unbound modules)."""
+        if self.codec is None:
+            return False
+        from ..ops.entropy.factorized import EntropyBottleneck
+        eb_channels = int(self.codec.eb_params(self.variables)
+                          ['quantiles'].shape[0])
+        eb = EntropyBottleneck(channels=eb_channels)
+        if isinstance(self.codec, HyperpriorCodec):
+            self.codec.update(self.module, self.variables, eb, scale_table)
+        else:
+            self.codec.update(self.module, self.variables, eb)
+        self.bottleneck_updated = True
+        return True
+
+    def get_aux_module(self):
+        return self._bneck
+
+    def train(self, mode=True):
+        self.training = mode
+        return self
+
+    def eval(self):
+        return self.train(False)
+
+    # ---- jitted pure programs ------------------------------------------
+    def _jitted(self, name, fn):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn)
+        return self._jit_cache[name]
+
+    def _forward_train_mode(self, x, mode, rng):
+        def fn(variables, x, rng):
+            return self.module.apply(
+                variables, x, mode=mode, train=False,
+                rngs={'noise': rng} if mode == 'train' else None)
+        return self._jitted(f'fwd_{mode}', fn)(self.variables, x, rng)
+
+    def encode(self, x):
+        """Mobile-side program + host entropy coding. Returns the
+        compressed object dict (reference shape: {'strings', 'shape'})."""
+        if isinstance(self.codec, HyperpriorCodec):
+            def enc(variables, x, z_medians, scale_table):
+                return self.module.apply(
+                    variables, x, z_medians, scale_table,
+                    method=lambda m, x, zm, st:
+                        m.bottleneck_layer.encode_ops(x, zm, st))
+            ops = self._jitted('encode', enc)(
+                self.variables, x,
+                jnp.asarray(self.codec.tables.medians),
+                jnp.asarray(self.codec.g_tables.scale_table))
+            y_sym = np.asarray(ops['y_symbols'])
+            y_idx = np.asarray(ops['y_indexes'])
+            z_sym = np.asarray(ops['z_symbols'])
+            y_strings = self.codec.compress_y(y_sym, y_idx)
+            z_strings = self.codec.compress_symbols(z_sym)
+            return {'strings': [y_strings, z_strings],
+                    'shape': tuple(z_sym.shape[1:3])}
+        else:
+            if self._module_level_ops:
+                def enc(variables, x, medians):
+                    return self.module.apply(
+                        variables, x, medians,
+                        method=lambda m, x, med: m.encode_ops(x, med))
+            else:
+                def enc(variables, x, medians):
+                    return self.module.apply(
+                        variables, x, medians,
+                        method=lambda m, x, med:
+                            m.bottleneck_layer.encode_ops(x, med))
+            ops = self._jitted('encode', enc)(
+                self.variables, x, jnp.asarray(self.codec.tables.medians))
+            symbols = np.asarray(ops['symbols'])
+            strings = self.codec.compress_symbols(symbols)
+            return {'strings': [strings], 'shape': tuple(symbols.shape[1:3])}
+
+    def decode(self, strings, shape):
+        """Host entropy decoding + server-side program to logits."""
+        if isinstance(self.codec, HyperpriorCodec):
+            z_channels = self._bneck.num_latent_channels
+            z_sym = self.codec.decompress_symbols(strings[1], shape,
+                                                  z_channels)
+            def scales_fn(variables, z_symbols, z_medians, scale_table):
+                return self.module.apply(
+                    variables, z_symbols, z_medians, scale_table,
+                    method=lambda m, zs, zm, st:
+                        m.bottleneck_layer.decode_scales(zs, zm, st))
+            y_idx, _ = self._jitted('dec_scales', scales_fn)(
+                self.variables, jnp.asarray(z_sym),
+                jnp.asarray(self.codec.tables.medians),
+                jnp.asarray(self.codec.g_tables.scale_table))
+            y_sym = self.codec.decompress_y(strings[0], np.asarray(y_idx))
+
+            def dec(variables, y_symbols, z_symbols, z_medians):
+                def m_fn(m, ys, zs, zm):
+                    feat = m.bottleneck_layer.decode_ops(ys, zs, zm)
+                    return m.forward_tail(feat)
+                return self.module.apply(variables, y_symbols, z_symbols,
+                                         z_medians, method=m_fn)
+            return self._jitted('decode', dec)(
+                self.variables, jnp.asarray(y_sym), jnp.asarray(z_sym),
+                jnp.asarray(self.codec.tables.medians))
+        else:
+            channels = self.codec.tables.medians.shape[0]
+            symbols = self.codec.decompress_symbols(strings[0], shape,
+                                                    channels)
+            if self._module_level_ops:
+                def dec(variables, symbols, medians):
+                    return self.module.apply(
+                        variables, symbols, medians,
+                        method=lambda m, s, med:
+                            m.decode_ops_to_logits(s, med))
+            else:
+                def dec(variables, symbols, medians):
+                    def m_fn(m, s, med):
+                        feat = m.bottleneck_layer.decode_ops(s, med)
+                        return m.forward_tail(feat)
+                    return self.module.apply(variables, symbols, medians,
+                                             method=m_fn)
+            return self._jitted('decode', dec)(
+                self.variables, jnp.asarray(symbols),
+                jnp.asarray(self.codec.tables.medians))
+
+    def __call__(self, x, rng=None):
+        """Reference forward dispatch (`backbone.py:225-254`): deploy path
+        when updated & eval, finetune path when updated & training,
+        noise path otherwise."""
+        if self.bottleneck_updated and not self.training:
+            compressed = self.encode(x)
+            self.analyze(compressed)
+            return self.decode(**compressed)
+        mode = 'finetune' if self.bottleneck_updated else 'train'
+        if rng is None:
+            rng = jax.random.key(0)
+        return self._forward_train_mode(x, mode, rng)

@@ -1,0 +1,224 @@
+"""Multi-stage training engine for classification.
+
+Drives the reference's canonical recipes (SURVEY.md §2.3, §3.1): stage1
+hint-distillation of the bottleneck (frozen tail) with β·bpp rate loss and
+aux quantile loss, `epoch_to_update` triggering the table build + switch to
+the STE-finetune forward, stage2 KD fine-tuning with frozen encoder+entropy
+bottleneck. Checkpoints on best validation metric (reference
+`image_classification.py:148-193`).
+"""
+from __future__ import annotations
+
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import train_stage_configs
+from ..datasets.image import DataLoader, build_dataset
+from ..models.registry import load_classification_model
+from ..models.runtime import SplitClassifierRuntime
+from ..utils.ckpt import load_ckpt, save_ckpt
+from ..utils.metrics import MetricLogger
+from .box import DistillationBox, TrainingBox
+
+logger = logging.getLogger(__name__)
+
+
+def init_model(module, image_size=(224, 224), seed=0, init_kwargs=None):
+    x = jnp.zeros((1, *image_size, 3))
+    kwargs = dict(init_kwargs or {})
+    variables = module.init(
+        {'params': jax.random.key(seed), 'noise': jax.random.key(seed + 1)},
+        x, **kwargs)
+    return {'params': variables['params'],
+            'batch_stats': variables.get('batch_stats', {})}
+
+
+def transfer_matching_subtrees(student_vars, teacher_vars, paths):
+    """Copy teacher param/batch_stats subtrees into the student where names
+    match (tail init before distillation — the functional equivalent of the
+    reference loading torchvision weights into the splittable model,
+    `backbone.py:260-273`)."""
+    out = jax.tree.map(lambda x: x, student_vars)  # shallow-ish copy
+    for coll in ('params', 'batch_stats'):
+        s, t = out.get(coll, {}), teacher_vars.get(coll, {})
+        for p in paths:
+            if p in t and p in s:
+                s[p] = t[p]
+    return out
+
+
+def top_k_accuracy(logits, targets, ks=(1, 5)):
+    out = {}
+    order = jnp.argsort(logits, axis=-1)[:, ::-1]
+    for k in ks:
+        hit = jnp.any(order[:, :k] == targets[:, None], axis=-1)
+        out[f'acc{k}'] = jnp.mean(hit.astype(jnp.float32))
+    return out
+
+
+class ClassificationEngine:
+    """Builds models/datasets from a config dict and runs train/test."""
+
+    def __init__(self, config, image_size=(224, 224)):
+        self.config = config
+        self.image_size = tuple(image_size)
+        models_config = config.get('models', {})
+        self.teacher_module = None
+        self.teacher_variables = None
+        if 'teacher_model' in models_config:
+            tm_cfg = models_config['teacher_model']
+            self.teacher_module = load_classification_model(tm_cfg)
+            self.teacher_variables = init_model(
+                self.teacher_module, self.image_size, seed=7,
+                init_kwargs={'train': False})
+            if tm_cfg.get('ckpt'):
+                try:
+                    self.teacher_variables, _, _ = load_ckpt(
+                        tm_cfg['ckpt'], self.teacher_variables)
+                except FileNotFoundError:
+                    logger.warning('teacher ckpt %s missing; random init',
+                                   tm_cfg['ckpt'])
+        sm_cfg = models_config.get('student_model', models_config.get('model'))
+        self.student_module = load_classification_model(sm_cfg)
+        self.student_variables = init_model(
+            self.student_module, self.image_size, seed=0,
+            init_kwargs={'mode': 'train'})
+        self.student_ckpt = sm_cfg.get('ckpt')
+        if self.student_ckpt:
+            try:
+                self.student_variables, _, _ = load_ckpt(
+                    self.student_ckpt, self.student_variables)
+                logger.info('loaded student ckpt %s', self.student_ckpt)
+            except FileNotFoundError:
+                pass
+        if self.teacher_variables is not None:
+            self.student_variables = transfer_matching_subtrees(
+                self.student_variables, self.teacher_variables,
+                ('layer2', 'layer3', 'layer4', 'fc'))
+        self.runtime = SplitClassifierRuntime(self.student_module,
+                                              self.student_variables)
+        self._eval_fn = None
+
+    # ---- data -----------------------------------------------------------
+    def build_loader(self, split_config):
+        dataset = build_dataset(split_config['dataset'])
+        return DataLoader(dataset,
+                          batch_size=split_config.get('batch_size', 1),
+                          shuffle=split_config.get('shuffle', False),
+                          drop_last=split_config.get('drop_last', False))
+
+    # ---- evaluation -----------------------------------------------------
+    def evaluate(self, data_loader, use_deploy_path=False, log_freq=100):
+        """Top-1/top-5 (+ data size when analysis is active). Deploy path =
+        real bitstream at batch 1 (reference `evaluate`,
+        `image_classification.py:106-145`)."""
+        meter = MetricLogger()
+        if use_deploy_path:
+            self.runtime.variables = self.student_variables
+            self.runtime.eval()
+            for x, y in data_loader:
+                t0 = time.time()
+                logits = self.runtime(jnp.asarray(x))
+                accs = top_k_accuracy(np.asarray(logits), np.asarray(y))
+                meter.update(model_time=time.time() - t0,
+                             **{k: float(v) for k, v in accs.items()})
+        else:
+            if self._eval_fn is None:
+                def fwd(variables, x):
+                    return self.student_module.apply(
+                        variables, x, mode='finetune'
+                        if self.runtime.bottleneck_updated else 'train',
+                        train=False, rngs={'noise': jax.random.key(0)})
+                self._eval_fn = jax.jit(fwd)
+            for x, y in data_loader:
+                logits = self._eval_fn(self.student_variables, jnp.asarray(x))
+                accs = top_k_accuracy(logits, jnp.asarray(y))
+                meter.update(**{k: float(v) for k, v in accs.items()})
+        meter.synchronize_between_processes()
+        result = {k: m.global_avg for k, m in meter.meters.items()}
+        logger.info('eval: %s', result)
+        return result
+
+    # ---- training -------------------------------------------------------
+    def train(self, dst_ckpt=None):
+        train_config = self.config.get('train', {})
+        stages = train_stage_configs(train_config)
+        train_loader = self.build_loader(train_config.get(
+            'train_data_loader', {'dataset': {'key':
+                'SyntheticClassificationDataset', 'kwargs': {}},
+                'batch_size': 8, 'shuffle': True}))
+        val_loader = self.build_loader(train_config.get(
+            'val_data_loader', {'dataset': {'key':
+                'SyntheticClassificationDataset', 'kwargs': {}},
+                'batch_size': 8}))
+        best_metric = -1.0
+        rng = jax.random.key(42)
+        for stage_cfg in stages:
+            logger.info('=== stage %s ===', stage_cfg.get('name'))
+            box_cls = DistillationBox if self.teacher_module else TrainingBox
+            kwargs = {}
+            if box_cls is DistillationBox:
+                kwargs = {'teacher_module': self.teacher_module,
+                          'teacher_variables': self.teacher_variables}
+            box = box_cls(
+                self.student_module, self.student_variables, stage_cfg,
+                steps_per_epoch=max(len(train_loader), 1),
+                student_mode='finetune' if self.runtime.bottleneck_updated
+                else 'train', **kwargs)
+            epoch_to_update = stage_cfg.get('epoch_to_update')
+            num_epochs = int(stage_cfg.get('num_epochs', 1))
+            for epoch in range(num_epochs):
+                meter = MetricLogger()
+                for x, y in train_loader:
+                    rng, step_rng = jax.random.split(rng)
+                    metrics = box.train_step(jnp.asarray(x), jnp.asarray(y),
+                                             step_rng)
+                    total = sum(jax.tree.leaves(metrics['loss']))
+                    if not np.isfinite(float(total)):
+                        raise ValueError(
+                            f'loss is {float(total)}; aborting '
+                            '(reference behavior image_classification.py:87)')
+                    meter.update(loss=float(total),
+                                 aux=float(metrics['aux_loss']))
+                logger.info('stage %s epoch %d: %s', stage_cfg.get('name'),
+                            epoch, str(meter))
+                self.student_variables = box.student_variables
+                if epoch_to_update is not None \
+                        and epoch + 1 >= int(epoch_to_update) \
+                        and not self.runtime.bottleneck_updated:
+                    self.runtime.variables = self.student_variables
+                    self.runtime.update()
+                    box.student_mode = 'finetune'
+                    logger.info('bottleneck updated (tables built)')
+                result = self.evaluate(val_loader)
+                metric = result.get('acc1', 0.0)
+                if metric > best_metric:
+                    best_metric = metric
+                    if dst_ckpt:
+                        save_ckpt(dst_ckpt, self.student_variables,
+                                  meta={'best_metric': best_metric})
+            self.student_variables = box.student_variables
+        # final update if never triggered (test protocol expects tables)
+        self.runtime.variables = self.student_variables
+        if not self.runtime.bottleneck_updated:
+            self.runtime.update()
+        return best_metric
+
+    def test(self):
+        test_config = self.config.get('test', {})
+        loader = self.build_loader(test_config.get(
+            'test_data_loader', {'dataset': {'key':
+                'SyntheticClassificationDataset', 'kwargs': {}},
+                'batch_size': 1}))
+        self.runtime.variables = self.student_variables
+        if not self.runtime.bottleneck_updated and self.runtime.codec:
+            self.runtime.update()
+        self.runtime.activate_analysis()
+        result = self.evaluate(loader, use_deploy_path=bool(
+            self.runtime.codec and self.runtime.bottleneck_updated))
+        summaries = self.runtime.summarize()
+        return result, summaries

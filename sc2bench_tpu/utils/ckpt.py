@@ -1,0 +1,49 @@
+"""Checkpoint save/load.
+
+The reference checkpoints {model, optimizer, scheduler, best_value} via
+torchdistill `save_ckpt`/`load_ckpt` (SURVEY.md §5.4), with buffer-shape
+plasticity for the data-dependent CDF tables. Here: flax msgpack for the
+variables pytree + pickle for the (shape-plastic, host-numpy) coding tables
+— tables are rebuilt from params by `update()` anyway, so storing them is an
+optimization, exactly like the reference's `update_before_ckpt` contract.
+"""
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+
+import flax.serialization
+import jax
+
+_TABLES_SUFFIX = '.tables.pkl'
+_META_SUFFIX = '.meta.pkl'
+
+
+def save_ckpt(path, variables, tables=None, meta=None):
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_bytes(flax.serialization.to_bytes(
+        jax.device_get(variables)))
+    if tables is not None:
+        Path(str(path) + _TABLES_SUFFIX).write_bytes(pickle.dumps(
+            {k: t.state_dict() for k, t in tables.items()}
+            if isinstance(tables, dict) else tables.state_dict()))
+    if meta is not None:
+        Path(str(path) + _META_SUFFIX).write_bytes(pickle.dumps(meta))
+
+
+def load_ckpt(path, variables_template):
+    """Restore variables into the template's structure. Returns
+    (variables, tables_state_or_None, meta_or_None)."""
+    path = Path(path)
+    variables = flax.serialization.from_bytes(
+        variables_template, path.read_bytes())
+    tables = None
+    tpath = Path(str(path) + _TABLES_SUFFIX)
+    if tpath.exists():
+        tables = pickle.loads(tpath.read_bytes())
+    meta = None
+    mpath = Path(str(path) + _META_SUFFIX)
+    if mpath.exists():
+        meta = pickle.loads(mpath.read_bytes())
+    return variables, tables, meta

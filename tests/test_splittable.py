@@ -1,0 +1,114 @@
+"""End-to-end splittable-model tests: the tri-state forward contract
+(SURVEY.md §3.5) and the deploy path through the real rANS bitstream."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sc2bench_tpu.models.backbone import SplittableResNet, splittable_resnet
+from sc2bench_tpu.models.layer import (
+    FPBasedResNetBottleneck, MSHPBasedResNetBottleneck,
+    SHPBasedResNetBottleneck, larger_resnet_bottleneck)
+from sc2bench_tpu.models.runtime import SplitClassifierRuntime
+
+IMG = (1, 64, 64, 3)  # small spatial size for test speed
+NUM_CLASSES = 10
+
+
+def _build(bneck, stage_sizes=(1, 1, 1, 1)):
+    model = SplittableResNet(bottleneck_layer=bneck,
+                             stage_sizes=stage_sizes,
+                             num_classes=NUM_CLASSES)
+    x = jnp.zeros(IMG)
+    variables = model.init(
+        {'params': jax.random.key(0), 'noise': jax.random.key(1)},
+        x, mode='train')
+    return model, {'params': variables['params'],
+                   'batch_stats': variables.get('batch_stats', {})}
+
+
+class TestFPSplittable:
+    @pytest.fixture(scope='class')
+    def rt(self):
+        model, variables = _build(FPBasedResNetBottleneck(
+            num_bottleneck_channels=8, num_target_channels=256))
+        return SplitClassifierRuntime(model, variables)
+
+    def test_train_forward_and_entropy_capture(self, rt):
+        x = jax.random.normal(jax.random.key(2), IMG)
+        out, state = rt.module.apply(
+            rt.variables, x, mode='train', rngs={'noise': jax.random.key(3)},
+            mutable=['entropy', 'intermediates'])
+        assert out.shape == (1, NUM_CLASSES)
+        (y_hat, lik), = state['entropy']['bottleneck_layer']['eb_out']
+        assert y_hat.shape[-1] == 8
+        assert jnp.all(lik > 0)
+
+    def test_finetune_forward(self, rt):
+        x = jax.random.normal(jax.random.key(4), IMG)
+        out = rt.module.apply(rt.variables, x, mode='finetune')
+        assert out.shape == (1, NUM_CLASSES)
+
+    def test_deploy_matches_finetune_quantization(self, rt):
+        """After update(), the deploy path (true bitstream round-trip) must
+        produce exactly the dequantize-mode logits — the bit-exactness
+        contract of the rANS round trip."""
+        rt.update()
+        rt.eval()
+        rt.activate_analysis()
+        x = jax.random.normal(jax.random.key(5), IMG)
+        logits_deploy = rt(x)
+        logits_finetune = rt.module.apply(rt.variables, x, mode='finetune')
+        np.testing.assert_allclose(np.asarray(logits_deploy),
+                                   np.asarray(logits_finetune),
+                                   rtol=2e-4, atol=2e-4)
+        summary = rt.summarize()
+        assert summary[0]['num_samples'] == 1
+        assert summary[0]['mean'] > 0
+
+    def test_compressed_size_reasonable(self, rt):
+        rt.update()
+        x = jax.random.normal(jax.random.key(6), IMG) * 0.1
+        obj = rt.encode(x)
+        total_bytes = sum(len(s) for s in obj['strings'][0])
+        # 16x16x8 latent; near-zero input should code tightly
+        assert total_bytes < 16 * 16 * 8
+
+
+@pytest.mark.parametrize('cls', [SHPBasedResNetBottleneck,
+                                 MSHPBasedResNetBottleneck])
+def test_hyperprior_deploy_roundtrip(cls):
+    model, variables = _build(cls(num_latent_channels=4,
+                                  num_bottleneck_channels=8,
+                                  num_target_channels=256))
+    rt = SplitClassifierRuntime(model, variables)
+    x = jax.random.normal(jax.random.key(7), IMG)
+    out_train = rt.module.apply(
+        rt.variables, x, mode='train', rngs={'noise': jax.random.key(8)})
+    assert out_train.shape == (1, NUM_CLASSES)
+    rt.update()
+    rt.eval()
+    logits_deploy = rt(x)
+    logits_finetune = rt.module.apply(rt.variables, x, mode='finetune')
+    np.testing.assert_allclose(np.asarray(logits_deploy),
+                               np.asarray(logits_finetune),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_crbq_bottleneck_shapes():
+    """CR+BQ simple bottleneck: encoder output must reassemble to the tail's
+    expected 256-channel layer1-substitute."""
+    bneck = larger_resnet_bottleneck(bottleneck_channel=3)
+    model, variables = _build(bneck)
+    x = jax.random.normal(jax.random.key(9), IMG)
+    out = model.apply(variables, x, mode='train',
+                      rngs={'noise': jax.random.key(10)})
+    assert out.shape == (1, NUM_CLASSES)
+
+
+def test_builder_registry():
+    m = splittable_resnet(
+        {'key': 'FPBasedResNetBottleneck',
+         'kwargs': {'num_bottleneck_channels': 8}},
+        resnet_name='resnet50', num_classes=10)
+    assert isinstance(m, SplittableResNet)
