@@ -137,6 +137,39 @@ class KDLoss:
         return self.alpha * (T ** 2) * soft + (1 - self.alpha) * hard
 
 
+@register_loss
+class SegCrossEntropyLoss:
+    """Pixel CE with ignore_index=255 over seg output dict(s) — the
+    reference's seg criterion (torch `cross_entropy(ignore_index=255)` with
+    aux weighted 0.5)."""
+
+    def __init__(self, module_path='output', aux_module_path=None,
+                 aux_weight=0.5, ignore_index=255):
+        self.module_path = module_path
+        self.aux_module_path = aux_module_path
+        self.aux_weight = aux_weight
+        self.ignore_index = ignore_index
+
+    def _ce(self, logits, targets):
+        import jax
+        valid = targets != self.ignore_index
+        safe_t = jnp.where(valid, targets, 0)
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.take_along_axis(log_probs, safe_t[..., None],
+                                  axis=-1)[..., 0]
+        return jnp.sum(jnp.where(valid, ce, 0.0)) \
+            / jnp.maximum(jnp.sum(valid), 1)
+
+    def __call__(self, student_io_dict, teacher_io_dict=None, targets=None,
+                 **kwargs):
+        loss = self._ce(_lookup_io(student_io_dict, self.module_path),
+                        targets)
+        if self.aux_module_path and self.aux_module_path in student_io_dict:
+            loss = loss + self.aux_weight * self._ce(
+                _lookup_io(student_io_dict, self.aux_module_path), targets)
+        return loss
+
+
 class WeightedSumLoss:
     """Σ weight_i · term_i over config `sub_terms`, the criterion contract of
     the reference's training engine (SURVEY.md §7 design stance)."""

@@ -1,0 +1,89 @@
+"""Input-compression detection wrapper.
+
+Parity surface of `/root/reference/sc2bench/models/detection/wrapper.py`:
+`InputCompressionDetectionModel` swaps the detector's transform for
+`RCNNTransformWithCompression` (`wrapper.py:11-95`) and
+`get_wrapped_detection_model` builds from config (`wrapper.py:98-122`).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...analysis import AnalyzerHolder, get_analyzer
+from ...registry import get as registry_get, register_wrapper
+from .transform import RCNNTransform, RCNNTransformWithCompression
+
+
+class DetectionRuntime(AnalyzerHolder):
+    """Host transform + jitted detector forward + postprocess, returning
+    per-image detection dicts scaled back to original coordinates."""
+
+    def __init__(self, module, variables, transform=None,
+                 analyzer_configs=None):
+        super().__init__(analyzer_configs or [])
+        self.module = module
+        self.variables = variables
+        self.transform = transform or RCNNTransform()
+        self._fwd = None
+
+    def _forward(self, batch):
+        from .rcnn import postprocess_detections
+        if self._fwd is None:
+            def fn(variables, x):
+                out = self.module.apply(variables, x, mode='finetune',
+                                        train=False)
+                dets = postprocess_detections(out)
+                return dets
+            self._fwd = jax.jit(fn)
+        return self._fwd(self.variables, jnp.asarray(batch))
+
+    def __call__(self, images):
+        batch, scales, orig_sizes = self.transform(images)
+        dets = self._forward(batch)
+        results = []
+        for i in range(len(images)):
+            valid = np.asarray(dets['valid'][i])
+            boxes = np.asarray(dets['boxes'][i])[valid] / scales[i]
+            results.append({
+                'boxes': boxes,
+                'scores': np.asarray(dets['scores'][i])[valid],
+                'labels': np.asarray(dets['labels'][i])[valid],
+            })
+        return results
+
+
+@register_wrapper
+class InputCompressionDetectionModel(DetectionRuntime):
+    """Detector whose transform compresses inputs (reference
+    `wrapper.py:11-95`)."""
+
+    def __init__(self, detection_module, detection_variables,
+                 codec_config=None, compression_model=None,
+                 analysis_config=None, **kwargs):
+        analyzer_configs = (analysis_config or {}).get(
+            'analyzer_configs', [{'key': 'FileSizeAccumulator',
+                                  'kwargs': {'unit': 'KB'}}])
+        super().__init__(detection_module, detection_variables,
+                         analyzer_configs=analyzer_configs)
+        compressor = None
+        if codec_config:
+            cls = registry_get('transform', codec_config['key'])
+            compressor = cls(**codec_config.get('kwargs', {}),
+                             returns_file_size=True)
+        analyzer = self.analyzers[0] if self.analyzers else None
+        self.transform = RCNNTransformWithCompression(
+            compressor=compressor, compression_model=compression_model,
+            analyzer=analyzer, **kwargs.get('transform_kwargs', {}))
+
+
+def get_wrapped_detection_model(wrapper_model_config, **kwargs):
+    """Build base detector + wrap (reference `wrapper.py:98-122`)."""
+    from .registry import load_detection_model
+    model_config = wrapper_model_config.get('detection_model',
+                                            wrapper_model_config.get('model'))
+    module, variables = load_detection_model(model_config)
+    key = wrapper_model_config['key']
+    cls = registry_get('wrapper', key)
+    return cls(module, variables, **wrapper_model_config.get('kwargs', {}))

@@ -23,10 +23,13 @@ def _bn(name: str) -> nn.BatchNorm:
 
 
 class BottleneckBlock(nn.Module):
-    """ResNet v1.5 bottleneck: 1x1 -> 3x3(stride) -> 1x1(x4) + shortcut."""
+    """ResNet v1.5 bottleneck: 1x1 -> 3x3(stride) -> 1x1(x4) + shortcut.
+    `dilation` implements the dilated (stride-replaced) variant used by
+    DeepLabv3 backbones (torchvision `replace_stride_with_dilation`)."""
 
     filters: int
     strides: int = 1
+    dilation: int = 1
     expansion: int = 4
     zero_init_residual: bool = True
 
@@ -37,8 +40,10 @@ class BottleneckBlock(nn.Module):
         y = nn.Conv(self.filters, (1, 1), use_bias=False, name='conv1')(x)
         y = _bn('bn1')(y, use_running_average=ura)
         y = nn.relu(y)
+        d = self.dilation
         y = nn.Conv(self.filters, (3, 3), strides=(self.strides, self.strides),
-                    padding=((1, 1), (1, 1)), use_bias=False, name='conv2')(y)
+                    padding=((d, d), (d, d)), kernel_dilation=(d, d),
+                    use_bias=False, name='conv2')(y)
         y = _bn('bn2')(y, use_running_average=ura)
         y = nn.relu(y)
         y = nn.Conv(self.filters * self.expansion, (1, 1), use_bias=False,
@@ -57,17 +62,24 @@ class BottleneckBlock(nn.Module):
 
 
 class ResNetStage(nn.Module):
-    """One layerN stage: `blocks` bottleneck blocks, stride on the first."""
+    """One layerN stage: `blocks` bottleneck blocks, stride on the first.
+    With `dilate=True` the stride is replaced by dilation (DeepLab)."""
 
     filters: int
     blocks: int
     strides: int = 1
+    dilation: int = 1
+    dilate: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        strides = 1 if self.dilate else self.strides
+        first_dil = self.dilation
+        block_dil = self.dilation * (self.strides if self.dilate else 1)
         for i in range(self.blocks):
             x = BottleneckBlock(
-                self.filters, strides=self.strides if i == 0 else 1,
+                self.filters, strides=strides if i == 0 else 1,
+                dilation=first_dil if i == 0 else block_dil,
                 name=f'block{i}')(x, train)
         return x
 

@@ -1,0 +1,35 @@
+"""Segmentation model resolution (reference
+`/root/reference/sc2bench/models/segmentation/registry.py:55-84`), including
+the `update_before_ckpt` contract: entropy tables are built before loading a
+checkpoint so data-dependent table shapes line up (SURVEY.md §5.4)."""
+from __future__ import annotations
+
+import logging
+
+from ...registry import get as registry_get
+
+logger = logging.getLogger(__name__)
+
+
+def load_segmentation_model(model_config, image_size=(512, 512)):
+    """Build + init a segmentation module from config; returns
+    (module, variables)."""
+    import jax
+    import jax.numpy as jnp
+    key = model_config['key']
+    module = registry_get('model', key)(**model_config.get('kwargs', {}))
+    x = jnp.zeros((1, *image_size, 3))
+    variables = module.init(
+        {'params': jax.random.key(0), 'noise': jax.random.key(1)},
+        x, mode='train')
+    variables = {'params': variables['params'],
+                 'batch_stats': variables.get('batch_stats', {})}
+    ckpt = model_config.get('ckpt')
+    if ckpt:
+        from ...utils.ckpt import load_ckpt
+        try:
+            variables, _, _ = load_ckpt(ckpt, variables)
+            logger.info('loaded segmentation ckpt %s', ckpt)
+        except FileNotFoundError:
+            logger.warning('segmentation ckpt %s missing; random init', ckpt)
+    return module, variables

@@ -1,0 +1,174 @@
+"""Segmentation wrappers: codec / neural input compression.
+
+Parity surface of `/root/reference/sc2bench/models/segmentation/wrapper.py`:
+`CodecInputCompressionSegmentationModel` (`wrapper.py:12-52`) and
+`NeuralInputCompressionSegmentationModel` with AdaptivePad + original-size
+crop-back (`wrapper.py:55-117`), plus `get_wrapped_segmentation_model`
+(`wrapper.py:120-144`).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...analysis import AnalyzerHolder
+from ...registry import get as registry_get, register_wrapper
+from ...transforms.misc import AdaptivePad
+
+
+def _build_transform(cfg):
+    from ..wrapper import _build_transform as bt
+    return bt(cfg)
+
+
+@register_wrapper
+class CodecInputCompressionSegmentationModel(AnalyzerHolder):
+    """Host codec round-trip then segmentation (reference `wrapper.py:12-52`)."""
+
+    def __init__(self, segmentation_module, segmentation_variables,
+                 codec_encoder_decoder=None, post_transform=None,
+                 analysis_config=None, **kwargs):
+        super().__init__((analysis_config or {}).get('analyzer_configs', []))
+        self.codec = _build_transform(codec_encoder_decoder)
+        self.post_transform = _build_transform(post_transform)
+        self.module = segmentation_module
+        self.variables = segmentation_variables
+        self._fwd = jax.jit(lambda v, x: self.module.apply(
+            v, x, mode='finetune', train=False))
+
+    def __call__(self, images):
+        batch = []
+        for img in images:
+            if self.codec is not None:
+                out = self.codec(img)
+                if isinstance(out, tuple):
+                    img, file_size = out
+                    self.analyze(file_size)
+                else:
+                    img = out
+            if self.post_transform is not None:
+                img = self.post_transform(img)
+            batch.append(np.asarray(img, np.float32))
+        return self._fwd(self.variables, jnp.asarray(np.stack(batch)))
+
+
+@register_wrapper
+class NeuralInputCompressionSegmentationModel(AnalyzerHolder):
+    """Learned codec round-trip with AdaptivePad → compress/decompress →
+    crop back to the original size (reference `wrapper.py:55-117`)."""
+
+    def __init__(self, segmentation_module, segmentation_variables,
+                 compression_model=None, pre_transform=None,
+                 post_transform=None, analysis_config=None,
+                 adaptive_pad_kwargs=None, **kwargs):
+        analysis_config = analysis_config or {}
+        super().__init__(analysis_config.get('analyzer_configs', []))
+        self.analyzes_after_compress = analysis_config.get(
+            'analyzes_after_compress', False)
+        self.compression_model = compression_model
+        self.pre_transform = _build_transform(pre_transform)
+        self.post_transform = _build_transform(post_transform)
+        self.adaptive_pad = AdaptivePad(
+            **(adaptive_pad_kwargs or {'factor': 64}),
+            returns_org_patch_size=True)
+        self.module = segmentation_module
+        self.variables = segmentation_variables
+        self._fwd = jax.jit(lambda v, x: self.module.apply(
+            v, x, mode='finetune', train=False))
+
+    def __call__(self, images):
+        batch = []
+        for img in images:
+            if self.pre_transform is not None:
+                img = self.pre_transform(img)
+            x = np.asarray(img, np.float32)
+            if self.compression_model is not None:
+                padded, (h, w) = self.adaptive_pad(jnp.asarray(x))
+                compressed = self.compression_model.compress(
+                    np.asarray(padded)[None])
+                if self.analyzes_after_compress or self.activated_analysis:
+                    self.analyze(compressed)
+                x_hat = np.asarray(
+                    self.compression_model.decompress(**compressed))[0]
+                x = x_hat[:h, :w]
+            if self.post_transform is not None:
+                x = self.post_transform(x)
+            batch.append(np.asarray(x, np.float32))
+        return self._fwd(self.variables, jnp.asarray(np.stack(batch)))
+
+
+class SplitSegmentationRuntime(AnalyzerHolder):
+    """Deploy runtime for splittable (entropic-student) segmentation:
+    encode → rANS → decode → heads, with data-size analysis at batch 1
+    (reference eval path, SURVEY.md §3.4)."""
+
+    def __init__(self, module, variables, analyzer_configs=None):
+        from ..runtime import FactorizedCodec
+        if analyzer_configs is None:
+            analyzer_configs = [{'key': 'FileSizeAnalyzer',
+                                 'kwargs': {'unit': 'KB'}}]
+        super().__init__(analyzer_configs)
+        self.module = module
+        self.variables = variables
+        self.codec = FactorizedCodec(
+            bottleneck_path='backbone.bottleneck_layer')
+        self.bottleneck_updated = False
+        self.training = False
+        self._jit = {}
+
+    def update(self):
+        from ...ops.entropy.factorized import EntropyBottleneck
+        eb_channels = int(self.codec.eb_params(self.variables)
+                          ['quantiles'].shape[0])
+        eb = EntropyBottleneck(channels=eb_channels)
+        self.codec.update(self.module, self.variables, eb)
+        self.bottleneck_updated = True
+        return True
+
+    def eval(self):
+        self.training = False
+        return self
+
+    def __call__(self, x):
+        import jax
+        x = jnp.asarray(x)
+        if not (self.bottleneck_updated and not self.training):
+            return self.module.apply(
+                self.variables, x, mode='train', train=False,
+                rngs={'noise': jax.random.key(0)})
+        if 'enc' not in self._jit:
+            self._jit['enc'] = jax.jit(
+                lambda v, x, m: self.module.apply(
+                    v, x, m, method=lambda mod, x, med:
+                        mod.encode_ops(x, med)))
+        medians = jnp.asarray(self.codec.tables.medians)
+        ops = self._jit['enc'](self.variables, x, medians)
+        symbols = np.asarray(ops['symbols'])
+        strings = self.codec.compress_symbols(symbols)
+        compressed = {'strings': [strings],
+                      'shape': tuple(symbols.shape[1:3])}
+        self.analyze(compressed)
+        channels = self.codec.tables.medians.shape[0]
+        decoded = self.codec.decompress_symbols(
+            compressed['strings'][0], compressed['shape'], channels)
+        key = f'dec_{x.shape[1]}x{x.shape[2]}'
+        if key not in self._jit:
+            hw = x.shape[1:3]
+            self._jit[key] = jax.jit(
+                lambda v, s, m: self.module.apply(
+                    v, s, m, hw, method=lambda mod, s, med, ihw:
+                        mod.decode_ops_to_output(s, med, ihw)))
+        return self._jit[key](self.variables, jnp.asarray(decoded), medians)
+
+
+def get_wrapped_segmentation_model(wrapper_model_config, **kwargs):
+    """Build base segmentation model + wrap (reference `wrapper.py:120-144`)."""
+    from .registry import load_segmentation_model
+    model_config = wrapper_model_config.get('segmentation_model',
+                                            wrapper_model_config.get('model'))
+    module, variables = load_segmentation_model(model_config)
+    key = wrapper_model_config['key']
+    cls = registry_get('wrapper', key)
+    return cls(module, variables, **wrapper_model_config.get('kwargs', {}),
+               **kwargs)

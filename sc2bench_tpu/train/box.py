@@ -131,7 +131,12 @@ class DistillationBox:
             self.teacher_variables, x, train=False,
             mutable=['intermediates'])
         io = flatten_io(t_state.get('intermediates', {}))
-        io['output'] = t_out
+        if isinstance(t_out, dict):
+            for k, v in t_out.items():
+                io[f'output.{k}'] = v
+            io['output'] = t_out.get('out', next(iter(t_out.values())))
+        else:
+            io['output'] = t_out
         return io
 
     def _step(self, state: TrainState, x, y, rng, student_mode: str):
@@ -148,7 +153,14 @@ class DistillationBox:
                 rngs={'noise': rng}, mutable=mutable)
             io = flatten_io(s_state.get('intermediates', {}))
             io.update(flatten_io(s_state.get('entropy', {})))
-            io['output'] = s_out
+            if isinstance(s_out, dict):
+                # segmentation-style dict output: 'output' = main head,
+                # 'output.<k>' for each head
+                for k, v in s_out.items():
+                    io[f'output.{k}'] = v
+                io['output'] = s_out.get('out', next(iter(s_out.values())))
+            else:
+                io['output'] = s_out
             main_loss, detail = self.criterion(io, teacher_io, y)
             aux = factorized_aux_loss(params)
             new_bs = s_state.get('batch_stats', state.batch_stats)
@@ -160,7 +172,7 @@ class DistillationBox:
                                           state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {'loss': detail, 'aux_loss': aux}
-        if y is not None and s_out.ndim == 2:
+        if y is not None and hasattr(s_out, 'ndim') and s_out.ndim == 2:
             metrics['acc1'] = jnp.mean(
                 (jnp.argmax(s_out, -1) == y).astype(jnp.float32))
         return TrainState(step=state.step + 1, params=new_params,

@@ -1,0 +1,208 @@
+"""Detection training/eval engine (COCO Faster R-CNN).
+
+Drives the reference recipe (`script/task/object_detection.py`, SURVEY.md
+§3.3): stage1 head-distillation of backbone features (the HeadRCNN aux
+contract), optional full detection losses, val-mAP model selection, and
+batch-1 deploy eval with data-size accounting. The native CocoEvaluator
+(utils/coco_eval.py) replaces pycocotools.
+"""
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import train_stage_configs
+from ..datasets.coco import pad_detection_targets
+from ..datasets.image import DataLoader, build_dataset
+from ..models.detection.rcnn import detection_loss, postprocess_detections
+from ..models.detection.transform import RCNNTransform
+from ..registry import get as registry_get
+from ..utils.ckpt import load_ckpt, save_ckpt
+from ..utils.coco_eval import CocoEvaluator
+from ..utils.metrics import MetricLogger
+from .box import DistillationBox
+
+logger = logging.getLogger(__name__)
+
+
+class DetectionBox(DistillationBox):
+    """DistillationBox + optional Faster R-CNN task losses. The batch is
+    (images NHWC, padded targets dict); hint terms read captured backbone
+    features, detection terms run on dense RPN/RoI outputs."""
+
+    def __init__(self, *args, detection_loss_weight=1.0, **kwargs):
+        self.detection_loss_weight = detection_loss_weight
+        super().__init__(*args, **kwargs)
+
+    def _step(self, state, x, targets, rng, student_mode: str):
+        from .box import TrainState, factorized_aux_loss, flatten_io
+        import optax
+        teacher_io = self._teacher_io(x)
+        rng_noise, rng_det = jax.random.split(rng)
+
+        def loss_fn(params):
+            variables = {'params': params, 'batch_stats': state.batch_stats}
+            mutable = ['intermediates', 'entropy']
+            if self.train_bn:
+                mutable.append('batch_stats')
+            outputs, s_state = self.student_module.apply(
+                variables, x, mode=student_mode, train=self.train_bn,
+                rngs={'noise': rng_noise}, mutable=mutable)
+            io = flatten_io(s_state.get('intermediates', {}))
+            io.update(flatten_io(s_state.get('entropy', {})))
+            io['output'] = outputs['class_logits']
+            main_loss, detail = self.criterion(io, teacher_io, None)
+            if self.detection_loss_weight and targets is not None:
+                det = detection_loss(outputs, targets, rng_det)
+                for k, v in det.items():
+                    detail[k] = v
+                main_loss = main_loss + self.detection_loss_weight \
+                    * sum(det.values())
+            aux = factorized_aux_loss(params)
+            new_bs = s_state.get('batch_stats', state.batch_stats)
+            return main_loss + aux, (new_bs, detail, aux)
+
+        grads, (new_bs, detail, aux) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = self.tx.update(grads, state.opt_state,
+                                          state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=new_params,
+                          batch_stats=new_bs, opt_state=new_opt), \
+            {'loss': detail, 'aux_loss': aux}
+
+
+class DetectionEngine:
+    def __init__(self, config, canvas_size=512):
+        from ..registry import import_dependencies
+        import_dependencies(config.get('dependencies'))
+        self.config = config
+        models_config = config.get('models', {})
+        self.transform = RCNNTransform(
+            min_size=config.get('min_size', 800),
+            max_size=canvas_size, size_divisible=32)
+        self.canvas = self.transform.canvas_hw()
+        self.teacher_module = None
+        self.teacher_variables = None
+        if 'teacher_model' in models_config:
+            tm = models_config['teacher_model']
+            self.teacher_module = registry_get('model', tm['key'])(
+                **tm.get('kwargs', {}))
+            self.teacher_variables = self._init(self.teacher_module, 7)
+        sm = models_config.get('student_model', models_config.get('model'))
+        self.student_module = registry_get('model', sm['key'])(
+            **sm.get('kwargs', {}))
+        self.student_variables = self._init(self.student_module, 0)
+        if sm.get('ckpt'):
+            try:
+                self.student_variables, _, _ = load_ckpt(
+                    sm['ckpt'], self.student_variables)
+            except FileNotFoundError:
+                pass
+        self.max_boxes = int(config.get('max_boxes', 64))
+        self.bottleneck_updated = False
+        self._eval_fn = None
+
+    def _init(self, module, seed):
+        x = jnp.zeros((1, *self.canvas, 3))
+        variables = module.init(
+            {'params': jax.random.key(seed),
+             'noise': jax.random.key(seed + 1)}, x, mode='train')
+        return {'params': variables['params'],
+                'batch_stats': variables.get('batch_stats', {})}
+
+    def build_loader(self, split_config):
+        from ..transforms.collator import coco_collate_fn
+        dataset = build_dataset(split_config['dataset'])
+        return DataLoader(dataset,
+                          batch_size=split_config.get('batch_size', 1),
+                          shuffle=split_config.get('shuffle', False),
+                          collate_fn=coco_collate_fn)
+
+    def _prepare_batch(self, images, targets):
+        batch, scales, _ = self.transform(list(images))
+        padded = pad_detection_targets(list(targets), self.max_boxes)
+        padded['boxes'] = padded['boxes'] * scales[:, None, None]
+        return jnp.asarray(batch), jax.tree.map(jnp.asarray, padded), scales
+
+    def evaluate(self, data_loader):
+        evaluator = CocoEvaluator()
+        if self._eval_fn is None:
+            mode = 'finetune' if self.bottleneck_updated else 'train'
+
+            def fwd(variables, x):
+                out = self.student_module.apply(
+                    variables, x, mode='finetune', train=False)
+                return postprocess_detections(out)
+            self._eval_fn = jax.jit(fwd)
+        meter = MetricLogger()
+        import time
+        for images, targets in data_loader:
+            batch, scales, _ = self.transform(list(images))
+            t0 = time.time()
+            dets = self._eval_fn(self.student_variables, jnp.asarray(batch))
+            meter.update(model_time=time.time() - t0)
+            for i, target in enumerate(targets):
+                evaluator.add_gt(target)
+                valid = np.asarray(dets['valid'][i])
+                evaluator.update({target['image_id']: {
+                    'boxes': np.asarray(dets['boxes'][i])[valid]
+                    / scales[i],
+                    'scores': np.asarray(dets['scores'][i])[valid],
+                    'labels': np.asarray(dets['labels'][i])[valid]}})
+        evaluator.synchronize_between_processes()
+        evaluator.accumulate()
+        stats = evaluator.summarize()
+        logger.info('detection eval: mAP %.4f AP50 %.4f', stats['AP'],
+                    stats['AP50'])
+        return stats
+
+    def train(self, dst_ckpt=None):
+        train_config = self.config.get('train', {})
+        stages = train_stage_configs(train_config)
+        train_loader = self.build_loader(train_config['train_data_loader'])
+        val_loader = self.build_loader(train_config['val_data_loader'])
+        best = -1.0
+        rng = jax.random.key(0)
+        for stage_cfg in stages:
+            box = DetectionBox(
+                self.student_module, self.student_variables, stage_cfg,
+                teacher_module=self.teacher_module,
+                teacher_variables=self.teacher_variables,
+                steps_per_epoch=max(len(train_loader), 1),
+                student_mode='finetune' if self.bottleneck_updated
+                else 'train',
+                detection_loss_weight=float(
+                    stage_cfg.get('detection_loss_weight', 0.0)))
+            epoch_to_update = stage_cfg.get('epoch_to_update')
+            if epoch_to_update == 0 and not self.bottleneck_updated:
+                self.bottleneck_updated = True
+                box.student_mode = 'finetune'
+            for epoch in range(int(stage_cfg.get('num_epochs', 1))):
+                meter = MetricLogger()
+                for images, targets in train_loader:
+                    batch, padded, _ = self._prepare_batch(images, targets)
+                    rng, srng = jax.random.split(rng)
+                    metrics = box.train_step(batch, padded, srng)
+                    total = float(sum(jax.tree.leaves(metrics['loss'])))
+                    if not np.isfinite(total):
+                        raise ValueError(f'loss is {total}')
+                    meter.update(loss=total)
+                self.student_variables = box.student_variables
+                stats = self.evaluate(val_loader)
+                if stats['AP'] > best:
+                    best = stats['AP']
+                    if dst_ckpt:
+                        save_ckpt(dst_ckpt, self.student_variables,
+                                  meta={'best_map': best})
+                logger.info('epoch %d: %s (best mAP %.4f)', epoch,
+                            str(meter), best)
+        return best
+
+    def test(self):
+        test_config = self.config.get('test', {})
+        loader = self.build_loader(test_config['test_data_loader'])
+        return self.evaluate(loader)

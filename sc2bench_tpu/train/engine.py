@@ -64,6 +64,8 @@ class ClassificationEngine:
     """Builds models/datasets from a config dict and runs train/test."""
 
     def __init__(self, config, image_size=(224, 224)):
+        from ..registry import import_dependencies
+        import_dependencies(config.get('dependencies'))
         self.config = config
         self.image_size = tuple(image_size)
         models_config = config.get('models', {})

@@ -1,0 +1,159 @@
+"""Segmentation training/eval engine (PASCAL VOC DeepLabv3).
+
+Drives the reference recipe (`script/task/semantic_segmentation.py`,
+SURVEY.md §3.4): distillation or direct CE training with poly LR, mIoU
+model selection, `epoch_to_update: 0` reuse of an ImageNet-trained
+bottleneck, and batch-1 deploy eval with data-size analysis.
+"""
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import train_stage_configs
+from ..datasets.image import DataLoader, build_dataset
+from ..models.segmentation.wrapper import SplitSegmentationRuntime
+from ..registry import get as registry_get
+from ..utils.ckpt import load_ckpt, save_ckpt
+from ..utils.metrics import MetricLogger
+from ..utils.seg_eval import SegEvaluator
+from .box import DistillationBox, TrainingBox
+
+logger = logging.getLogger(__name__)
+
+
+class SegmentationEngine:
+    def __init__(self, config, image_size=(512, 512), num_classes=21):
+        from ..registry import import_dependencies
+        import_dependencies(config.get('dependencies'))
+        self.config = config
+        self.image_size = tuple(image_size)
+        self.num_classes = num_classes
+        models_config = config.get('models', {})
+        self.teacher_module = None
+        self.teacher_variables = None
+        if 'teacher_model' in models_config:
+            tm = models_config['teacher_model']
+            self.teacher_module = registry_get('model', tm['key'])(
+                **tm.get('kwargs', {}))
+            self.teacher_variables = self._init(self.teacher_module, seed=7)
+        sm = models_config.get('student_model', models_config.get('model'))
+        self.student_module = registry_get('model', sm['key'])(
+            **sm.get('kwargs', {}))
+        self.student_variables = self._init(self.student_module, seed=0)
+        if sm.get('ckpt'):
+            try:
+                self.student_variables, _, _ = load_ckpt(
+                    sm['ckpt'], self.student_variables)
+            except FileNotFoundError:
+                pass
+        self.runtime = SplitSegmentationRuntime(self.student_module,
+                                                self.student_variables)
+        self._eval_fn = {}
+
+    def _init(self, module, seed):
+        x = jnp.zeros((1, *self.image_size, 3))
+        variables = module.init(
+            {'params': jax.random.key(seed),
+             'noise': jax.random.key(seed + 1)}, x, mode='train')
+        return {'params': variables['params'],
+                'batch_stats': variables.get('batch_stats', {})}
+
+    def build_loader(self, split_config):
+        from ..transforms.collator import pascal_seg_collate_fn
+        dataset = build_dataset(split_config['dataset'])
+        return DataLoader(dataset,
+                          batch_size=split_config.get('batch_size', 1),
+                          shuffle=split_config.get('shuffle', False),
+                          collate_fn=lambda b: pascal_seg_collate_fn(b))
+
+    def evaluate(self, data_loader, use_deploy_path=False):
+        evaluator = SegEvaluator(self.num_classes)
+        if use_deploy_path:
+            self.runtime.variables = self.student_variables
+            self.runtime.eval()
+            for x, y in data_loader:
+                out = self.runtime(jnp.asarray(x))
+                pred = np.asarray(jnp.argmax(out, -1))
+                evaluator.update(y, pred)
+        else:
+            key = 'eval'
+            if key not in self._eval_fn:
+                self._eval_fn[key] = jax.jit(
+                    lambda v, x: self.student_module.apply(
+                        v, x, mode='finetune', train=False))
+            for x, y in data_loader:
+                out = self._eval_fn[key](self.student_variables,
+                                         jnp.asarray(x))
+                pred = np.asarray(jnp.argmax(out['out'], -1))
+                evaluator.update(y, pred)
+        evaluator.reduce_from_all_processes()
+        acc_global, acc, iou = evaluator.compute()
+        miou = float(iou.mean())
+        logger.info('seg eval: global acc %.4f mIoU %.4f', acc_global, miou)
+        return {'acc_global': float(acc_global), 'miou': miou}
+
+    def train(self, dst_ckpt=None):
+        train_config = self.config.get('train', {})
+        stages = train_stage_configs(train_config)
+        train_loader = self.build_loader(train_config['train_data_loader'])
+        val_loader = self.build_loader(train_config['val_data_loader'])
+        best = -1.0
+        rng = jax.random.key(0)
+        for stage_cfg in stages:
+            box_cls = DistillationBox if self.teacher_module else TrainingBox
+            kwargs = {'teacher_module': self.teacher_module,
+                      'teacher_variables': self.teacher_variables} \
+                if self.teacher_module else {}
+            box = box_cls(self.student_module, self.student_variables,
+                          stage_cfg,
+                          steps_per_epoch=max(len(train_loader), 1),
+                          student_mode='finetune'
+                          if self.runtime.bottleneck_updated else 'train',
+                          **kwargs)
+            epoch_to_update = stage_cfg.get('epoch_to_update')
+            if epoch_to_update == 0 and not self.runtime.bottleneck_updated:
+                self.runtime.variables = self.student_variables
+                self.runtime.update()
+                box.student_mode = 'finetune'
+            for epoch in range(int(stage_cfg.get('num_epochs', 1))):
+                meter = MetricLogger()
+                for x, y in train_loader:
+                    rng, srng = jax.random.split(rng)
+                    metrics = box.train_step(jnp.asarray(x), jnp.asarray(y),
+                                             srng)
+                    total = float(sum(jax.tree.leaves(metrics['loss'])))
+                    if not np.isfinite(total):
+                        raise ValueError(f'loss is {total}')
+                    meter.update(loss=total)
+                self.student_variables = box.student_variables
+                if epoch_to_update and epoch + 1 >= int(epoch_to_update) \
+                        and not self.runtime.bottleneck_updated:
+                    self.runtime.variables = self.student_variables
+                    self.runtime.update()
+                    box.student_mode = 'finetune'
+                result = self.evaluate(val_loader)
+                if result['miou'] > best:
+                    best = result['miou']
+                    if dst_ckpt:
+                        save_ckpt(dst_ckpt, self.student_variables,
+                                  meta={'best_miou': best})
+                logger.info('epoch %d: %s (best mIoU %.4f)', epoch,
+                            str(meter), best)
+        self.runtime.variables = self.student_variables
+        if not self.runtime.bottleneck_updated:
+            self.runtime.update()
+        return best
+
+    def test(self):
+        test_config = self.config.get('test', {})
+        loader = self.build_loader(test_config['test_data_loader'])
+        self.runtime.variables = self.student_variables
+        if not self.runtime.bottleneck_updated:
+            self.runtime.update()
+        self.runtime.activate_analysis()
+        result = self.evaluate(loader, use_deploy_path=True)
+        return result, self.runtime.summarize()

@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Detection task CLI (parity surface of
+`/root/reference/script/task/object_detection.py`): YAML config →
+Faster R-CNN over splittable backbone → train (head distillation +
+detection losses) → COCO mAP eval with data-size analysis."""
+import argparse
+import logging
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+from sc2bench_tpu.config import load_config  # noqa: E402
+from sc2bench_tpu.train.det_engine import DetectionEngine  # noqa: E402
+
+logger = logging.getLogger('sc2bench_tpu')
+
+
+def get_argparser():
+    parser = argparse.ArgumentParser(description='TPU-native supervised '
+                                     'compression: object detection')
+    parser.add_argument('--config', required=True)
+    parser.add_argument('--json', help='json string to overwrite config')
+    parser.add_argument('--run_log')
+    parser.add_argument('--seed', type=int, default=42)
+    parser.add_argument('--dst_ckpt')
+    parser.add_argument('--iou_types', nargs='+', default=['bbox'])
+    parser.add_argument('--world_size', type=int, default=1)
+    parser.add_argument('-test_only', action='store_true')
+    return parser
+
+
+def main(args):
+    handlers = [logging.StreamHandler()]
+    if args.run_log:
+        Path(args.run_log).parent.mkdir(parents=True, exist_ok=True)
+        handlers.append(logging.FileHandler(args.run_log))
+    logging.basicConfig(level=logging.INFO, handlers=handlers)
+    if args.world_size > 1:
+        import jax
+        jax.distributed.initialize()
+    config = load_config(args.config, args.json)
+    engine = DetectionEngine(config,
+                             canvas_size=config.get('canvas_size', 512))
+    if not args.test_only:
+        best = engine.train(dst_ckpt=args.dst_ckpt)
+        logger.info('best val mAP: %s', best)
+    stats = engine.test()
+    logger.info('test mAP stats: %s', stats)
+    return stats
+
+
+if __name__ == '__main__':
+    main(get_argparser().parse_args())

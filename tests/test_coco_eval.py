@@ -1,0 +1,83 @@
+"""Native COCO mAP evaluator tests: perfect predictions → AP=1, known
+partial-overlap cases, score ordering, and crowd/ignore handling."""
+import numpy as np
+
+from sc2bench_tpu.utils.coco_eval import CocoEvaluator
+
+
+def _gt(image_id, boxes, labels, iscrowd=None):
+    boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    return {
+        'image_id': image_id, 'boxes': boxes,
+        'labels': np.asarray(labels, np.int32),
+        'area': areas,
+        'iscrowd': np.asarray(iscrowd if iscrowd is not None
+                              else np.zeros(len(boxes)), np.int32),
+    }
+
+
+def test_perfect_predictions_ap1():
+    ev = CocoEvaluator()
+    for i in range(3):
+        gt = _gt(i, [[10, 10, 50, 50], [60, 60, 100, 100]], [1, 2])
+        ev.add_gt(gt)
+        ev.update({i: {'boxes': gt['boxes'], 'scores': [0.9, 0.8],
+                       'labels': gt['labels']}})
+    ev.accumulate()
+    stats = ev.summarize()
+    assert abs(stats['AP'] - 1.0) < 1e-6
+    assert abs(stats['AP50'] - 1.0) < 1e-6
+    assert abs(stats['AR_100'] - 1.0) < 1e-6
+
+
+def test_missed_detection_halves_recall():
+    ev = CocoEvaluator()
+    gt = _gt(0, [[10, 10, 50, 50], [60, 60, 100, 100]], [1, 1])
+    ev.add_gt(gt)
+    ev.update({0: {'boxes': gt['boxes'][:1], 'scores': [0.9],
+                   'labels': [1]}})
+    ev.accumulate()
+    stats = ev.summarize()
+    assert abs(stats['AR_100'] - 0.5) < 1e-6
+    # AP: one of two gts found at full precision → ~0.5
+    assert 0.45 < stats['AP'] < 0.55
+
+
+def test_loose_box_passes_only_low_iou():
+    """A det with IoU ~0.6 counts at thr .5/.55/.6 but not above."""
+    ev = CocoEvaluator()
+    ev.add_gt(_gt(0, [[0, 0, 100, 100]], [1]))
+    # shifted box: IoU = 80*100 overlap... make IoU ≈ 0.6: area 100x100,
+    # det 100x100 shifted by 25 → inter 75*100=7500, union 12500 → 0.6
+    ev.update({0: {'boxes': [[25, 0, 125, 100]], 'scores': [0.9],
+                   'labels': [1]}})
+    ev.accumulate()
+    stats = ev.summarize()
+    # matches at IoU thr 0.5, 0.55, (0.6 boundary excluded by <), so 2/10
+    assert abs(stats['AP50'] - 1.0) < 1e-6
+    assert stats['AP'] < 0.35
+    assert stats['AP75'] == 0.0
+
+
+def test_false_positive_lowers_precision():
+    ev = CocoEvaluator()
+    ev.add_gt(_gt(0, [[10, 10, 50, 50]], [1]))
+    ev.update({0: {'boxes': [[10, 10, 50, 50], [200, 200, 240, 240]],
+                   'scores': [0.9, 0.95], 'labels': [1, 1]}})
+    ev.accumulate()
+    stats = ev.summarize()
+    # high-scoring FP first: precision at recall 1 is 0.5
+    assert stats['AP50'] < 0.6
+
+
+def test_crowd_gt_ignored():
+    ev = CocoEvaluator()
+    ev.add_gt(_gt(0, [[10, 10, 50, 50], [0, 0, 300, 300]], [1, 1],
+                  iscrowd=[0, 1]))
+    ev.update({0: {'boxes': [[10, 10, 50, 50]], 'scores': [0.9],
+                   'labels': [1]}})
+    ev.accumulate()
+    stats = ev.summarize()
+    # the crowd gt must not count as a miss
+    assert abs(stats['AP'] - 1.0) < 1e-6

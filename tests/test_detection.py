@@ -1,0 +1,136 @@
+"""Detection stack tests: box ops, static-shape NMS, RoIAlign, and the full
+Faster R-CNN forward + loss + postprocess on tiny shapes."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sc2bench_tpu.ops.boxes import (box_iou, clip_boxes, decode_boxes,
+                                    encode_boxes, nms_mask)
+from sc2bench_tpu.ops.roi_align import roi_align
+
+
+def test_box_iou():
+    a = jnp.asarray([[0, 0, 10, 10], [5, 5, 15, 15]], jnp.float32)
+    iou = np.asarray(box_iou(a, a))
+    np.testing.assert_allclose(np.diag(iou), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(iou[0, 1], 25 / 175, rtol=1e-5)
+
+
+def test_encode_decode_roundtrip():
+    rng = np.random.default_rng(0)
+    proposals = rng.uniform(0, 50, (20, 2))
+    proposals = np.concatenate([proposals, proposals +
+                                rng.uniform(5, 30, (20, 2))], axis=1)
+    gt = rng.uniform(0, 50, (20, 2))
+    gt = np.concatenate([gt, gt + rng.uniform(5, 30, (20, 2))], axis=1)
+    deltas = encode_boxes(jnp.asarray(gt, jnp.float32),
+                          jnp.asarray(proposals, jnp.float32))
+    rec = decode_boxes(deltas, jnp.asarray(proposals, jnp.float32))
+    np.testing.assert_allclose(np.asarray(rec), gt, rtol=1e-4, atol=1e-3)
+
+
+def test_nms_suppresses_overlaps():
+    boxes = jnp.asarray([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]],
+                        jnp.float32)
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    idx, valid = nms_mask(boxes, scores, 0.5, 3)
+    kept = np.asarray(idx)[np.asarray(valid)]
+    assert list(kept) == [0, 2]
+
+
+def test_roi_align_constant_feature():
+    """RoIAlign over a constant map must return that constant."""
+    feat = jnp.full((16, 16, 4), 3.5)
+    boxes = jnp.asarray([[2.0, 2.0, 10.0, 10.0], [0.0, 0.0, 16.0, 16.0]])
+    out = roi_align(feat, boxes, output_size=7, spatial_scale=1.0)
+    assert out.shape == (2, 7, 7, 4)
+    np.testing.assert_allclose(np.asarray(out), 3.5, rtol=1e-5)
+
+
+def test_roi_align_gradient_field():
+    """A linear-in-x feature map must stay linear after pooling."""
+    xs = jnp.arange(32, dtype=jnp.float32)
+    feat = jnp.broadcast_to(xs[None, :, None], (32, 32, 1))
+    boxes = jnp.asarray([[8.0, 8.0, 24.0, 24.0]])
+    out = np.asarray(roi_align(feat, boxes, 4, 1.0))[0, :, :, 0]
+    # columns should increase linearly with constant step
+    steps = np.diff(out.mean(axis=0))
+    np.testing.assert_allclose(steps, steps[0], rtol=1e-4)
+
+
+class TestFasterRCNN:
+    @pytest.fixture(scope='class')
+    def model_and_vars(self):
+        from sc2bench_tpu.models.detection.rcnn import FasterRCNN
+        from sc2bench_tpu.models.detection.base import \
+            SplittableDetectionBackbone
+        from sc2bench_tpu.models.layer import FPBasedResNetBottleneck
+        backbone = SplittableDetectionBackbone(
+            bottleneck_layer=FPBasedResNetBottleneck(
+                num_bottleneck_channels=8, num_target_channels=256),
+            stage_sizes=(1, 1, 1, 1))
+        model = FasterRCNN(backbone=backbone, num_classes=5)
+        x = jnp.zeros((1, 64, 64, 3))
+        variables = model.init(
+            {'params': jax.random.key(0), 'noise': jax.random.key(1)},
+            x, mode='train')
+        return model, {'params': variables['params'],
+                       'batch_stats': variables.get('batch_stats', {})}
+
+    def test_forward_and_postprocess(self, model_and_vars):
+        from sc2bench_tpu.models.detection.rcnn import (
+            postprocess_detections)
+        model, variables = model_and_vars
+        x = jax.random.normal(jax.random.key(2), (1, 64, 64, 3))
+        out = model.apply(variables, x, mode='finetune', train=False)
+        assert out['proposals'].shape[0] == 1
+        assert out['proposals'].shape[-1] == 4
+        dets = postprocess_detections(out)
+        assert dets['boxes'].shape == (1, 100, 4)
+        assert dets['scores'].shape == (1, 100)
+        # all reported boxes inside the image
+        b = np.asarray(dets['boxes'][0])
+        assert (b >= -1e-3).all() and (b <= 64 + 1e-3).all()
+
+    def test_training_losses_finite(self, model_and_vars):
+        from sc2bench_tpu.models.detection.rcnn import detection_loss
+        model, variables = model_and_vars
+        x = jax.random.normal(jax.random.key(3), (1, 64, 64, 3))
+        out = model.apply(variables, x, mode='train', train=False,
+                          rngs={'noise': jax.random.key(4)})
+        targets = {
+            'boxes': jnp.asarray([[[4, 4, 30, 30], [10, 20, 50, 60],
+                                   [0, 0, 0, 0]]], jnp.float32),
+            'boxes_valid': jnp.asarray([[True, True, False]]),
+            'labels': jnp.asarray([[1, 3, 0]], jnp.int32),
+        }
+        losses = detection_loss(out, targets, jax.random.key(5))
+        for k, v in losses.items():
+            assert np.isfinite(float(v)), k
+        assert float(losses['loss_objectness']) > 0
+
+    def test_loss_gradients_flow(self, model_and_vars):
+        from sc2bench_tpu.models.detection.rcnn import detection_loss
+        model, variables = model_and_vars
+        x = jax.random.normal(jax.random.key(6), (1, 64, 64, 3))
+        targets = {
+            'boxes': jnp.asarray([[[4, 4, 30, 30]]], jnp.float32),
+            'boxes_valid': jnp.asarray([[True]]),
+            'labels': jnp.asarray([[2]], jnp.int32),
+        }
+
+        def loss_fn(params):
+            out = model.apply({'params': params,
+                               'batch_stats': variables['batch_stats']},
+                              x, mode='train', train=False,
+                              rngs={'noise': jax.random.key(7)})
+            losses = detection_loss(out, targets, jax.random.key(8))
+            return sum(losses.values())
+
+        grads = jax.grad(loss_fn)(variables['params'])
+        g_rpn = float(sum(jnp.abs(g).sum() for g in
+                          jax.tree.leaves(grads['rpn_head'])))
+        g_bneck = float(sum(jnp.abs(g).sum() for g in
+                            jax.tree.leaves(grads['backbone'])))
+        assert g_rpn > 0 and g_bneck > 0
