@@ -147,8 +147,13 @@ class SplitClassifierRuntime(AnalyzerHolder):
         eb = EntropyBottleneck(channels=eb_channels)
         if isinstance(self.codec, HyperpriorCodec):
             self.codec.update(self.module, self.variables, eb, scale_table)
+            self._scale_table_dev = jnp.asarray(
+                self.codec.g_tables.scale_table)
         else:
             self.codec.update(self.module, self.variables, eb)
+        # cache device-resident table constants: re-uploading per call costs
+        # a host->device round trip each (pathological over a TPU tunnel)
+        self._medians_dev = jnp.asarray(self.codec.tables.medians)
         self.bottleneck_updated = True
         return True
 
@@ -185,9 +190,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
                     method=lambda m, x, zm, st:
                         m.bottleneck_layer.encode_ops(x, zm, st))
             ops = self._jitted('encode', enc)(
-                self.variables, x,
-                jnp.asarray(self.codec.tables.medians),
-                jnp.asarray(self.codec.g_tables.scale_table))
+                self.variables, x, self._medians_dev, self._scale_table_dev)
             y_sym = np.asarray(ops['y_symbols'])
             y_idx = np.asarray(ops['y_indexes'])
             z_sym = np.asarray(ops['z_symbols'])
@@ -208,7 +211,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
                         method=lambda m, x, med:
                             m.bottleneck_layer.encode_ops(x, med))
             ops = self._jitted('encode', enc)(
-                self.variables, x, jnp.asarray(self.codec.tables.medians))
+                self.variables, x, self._medians_dev)
             symbols = np.asarray(ops['symbols'])
             strings = self.codec.compress_symbols(symbols)
             return {'strings': [strings], 'shape': tuple(symbols.shape[1:3])}
@@ -225,9 +228,8 @@ class SplitClassifierRuntime(AnalyzerHolder):
                     method=lambda m, zs, zm, st:
                         m.bottleneck_layer.decode_scales(zs, zm, st))
             y_idx, _ = self._jitted('dec_scales', scales_fn)(
-                self.variables, jnp.asarray(z_sym),
-                jnp.asarray(self.codec.tables.medians),
-                jnp.asarray(self.codec.g_tables.scale_table))
+                self.variables, jnp.asarray(z_sym), self._medians_dev,
+                self._scale_table_dev)
             y_sym = self.codec.decompress_y(strings[0], np.asarray(y_idx))
 
             def dec(variables, y_symbols, z_symbols, z_medians):
@@ -238,7 +240,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
                                          z_medians, method=m_fn)
             return self._jitted('decode', dec)(
                 self.variables, jnp.asarray(y_sym), jnp.asarray(z_sym),
-                jnp.asarray(self.codec.tables.medians))
+                self._medians_dev)
         else:
             channels = self.codec.tables.medians.shape[0]
             symbols = self.codec.decompress_symbols(strings[0], shape,
@@ -257,8 +259,33 @@ class SplitClassifierRuntime(AnalyzerHolder):
                     return self.module.apply(variables, symbols, medians,
                                              method=m_fn)
             return self._jitted('decode', dec)(
-                self.variables, jnp.asarray(symbols),
-                jnp.asarray(self.codec.tables.medians))
+                self.variables, jnp.asarray(symbols), self._medians_dev)
+
+    # ---- async deploy pieces (for pipelined batch-1 streaming) ----------
+    def encode_device(self, x):
+        """Dispatch the mobile-side program; returns device arrays without
+        host sync (lets callers overlap the next encode with host coding)."""
+        if isinstance(self.codec, HyperpriorCodec):
+            def enc(variables, x, z_medians, scale_table):
+                return self.module.apply(
+                    variables, x, z_medians, scale_table,
+                    method=lambda m, x, zm, st:
+                        m.bottleneck_layer.encode_ops(x, zm, st))
+            return self._jitted('encode', enc)(
+                self.variables, x, self._medians_dev, self._scale_table_dev)
+        if self._module_level_ops:
+            def enc(variables, x, medians):
+                return self.module.apply(
+                    variables, x, medians,
+                    method=lambda m, x, med: m.encode_ops(x, med))
+        else:
+            def enc(variables, x, medians):
+                return self.module.apply(
+                    variables, x, medians,
+                    method=lambda m, x, med:
+                        m.bottleneck_layer.encode_ops(x, med))
+        return self._jitted('encode', enc)(self.variables, x,
+                                           self._medians_dev)
 
     def __call__(self, x, rng=None):
         """Reference forward dispatch (`backbone.py:225-254`): deploy path

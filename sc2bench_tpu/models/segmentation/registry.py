@@ -19,9 +19,8 @@ def load_segmentation_model(model_config, image_size=(512, 512)):
     key = model_config['key']
     module = registry_get('model', key)(**model_config.get('kwargs', {}))
     x = jnp.zeros((1, *image_size, 3))
-    variables = module.init(
-        {'params': jax.random.key(0), 'noise': jax.random.key(1)},
-        x, mode='train')
+    variables = jax.jit(lambda r, x: module.init(r, x, mode='train'))(
+        {'params': jax.random.key(0), 'noise': jax.random.key(1)}, x)
     variables = {'params': variables['params'],
                  'batch_stats': variables.get('batch_stats', {})}
     ckpt = model_config.get('ckpt')

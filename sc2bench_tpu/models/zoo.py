@@ -307,9 +307,8 @@ def build_image_codec(key: str, ckpt=None, image_size=(256, 256), **kwargs):
     from ..registry import get as registry_get
     module = registry_get('model', key)(**kwargs)
     x = jnp.zeros((1, *image_size, 3))
-    variables = module.init(
-        {'params': jax.random.key(0), 'noise': jax.random.key(1)},
-        x, mode='train')
+    variables = jax.jit(lambda r, x: module.init(r, x, mode='train'))(
+        {'params': jax.random.key(0), 'noise': jax.random.key(1)}, x)
     variables = {'params': variables['params'],
                  'batch_stats': variables.get('batch_stats', {})}
     if ckpt:

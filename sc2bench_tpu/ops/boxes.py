@@ -27,8 +27,12 @@ def box_iou(a, b):
     return inter / jnp.maximum(union, 1e-9)
 
 
-# torchvision BoxCoder weights for Faster R-CNN
-BBOX_XFORM_CLIP = float(jnp.log(1000.0 / 16))
+# torchvision BoxCoder weights for Faster R-CNN.
+# (math.log, not jnp.log: a module-level jnp op would eagerly initialize the
+# device backend at import time — seconds to minutes over a TPU tunnel.)
+import math
+
+BBOX_XFORM_CLIP = math.log(1000.0 / 16)
 
 
 def encode_boxes(reference, proposals, weights=(1.0, 1.0, 1.0, 1.0)):

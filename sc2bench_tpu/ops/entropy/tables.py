@@ -16,10 +16,14 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
-from scipy.stats import norm as _scipy_norm
 
 from ..math import pmf_to_quantized_cdf
 from .gaussian import get_scale_table
+
+
+def _norm():
+    from scipy.stats import norm  # lazy: scipy.stats costs ~2s at import
+    return norm
 
 
 @dataclasses.dataclass
@@ -57,14 +61,39 @@ def _pack_rows(pmfs, pmf_lengths, tail_masses, precision=16):
     return cdf, cdf_length
 
 
+def _softplus_np(x):
+    return np.logaddexp(0.0, x)
+
+
+def _logits_cumulative_np(params, inputs):
+    """Host-numpy evaluation of the factorized prior's logit CDF (identical
+    math to `EntropyBottleneck.logits_cumulative`). Table building is a tiny
+    O(C * support) computation that runs once per update(); doing it on host
+    avoids two device compiles (minutes of wall clock over a TPU tunnel)."""
+    logits = np.asarray(inputs, np.float64)
+    i = 0
+    while f'matrix_{i}' in params:
+        m = _softplus_np(np.asarray(params[f'matrix_{i}'], np.float64))
+        b = np.asarray(params[f'bias_{i}'], np.float64)
+        logits = np.einsum('cij,cjm->cim', m, logits) + b
+        if f'factor_{i}' in params:
+            f = np.tanh(np.asarray(params[f'factor_{i}'], np.float64))
+            logits = logits + f * np.tanh(logits)
+        i += 1
+    return logits
+
+
 def build_factorized_tables(bottleneck, params, precision: int = 16) -> CodingTables:
     """Build tables for an `EntropyBottleneck` flax module + its params.
 
     `params` is the module's variable dict (`{'params': {...}}` or the inner
     dict). The pmf support per channel spans the learned tail quantiles.
+    `bottleneck` (the module) is accepted for API symmetry; the evaluation
+    runs on host (see `_logits_cumulative_np`).
     """
     if 'params' in params:
         params = params['params']
+    params = jax.device_get(params)
     quantiles = np.asarray(params['quantiles'])  # (C, 1, 3)
     medians = quantiles[:, 0, 1]
     minima = np.maximum(np.ceil(medians - quantiles[:, 0, 0]), 0).astype(np.int32)
@@ -76,12 +105,8 @@ def build_factorized_tables(bottleneck, params, precision: int = 16) -> CodingTa
     samples = np.arange(max_length, dtype=np.float32)[None, None, :] \
         + pmf_start[:, None, None]  # (C, 1, max_length)
 
-    def _logits(v):
-        return bottleneck.apply({'params': params}, jnp.asarray(v),
-                                method=bottleneck.logits_cumulative)
-
-    lower = np.asarray(jax.jit(_logits)(samples - 0.5))
-    upper = np.asarray(jax.jit(_logits)(samples + 0.5))
+    lower = _logits_cumulative_np(params, samples - 0.5)
+    upper = _logits_cumulative_np(params, samples + 0.5)
     sign = -np.sign(lower + upper)
     pmf = np.abs(_sigmoid(sign * upper) - _sigmoid(sign * lower))[:, 0, :]
     tail_mass = _sigmoid(lower[:, 0, 0]) + _sigmoid(-upper[:, 0, -1])
@@ -101,7 +126,7 @@ def build_gaussian_tables(scale_table: np.ndarray | None = None,
     if scale_table is None:
         scale_table = get_scale_table()
     scale_table = np.asarray(scale_table, np.float64)
-    multiplier = -_scipy_norm.ppf(tail_mass / 2)
+    multiplier = -_norm().ppf(tail_mass / 2)
     pmf_center = np.ceil(scale_table * multiplier).astype(np.int32)
     pmf_length = 2 * pmf_center + 1
     max_length = int(pmf_length.max())
@@ -125,4 +150,4 @@ def _sigmoid(x):
 
 
 def _std_cdf(x):
-    return _scipy_norm.cdf(x)
+    return _norm().cdf(x)

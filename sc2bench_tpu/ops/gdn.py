@@ -33,6 +33,14 @@ def nonneg_forward(stored, minimum: float):
     return lower_bound(stored, bound) ** 2 - _PEDESTAL
 
 
+def _pallas_available() -> bool:
+    import jax
+    try:
+        return jax.default_backend() not in ('cpu',)
+    except Exception:
+        return False
+
+
 class GDN1(nn.Module):
     """Simplified GDN: y = x / (beta + sum_j gamma_ij |x_j|); inverse
     multiplies instead of divides. Input layout NHWC (or any (..., C))."""
@@ -41,6 +49,7 @@ class GDN1(nn.Module):
     inverse: bool = False
     beta_min: float = 1e-6
     gamma_init: float = 0.1
+    use_pallas: bool = False  # fused Pallas kernel (TPU only)
 
     @nn.compact
     def __call__(self, x):
@@ -53,6 +62,9 @@ class GDN1(nn.Module):
                 nonneg_init(self.gamma_init * np.eye(c)), jnp.float32))
         beta = nonneg_forward(beta_raw, self.beta_min)
         gamma = nonneg_forward(gamma_raw, 0.0)
+        if self.use_pallas and _pallas_available():
+            from .pallas_kernels import gdn_pallas
+            return gdn_pallas(x, gamma, beta, inverse=self.inverse)
         # norm_i = beta_i + sum_j gamma[i, j] * |x_j|  →  |x| @ gamma^T
         norm = jnp.abs(x) @ gamma.T + beta
         return x * norm if self.inverse else x / norm

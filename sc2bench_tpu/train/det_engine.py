@@ -108,9 +108,10 @@ class DetectionEngine:
 
     def _init(self, module, seed):
         x = jnp.zeros((1, *self.canvas, 3))
-        variables = module.init(
+        variables = jax.jit(
+            lambda r, x: module.init(r, x, mode='train'))(
             {'params': jax.random.key(seed),
-             'noise': jax.random.key(seed + 1)}, x, mode='train')
+             'noise': jax.random.key(seed + 1)}, x)
         return {'params': variables['params'],
                 'batch_stats': variables.get('batch_stats', {})}
 

@@ -28,11 +28,14 @@ logger = logging.getLogger(__name__)
 
 
 def init_model(module, image_size=(224, 224), seed=0, init_kwargs=None):
+    """Jitted parameter init — eager init dispatches op-by-op, which is
+    pathologically slow over a remote-TPU tunnel."""
     x = jnp.zeros((1, *image_size, 3))
     kwargs = dict(init_kwargs or {})
-    variables = module.init(
+    init_fn = jax.jit(lambda rngs, x: module.init(rngs, x, **kwargs))
+    variables = init_fn(
         {'params': jax.random.key(seed), 'noise': jax.random.key(seed + 1)},
-        x, **kwargs)
+        x)
     return {'params': variables['params'],
             'batch_stats': variables.get('batch_stats', {})}
 
