@@ -62,3 +62,18 @@ class EntropicClassifierModule(nn.Module):
     @property
     def eb_param_path(self):
         return 'entropy_bottleneck'
+
+
+def entropic_classifier(base_name='resnet50', split_layer='layer1',
+                        num_classes=1000, **kwargs):
+    """Builder for the fine-tuning family configs
+    (reference `configs/ilsvrc2012/supervised_compression/fine-tuning/`)."""
+    from .resnet import RESNET_BUILDERS
+    base = RESNET_BUILDERS[base_name](num_classes=num_classes,
+                                      sow_intermediates=False)
+    return EntropicClassifierModule(base=base, split_layer=split_layer)
+
+
+from ..registry import register_model  # noqa: E402
+
+register_model(entropic_classifier)

@@ -40,8 +40,10 @@ def _deconv(ch, k, s, name):
     # (H-1)*s + k output; torch's symmetric padding k//2 with output_padding
     # appended at the end gives lo = k//2, hi = k - s - k//2 + (s - 1)
     # reduced: lo + hi = k - s, hi reduced by output_padding (s-1).
-    lo = k // 2
-    hi = (k - s) - lo  # lo + hi = k - s ⇒ out = H*s exactly
+    # flax pad pairs map to output cropping as crop = (k-1) - pad, so the
+    # torch-equivalent (padding=k//2, output_padding=s-1, out = H*s) is:
+    lo = k - 1 - k // 2
+    hi = lo + (s - 1)
     return nn.ConvTranspose(ch, (k, k), (s, s), ((lo, hi), (lo, hi)),
                             use_bias=True, name=name)
 

@@ -1,0 +1,345 @@
+"""Joint autoregressive + hierarchical prior image codec (mbt2018).
+
+The 4th neural input-compression family the reference resolves from the
+CompressAI zoo (`joint_autoregressive_hierarchical_prior`, SURVEY.md §2.3).
+Training forward is fully parallel on TPU (teacher-forced masked conv over
+noisy y_hat). Deployment entropy coding is *serial by construction* (each
+position's Gaussian params depend on previously decoded neighbors); the
+raster-scan loop runs on host in numpy with the rANS coder — the same
+placement as the reference's CPU autoregressive decode.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.entropy.factorized import EntropyBottleneck
+from ..ops.entropy.gaussian import GaussianConditional
+from ..ops.gdn import GDN1
+from ..registry import register_model
+
+
+def _conv(ch, k, s, name):
+    p = k // 2
+    return nn.Conv(ch, (k, k), (s, s), ((p, p), (p, p)), use_bias=True,
+                   name=name)
+
+
+def _deconv(ch, k, s, name):
+    # flax pad pairs map to output cropping as crop = (k-1) - pad, so the
+    # torch-equivalent (padding=k//2, output_padding=s-1, out = H*s) is:
+    lo = k - 1 - k // 2
+    hi = lo + (s - 1)
+    return nn.ConvTranspose(ch, (k, k), (s, s), ((lo, hi), (lo, hi)),
+                            use_bias=True, name=name)
+
+
+class MaskedConv2d(nn.Module):
+    """5x5 'A'-mask conv: each output position sees only strictly-previous
+    raster positions of the input."""
+
+    features: int
+    kernel: int = 5
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel
+        kernel = self.param(
+            'kernel', nn.initializers.lecun_normal(),
+            (k, k, x.shape[-1], self.features))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        mask = np.ones((k, k, 1, 1), np.float32)
+        mask[k // 2, k // 2:] = 0
+        mask[k // 2 + 1:] = 0
+        p = k // 2
+        y = jax.lax.conv_general_dilated(
+            x, kernel * jnp.asarray(mask), (1, 1), ((p, p), (p, p)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        return y + bias
+
+
+class JointAutoregressiveCodec(nn.Module):
+    """mbt2018: hyperprior + masked-conv context model + entropy-parameters
+    network producing per-element Gaussian (scale, mean)."""
+
+    n: int = 192
+    m: int = 192
+
+    def setup(self):
+        self.g_a = nn.Sequential([
+            _conv(self.n, 5, 2, 'g_a0'), GDN1(self.n, name='g_a_gdn0'),
+            _conv(self.n, 5, 2, 'g_a1'), GDN1(self.n, name='g_a_gdn1'),
+            _conv(self.n, 5, 2, 'g_a2'), GDN1(self.n, name='g_a_gdn2'),
+            _conv(self.m, 5, 2, 'g_a3'),
+        ])
+        self.g_s = nn.Sequential([
+            _deconv(self.n, 5, 2, 'g_s0'),
+            GDN1(self.n, inverse=True, name='g_s_igdn0'),
+            _deconv(self.n, 5, 2, 'g_s1'),
+            GDN1(self.n, inverse=True, name='g_s_igdn1'),
+            _deconv(self.n, 5, 2, 'g_s2'),
+            GDN1(self.n, inverse=True, name='g_s_igdn2'),
+            _deconv(3, 5, 2, 'g_s3'),
+        ])
+        act = lambda x: nn.leaky_relu(x, 0.01)  # noqa: E731
+        self.h_a = nn.Sequential([
+            _conv(self.n, 3, 1, 'h_a0'), act,
+            _conv(self.n, 5, 2, 'h_a1'), act,
+            _conv(self.n, 5, 2, 'h_a2'),
+        ])
+        self.h_s = nn.Sequential([
+            _deconv(self.m, 5, 2, 'h_s0'), act,
+            _deconv(self.m * 3 // 2, 5, 2, 'h_s1'), act,
+            _conv(self.m * 2, 3, 1, 'h_s2'),
+        ])
+        self.context_prediction = MaskedConv2d(2 * self.m)
+        self.entropy_parameters = nn.Sequential([
+            nn.Conv(self.m * 10 // 3, (1, 1), name='ep0'), act,
+            nn.Conv(self.m * 8 // 3, (1, 1), name='ep1'), act,
+            nn.Conv(self.m * 2, (1, 1), name='ep2'),
+        ])
+        self.entropy_bottleneck = EntropyBottleneck(channels=self.n)
+        self.gaussian_conditional = GaussianConditional()
+        self.num_latent_channels = self.n
+
+    def __call__(self, x, mode: str = 'train', train: bool = False):
+        y = self.g_a(x)
+        z = self.h_a(y)
+        eb_mode = 'noise' if mode == 'train' else 'dequantize'
+        z_hat, z_lik = self.entropy_bottleneck(z, mode=eb_mode)
+        hyper = self.h_s(z_hat)
+        rng = self.make_rng('noise') if mode == 'train' else None
+        if mode == 'train':
+            from ..ops.math import quantize_noise
+            y_hat = quantize_noise(y, rng)
+        else:
+            y_hat = jnp.round(y)
+        ctx = self.context_prediction(y_hat)
+        params = self.entropy_parameters(
+            jnp.concatenate([hyper, ctx], axis=-1))
+        scales, means = jnp.split(params, 2, axis=-1)
+        y_lik = self.gaussian_conditional.likelihood(y_hat, scales, means)
+        self.sow('entropy', 'eb_out', (z_hat, z_lik))
+        self.sow('entropy', 'gc_out', (y_hat, y_lik))
+        return self.g_s(y_hat)
+
+    # -- deploy device-side pieces ---------------------------------------
+    def encode_ops(self, x, z_medians):
+        """Device half: y, z symbols, hyper params. The autoregressive
+        means/scales are produced host-side during the raster scan."""
+        y = self.g_a(x)
+        z = self.h_a(y)
+        z_symbols = jnp.round(z - z_medians).astype(jnp.int32)
+        z_hat = z_symbols.astype(jnp.float32) + z_medians
+        hyper = self.h_s(z_hat)
+        return {'y': y, 'z_symbols': z_symbols, 'hyper': hyper}
+
+    def hyper_from_z(self, z_symbols, z_medians):
+        z_hat = z_symbols.astype(jnp.float32) + z_medians
+        return self.h_s(z_hat)
+
+    def decode_image(self, y_hat):
+        return self.g_s(y_hat)
+
+
+class _HostAutoregressive:
+    """Numpy raster-scan evaluation of context + entropy-parameters at one
+    position (the serial half of mbt2018 coding)."""
+
+    def __init__(self, params):
+        p = jax.device_get(params)
+        self.ctx_kernel = np.asarray(p['context_prediction']['kernel'])
+        k = self.ctx_kernel.shape[0]
+        mask = np.ones((k, k, 1, 1), np.float32)
+        mask[k // 2, k // 2:] = 0
+        mask[k // 2 + 1:] = 0
+        self.ctx_kernel = self.ctx_kernel * mask
+        self.ctx_bias = np.asarray(p['context_prediction']['bias'])
+        self.ep = [(np.asarray(p['entropy_parameters'][f'ep{i}']['kernel'])
+                    [0, 0], np.asarray(p['entropy_parameters'][f'ep{i}']
+                                       ['bias'])) for i in range(3)]
+        self.k = k
+
+    def params_at(self, y_hat_padded, hyper, i, j):
+        """y_hat_padded: (H+k-1, W+k-1, M) with k//2 halo; returns
+        (scales, means) at (i, j)."""
+        k = self.k
+        patch = y_hat_padded[i:i + k, j:j + k, :]
+        ctx = np.einsum('hwc,hwco->o', patch, self.ctx_kernel) + self.ctx_bias
+        feat = np.concatenate([hyper[i, j], ctx])
+        for li, (w, b) in enumerate(self.ep):
+            feat = feat @ w + b
+            if li < 2:
+                feat = np.where(feat > 0, feat, 0.01 * feat)
+        half = feat.shape[0] // 2
+        return feat[:half], feat[half:]
+
+
+class JointAutoregressiveRuntime:
+    """compress()/decompress() with host raster-scan coding."""
+
+    def __init__(self, module, variables):
+        from .runtime import FactorizedCodec
+        from ..ops.entropy.tables import build_gaussian_tables
+        from ..ops.rans.coder import RansCoder
+        from ..ops.entropy.gaussian import get_scale_table
+        self.module = module
+        self.variables = variables
+        self.codec = FactorizedCodec(bottleneck_path='')
+        self.scale_table = get_scale_table()
+        self.g_tables = build_gaussian_tables(self.scale_table)
+        self.g_coder = RansCoder(self.g_tables.quantized_cdf,
+                                 self.g_tables.cdf_length,
+                                 self.g_tables.offset)
+        self._jit = {}
+        self.host_ar = _HostAutoregressive(variables['params'])
+
+    def update(self):
+        from ..ops.entropy.factorized import EntropyBottleneck
+        eb = EntropyBottleneck(channels=self.module.n)
+        self.codec.update(self.module, self.variables, eb)
+        self._medians_dev = jnp.asarray(self.codec.tables.medians)
+        return True
+
+    def _jitted(self, name, fn):
+        if name not in self._jit:
+            self._jit[name] = jax.jit(fn)
+        return self._jit[name]
+
+    def _index_of_scale(self, scale):
+        s = max(float(scale), 0.11)
+        return int(np.sum(s > self.scale_table[:-1]))
+
+    def compress(self, x):
+        ops = self._jitted('enc', lambda v, x, m: self.module.apply(
+            v, x, m, method=self.module.encode_ops))(
+            self.variables, jnp.asarray(x, jnp.float32), self._medians_dev)
+        y = np.asarray(ops['y'])[0]
+        z_symbols = np.asarray(ops['z_symbols'])
+        hyper = np.asarray(ops['hyper'])[0]
+        h, w, m = y.shape
+        k2 = self.host_ar.k // 2
+        y_hat = np.zeros((h + 2 * k2, w + 2 * k2, m), np.float32)
+        symbols, indexes = [], []
+        for i in range(h):
+            for j in range(w):
+                scales, means = self.host_ar.params_at(y_hat, hyper, i, j)
+                sym = np.round(y[i, j] - means).astype(np.int32)
+                y_hat[i + k2, j + k2] = sym + means
+                symbols.append(sym)
+                indexes.append([self._index_of_scale(s) for s in scales])
+        self._last_y_hat = y_hat[k2:k2 + h, k2:k2 + w].copy()  # test hook
+        y_strings = [self.g_coder.encode_with_indexes(
+            np.concatenate(symbols), np.concatenate(
+                [np.asarray(ix, np.int32) for ix in indexes]))]
+        z_strings = self.codec.compress_symbols(z_symbols)
+        return {'strings': [y_strings, z_strings],
+                'shape': tuple(z_symbols.shape[1:3])}
+
+    def decompress(self, strings, shape):
+        z_symbols = self.codec.decompress_symbols(
+            strings[1], shape, self.module.n)
+        hyper = np.asarray(self._jitted(
+            'hyper', lambda v, zs, m: self.module.apply(
+                v, zs, m, method=self.module.hyper_from_z))(
+            self.variables, jnp.asarray(z_symbols), self._medians_dev))[0]
+        h, w = hyper.shape[0], hyper.shape[1]
+        m = self.module.m
+        k2 = self.host_ar.k // 2
+        y_hat = np.zeros((h + 2 * k2, w + 2 * k2, m), np.float32)
+        # decode serially: per position, decode m symbols with its indexes
+        data = strings[0][0]
+        # incremental rANS decode: decode all symbols position-by-position
+        # using a stateful decoder over the single stream
+        decoder = _StreamingRansDecoder(self.g_coder, data)
+        for i in range(h):
+            for j in range(w):
+                scales, means = self.host_ar.params_at(y_hat, hyper, i, j)
+                idx = np.asarray(
+                    [self._index_of_scale(s) for s in scales], np.int32)
+                sym = decoder.decode(idx)
+                y_hat[i + k2, j + k2] = sym + means
+        y_final = y_hat[k2:k2 + h, k2:k2 + w]
+        self._last_y_hat_dec = y_final.copy()  # test hook
+        return self._jitted('dec_img', lambda v, y: self.module.apply(
+            v, y, method=self.module.decode_image))(
+            self.variables, jnp.asarray(y_final)[None])
+
+
+class _StreamingRansDecoder:
+    """Incremental wrapper over the python rANS decoder: decodes chunks of
+    symbols from one stream as indexes become available."""
+
+    def __init__(self, coder, data: bytes):
+        from ..ops.rans.coder import _RANS_L, _PRECISION, _BYPASS_BITS, \
+            _MAX_BYPASS
+        self.coder = coder
+        self.data = data
+        self.pos = 0
+        self.x = 0
+        for _ in range(4):
+            self.x = (self.x << 8) | (data[self.pos]
+                                      if self.pos < len(data) else 0)
+            self.pos += 1
+        self._L = _RANS_L
+        self._P = _PRECISION
+        self._BB = _BYPASS_BITS
+        self._MB = _MAX_BYPASS
+
+    def _advance(self, start, freq):
+        mask = (1 << self._P) - 1
+        self.x = freq * (self.x >> self._P) + (self.x & mask) - start
+        while self.x < self._L:
+            self.x = (self.x << 8) | (self.data[self.pos]
+                                      if self.pos < len(self.data) else 0)
+            self.pos += 1
+
+    def _get_bypass(self):
+        mask = (1 << self._P) - 1
+        val = (self.x & mask) >> (self._P - self._BB)
+        self._advance(val << (self._P - self._BB),
+                      1 << (self._P - self._BB))
+        return val
+
+    def decode(self, indexes):
+        out = np.empty(len(indexes), np.int32)
+        mask = (1 << self._P) - 1
+        cdfs = self.coder.cdfs
+        lengths = self.coder.cdf_lengths
+        offsets = self.coder.offsets
+        for i, idx in enumerate(np.asarray(indexes).tolist()):
+            cdf = cdfs[idx]
+            max_value = int(lengths[idx]) - 2
+            slot = self.x & mask
+            s = int(np.searchsorted(cdf[:int(lengths[idx])], slot,
+                                    'right')) - 1
+            self._advance(int(cdf[s]), int(cdf[s + 1] - cdf[s]))
+            value = s
+            if s == max_value:
+                n_bypass = 0
+                while True:
+                    val = self._get_bypass()
+                    n_bypass += val
+                    if val != self._MB:
+                        break
+                raw = 0
+                for jj in range(n_bypass):
+                    raw |= self._get_bypass() << (jj * self._BB)
+                value = (-(raw + 1) // 2 if raw & 1
+                         else raw // 2 + max_value)
+            out[i] = value + int(offsets[idx])
+        return out
+
+
+@register_model
+def joint_autoregressive_hierarchical_prior(quality=1, n=None, m=None,
+                                            **kwargs):
+    qn, qm = ((192, 192) if int(quality) <= 5 else (192, 320))
+    return JointAutoregressiveCodec(n=n or qn, m=m or qm)
+
+
+@register_model
+def mbt2018(quality=1, **kwargs):
+    return joint_autoregressive_hierarchical_prior(quality, **kwargs)

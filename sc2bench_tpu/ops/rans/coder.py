@@ -41,7 +41,7 @@ def _build_library() -> Path | None:
             tmp_so = Path(td) / 'librans.so'
             subprocess.run(
                 ['g++', '-O3', '-std=c++17', '-shared', '-fPIC',
-                 '-march=native', str(src), '-o', str(tmp_so)],
+                 '-march=native', '-fopenmp', str(src), '-o', str(tmp_so)],
                 check=True, capture_output=True)
             os.replace(tmp_so, so_path)
         return so_path
@@ -66,6 +66,14 @@ def _load_library():
         u8p, ctypes.c_int]
     lib.rans_decode_with_indexes.restype = ctypes.c_int
     lib.rans_decode_with_indexes.argtypes = [
+        u8p, ctypes.c_int, i32p, ctypes.c_int, i32p, ctypes.c_int,
+        i32p, i32p, i32p]
+    lib.rans_encode_interleaved.restype = ctypes.c_int
+    lib.rans_encode_interleaved.argtypes = [
+        i32p, i32p, ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int,
+        i32p, i32p, u8p, ctypes.c_int]
+    lib.rans_decode_interleaved.restype = ctypes.c_int
+    lib.rans_decode_interleaved.argtypes = [
         u8p, ctypes.c_int, i32p, ctypes.c_int, i32p, ctypes.c_int,
         i32p, i32p, i32p]
     _LIB = lib
@@ -220,6 +228,37 @@ class RansCoder:
             _u8p(byte_arr), byte_arr.size, _i32p(indexes), indexes.size,
             _i32p(self.cdfs), self.cdf_stride, _i32p(self.cdf_lengths),
             _i32p(self.offsets), _i32p(out))
+        return out
+
+    # ---- interleaved multi-lane (parallel decode; ~num_lanes speedup) ---
+    def encode_interleaved(self, symbols, indexes, num_lanes=8) -> bytes:
+        symbols = _as_i32(symbols).ravel()
+        indexes = _as_i32(indexes).ravel()
+        if self.lib is None:
+            raise RuntimeError('interleaved coder requires the C++ library')
+        capacity = max(4096, symbols.size * 8)
+        while True:
+            out = np.empty(capacity, np.uint8)
+            n = self.lib.rans_encode_interleaved(
+                _i32p(symbols), _i32p(indexes), symbols.size, num_lanes,
+                _i32p(self.cdfs), self.cdf_stride, _i32p(self.cdf_lengths),
+                _i32p(self.offsets), _u8p(out), capacity)
+            if n >= 0:
+                return out[:n].tobytes()
+            capacity *= 4
+
+    def decode_interleaved(self, data: bytes, indexes) -> np.ndarray:
+        indexes = _as_i32(indexes).ravel()
+        if self.lib is None:
+            raise RuntimeError('interleaved coder requires the C++ library')
+        byte_arr = np.frombuffer(data, np.uint8)
+        out = np.empty(indexes.size, np.int32)
+        rc = self.lib.rans_decode_interleaved(
+            _u8p(byte_arr), byte_arr.size, _i32p(indexes), indexes.size,
+            _i32p(self.cdfs), self.cdf_stride, _i32p(self.cdf_lengths),
+            _i32p(self.offsets), _i32p(out))
+        if rc != 0:
+            raise ValueError('corrupt interleaved rANS stream')
         return out
 
 

@@ -235,3 +235,163 @@ int rans_decode_batch(const uint8_t* bytes, const int32_t* byte_sizes,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Interleaved multi-lane rANS: lane j codes symbols j, j+L, j+2L, ... with an
+// independent state and buffer. Lanes decode in parallel (OpenMP when
+// available) and the per-lane inner loops expose ILP that the serial
+// single-stream coder cannot. Stream layout: int32 lane count, int32 per-lane
+// byte sizes, then concatenated lane payloads.
+// ---------------------------------------------------------------------------
+
+#if defined(_OPENMP)
+#include <omp.h>
+#endif
+
+extern "C" {
+
+int rans_encode_interleaved(const int32_t* symbols, const int32_t* indexes,
+                            int n, int num_lanes, const int32_t* cdfs,
+                            int cdf_stride, const int32_t* cdf_lengths,
+                            const int32_t* offsets, uint8_t* out,
+                            int out_capacity) {
+    if (num_lanes < 1) num_lanes = 1;
+    std::vector<std::vector<uint8_t>> lanes(num_lanes);
+    std::vector<int> lane_sizes(num_lanes, 0);
+    bool overflow = false;
+
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+    for (int lane = 0; lane < num_lanes; ++lane) {
+        // gather this lane's ops in forward order, then encode in reverse
+        std::vector<Op> ops;
+        ops.reserve(n / num_lanes + 8);
+        for (int i = lane; i < n; i += num_lanes) {
+            const int32_t idx = indexes[i];
+            const int32_t* cdf = cdfs + static_cast<int64_t>(idx) * cdf_stride;
+            const int32_t cdf_len = cdf_lengths[idx];
+            const int32_t max_value = cdf_len - 2;
+            int32_t value = symbols[i] - offsets[idx];
+            uint32_t raw_val = 0;
+            bool escape = false;
+            if (value < 0) {
+                raw_val = static_cast<uint32_t>(-2 * value - 1);
+                value = max_value;
+                escape = true;
+            } else if (value >= max_value) {
+                raw_val = static_cast<uint32_t>(2 * (value - max_value));
+                value = max_value;
+                escape = true;
+            }
+            ops.push_back({static_cast<uint32_t>(cdf[value]),
+                           static_cast<uint32_t>(cdf[value + 1] - cdf[value])});
+            if (escape) {
+                int32_t n_bypass = 0;
+                while ((raw_val >> (n_bypass * kBypassBits)) != 0) ++n_bypass;
+                int32_t val = n_bypass;
+                while (val >= kMaxBypass) {
+                    ops.push_back({static_cast<uint32_t>(kMaxBypass)
+                                       << (kPrecision - kBypassBits),
+                                   1u << (kPrecision - kBypassBits)});
+                    val -= kMaxBypass;
+                }
+                ops.push_back({static_cast<uint32_t>(val)
+                                   << (kPrecision - kBypassBits),
+                               1u << (kPrecision - kBypassBits)});
+                for (int32_t j = 0; j < n_bypass; ++j) {
+                    uint32_t chunk = (raw_val >> (j * kBypassBits)) & kMaxBypass;
+                    ops.push_back({chunk << (kPrecision - kBypassBits),
+                                   1u << (kPrecision - kBypassBits)});
+                }
+            }
+        }
+        RansEncState enc;
+        enc.buf.reserve(ops.size() * 2 + 8);
+        for (auto it = ops.rbegin(); it != ops.rend(); ++it)
+            enc.put(it->start, it->freq);
+        enc.flush();
+        // reverse in place
+        std::vector<uint8_t> rev(enc.buf.rbegin(), enc.buf.rend());
+        lanes[lane] = std::move(rev);
+        lane_sizes[lane] = static_cast<int>(lanes[lane].size());
+    }
+
+    int64_t total = 4 + 4 * static_cast<int64_t>(num_lanes);
+    for (int lane = 0; lane < num_lanes; ++lane) total += lane_sizes[lane];
+    if (total > out_capacity) return -1;
+    uint8_t* p = out;
+    std::memcpy(p, &num_lanes, 4); p += 4;
+    for (int lane = 0; lane < num_lanes; ++lane) {
+        std::memcpy(p, &lane_sizes[lane], 4); p += 4;
+    }
+    for (int lane = 0; lane < num_lanes; ++lane) {
+        std::memcpy(p, lanes[lane].data(), lane_sizes[lane]);
+        p += lane_sizes[lane];
+    }
+    (void)overflow;
+    return static_cast<int>(total);
+}
+
+int rans_decode_interleaved(const uint8_t* bytes, int n_bytes,
+                            const int32_t* indexes, int n,
+                            const int32_t* cdfs, int cdf_stride,
+                            const int32_t* cdf_lengths,
+                            const int32_t* offsets, int32_t* out) {
+    if (n_bytes < 4) return -1;
+    int32_t num_lanes = 0;
+    std::memcpy(&num_lanes, bytes, 4);
+    if (num_lanes < 1 || 4 + 4 * num_lanes > n_bytes) return -1;
+    std::vector<int32_t> lane_sizes(num_lanes);
+    std::vector<int64_t> lane_offsets_(num_lanes);
+    int64_t pos = 4 + 4 * static_cast<int64_t>(num_lanes);
+    for (int lane = 0; lane < num_lanes; ++lane) {
+        std::memcpy(&lane_sizes[lane], bytes + 4 + 4 * lane, 4);
+        lane_offsets_[lane] = pos;
+        pos += lane_sizes[lane];
+    }
+    if (pos > n_bytes) return -1;
+
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+    for (int lane = 0; lane < num_lanes; ++lane) {
+        RansDecState dec;
+        dec.init(bytes + lane_offsets_[lane], lane_sizes[lane]);
+        for (int i = lane; i < n; i += num_lanes) {
+            const int32_t idx = indexes[i];
+            const int32_t* cdf = cdfs + static_cast<int64_t>(idx) * cdf_stride;
+            const int32_t cdf_len = cdf_lengths[idx];
+            const int32_t max_value = cdf_len - 2;
+            const uint32_t slot = dec.peek();
+            int lo = 0, hi = cdf_len - 1;
+            while (hi - lo > 1) {
+                int mid = (lo + hi) >> 1;
+                if (static_cast<uint32_t>(cdf[mid]) <= slot) lo = mid;
+                else hi = mid;
+            }
+            const int s = lo;
+            dec.advance(static_cast<uint32_t>(cdf[s]),
+                        static_cast<uint32_t>(cdf[s + 1] - cdf[s]));
+            int32_t value = s;
+            if (s == max_value) {
+                int32_t n_bypass = 0;
+                uint32_t val;
+                do {
+                    val = dec.get_bypass();
+                    n_bypass += static_cast<int32_t>(val);
+                } while (val == static_cast<uint32_t>(kMaxBypass));
+                uint32_t raw_val = 0;
+                for (int32_t j = 0; j < n_bypass; ++j)
+                    raw_val |= dec.get_bypass() << (j * kBypassBits);
+                value = (raw_val & 1)
+                    ? -static_cast<int32_t>((raw_val + 1) >> 1)
+                    : static_cast<int32_t>(raw_val >> 1) + max_value;
+            }
+            out[i] = value + offsets[idx];
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -103,3 +103,35 @@ def test_compression_ratio_near_entropy():
     entropy_bits = -np.sum(pmf * np.log2(pmf)) * n
     actual_bits = len(data) * 8
     assert actual_bits < entropy_bits * 1.02 + 64
+
+
+@pytest.mark.parametrize('num_lanes', [1, 3, 8])
+def test_interleaved_roundtrip(num_lanes):
+    if _load_library() is None:
+        pytest.skip('C++ rANS unavailable')
+    rng = np.random.default_rng(7)
+    cdfs, lengths, offsets = _make_tables(rng)
+    n = 4001  # odd: exercises uneven lane lengths
+    indexes = rng.integers(0, len(lengths), n).astype(np.int32)
+    symbols = rng.integers(-300, 300, n).astype(np.int32)  # with escapes
+    coder = RansCoder(cdfs, lengths, offsets)
+    data = coder.encode_interleaved(symbols, indexes, num_lanes=num_lanes)
+    decoded = coder.decode_interleaved(data, indexes)
+    np.testing.assert_array_equal(decoded, symbols)
+
+
+def test_interleaved_size_overhead_small():
+    if _load_library() is None:
+        pytest.skip('C++ rANS unavailable')
+    rng = np.random.default_rng(8)
+    cdfs, lengths, offsets = _make_tables(rng)
+    n = 20000
+    indexes = rng.integers(0, len(lengths), n).astype(np.int32)
+    max_vals = lengths[indexes] - 2
+    symbols = (rng.integers(0, 1 << 16, n) % max_vals).astype(np.int32) \
+        + offsets[indexes]
+    coder = RansCoder(cdfs, lengths, offsets)
+    single = coder.encode_with_indexes(symbols, indexes)
+    inter = coder.encode_interleaved(symbols, indexes, num_lanes=8)
+    # per-lane flush + header overhead stays tiny (< 1%)
+    assert len(inter) < len(single) * 1.01 + 64
