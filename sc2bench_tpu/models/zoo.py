@@ -133,7 +133,6 @@ class ScaleHyperpriorCodec(nn.Module):
             ])
         self.entropy_bottleneck = EntropyBottleneck(channels=self.n)
         self.gaussian_conditional = GaussianConditional()
-        self.num_latent_channels = self.n
 
     def hyper_input(self, y):
         return y if self.mean_scale else jnp.abs(y)
@@ -236,7 +235,7 @@ class ImageCodecRuntime(AnalyzerHolder):
 
     def decompress(self, strings, shape):
         if self.hyper:
-            z_channels = self.module.num_latent_channels
+            z_channels = self.module.n
             z_sym = self.codec.decompress_symbols(strings[1], shape,
                                                   z_channels)
             y_idx, _ = self._jitted('dec_scales',

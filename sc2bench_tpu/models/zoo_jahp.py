@@ -102,7 +102,6 @@ class JointAutoregressiveCodec(nn.Module):
         ])
         self.entropy_bottleneck = EntropyBottleneck(channels=self.n)
         self.gaussian_conditional = GaussianConditional()
-        self.num_latent_channels = self.n
 
     def __call__(self, x, mode: str = 'train', train: bool = False):
         y = self.g_a(x)
@@ -157,9 +156,10 @@ class _HostAutoregressive:
         mask[k // 2 + 1:] = 0
         self.ctx_kernel = self.ctx_kernel * mask
         self.ctx_bias = np.asarray(p['context_prediction']['bias'])
-        self.ep = [(np.asarray(p['entropy_parameters'][f'ep{i}']['kernel'])
-                    [0, 0], np.asarray(p['entropy_parameters'][f'ep{i}']
-                                       ['bias'])) for i in range(3)]
+        # Sequential children with explicit names live at the parent's top
+        # level in flax param trees ('ep0'..'ep2', not under a scope)
+        self.ep = [(np.asarray(p[f'ep{i}']['kernel'])[0, 0],
+                    np.asarray(p[f'ep{i}']['bias'])) for i in range(3)]
         self.k = k
 
     def params_at(self, y_hat_padded, hyper, i, j):

@@ -37,10 +37,10 @@ def test_joint_autoregressive_roundtrip():
     from sc2bench_tpu.models.zoo_jahp import (JointAutoregressiveCodec,
                                               JointAutoregressiveRuntime)
     module = JointAutoregressiveCodec(n=6, m=6)
-    variables = _init(module, (1, 32, 32, 3))
+    variables = _init(module, (1, 64, 64, 3))
     rt = JointAutoregressiveRuntime(module, variables)
     rt.update()
-    x = jax.random.uniform(jax.random.key(3), (1, 32, 32, 3))
+    x = jax.random.uniform(jax.random.key(3), (1, 64, 64, 3))
     compressed = rt.compress(x)
     x_hat = rt.decompress(**compressed)
     assert x_hat.shape == x.shape
@@ -53,8 +53,8 @@ def test_joint_autoregressive_roundtrip():
 def test_jahp_train_forward():
     from sc2bench_tpu.models.zoo_jahp import JointAutoregressiveCodec
     module = JointAutoregressiveCodec(n=6, m=6)
-    variables = _init(module, (1, 32, 32, 3))
-    x = jax.random.uniform(jax.random.key(4), (1, 32, 32, 3))
+    variables = _init(module, (1, 64, 64, 3))
+    x = jax.random.uniform(jax.random.key(4), (1, 64, 64, 3))
     out, state = module.apply(variables, x, mode='train',
                               rngs={'noise': jax.random.key(5)},
                               mutable=['entropy'])
