@@ -67,7 +67,7 @@ class PairedSegTransforms:
 
     def __init__(self, base_size=520, crop_size=480, hflip_prob=0.5,
                  mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
-                 train=True, seed=0):
+                 train=True, seed=0, jpeg_quality=None):
         self.base_size = base_size
         self.crop_size = crop_size
         self.hflip_prob = hflip_prob
@@ -75,6 +75,9 @@ class PairedSegTransforms:
         self.std = np.asarray(std, np.float32)
         self.train = train
         self.rng = np.random.default_rng(seed)
+        # optional JPEG pre-degradation after resize (reference
+        # CustomRandomResize, custom/transform.py:49-71)
+        self.jpeg_quality = jpeg_quality
 
     def __call__(self, img, target):
         from PIL import Image
@@ -92,6 +95,12 @@ class PairedSegTransforms:
             nw, nh = int(size * w / h), size
         pil = pil.resize((nw, nh), Image.BILINEAR)
         tgt = tgt.resize((nw, nh), Image.NEAREST)
+        if self.jpeg_quality is not None:
+            import io
+            buf = io.BytesIO()
+            pil.save(buf, format='JPEG', quality=self.jpeg_quality)
+            buf.seek(0)
+            pil = Image.open(buf).convert('RGB')
         if self.train:
             # pad if needed then random crop
             pw = max(self.crop_size - nw, 0)

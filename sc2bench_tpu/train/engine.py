@@ -66,11 +66,12 @@ def top_k_accuracy(logits, targets, ks=(1, 5)):
 class ClassificationEngine:
     """Builds models/datasets from a config dict and runs train/test."""
 
-    def __init__(self, config, image_size=(224, 224)):
+    def __init__(self, config, image_size=(224, 224), seed=42):
         from ..registry import import_dependencies
         import_dependencies(config.get('dependencies'))
         self.config = config
         self.image_size = tuple(image_size)
+        self.seed = int(seed)
         models_config = config.get('models', {})
         self.teacher_module = None
         self.teacher_variables = None
@@ -149,9 +150,14 @@ class ClassificationEngine:
         return result
 
     # ---- training -------------------------------------------------------
-    def train(self, dst_ckpt=None):
+    def train(self, dst_ckpt=None, resume: bool = False):
+        """`resume=True` restores the full train state (params + optimizer)
+        saved alongside `dst_ckpt`, continuing from the recorded
+        stage/epoch (reference `--start_epoch` semantics)."""
+        from ..utils.ckpt import load_train_state, save_train_state
         train_config = self.config.get('train', {})
         stages = train_stage_configs(train_config)
+        resume_info = None  # (state_dict payload applied per matching stage)
         train_loader = self.build_loader(train_config.get(
             'train_data_loader', {'dataset': {'key':
                 'SyntheticClassificationDataset', 'kwargs': {}},
@@ -161,7 +167,7 @@ class ClassificationEngine:
                 'SyntheticClassificationDataset', 'kwargs': {}},
                 'batch_size': 8}))
         best_metric = -1.0
-        rng = jax.random.key(42)
+        rng = jax.random.key(self.seed)
         for stage_cfg in stages:
             logger.info('=== stage %s ===', stage_cfg.get('name'))
             box_cls = DistillationBox if self.teacher_module else TrainingBox
@@ -176,7 +182,18 @@ class ClassificationEngine:
                 else 'train', **kwargs)
             epoch_to_update = stage_cfg.get('epoch_to_update')
             num_epochs = int(stage_cfg.get('num_epochs', 1))
-            for epoch in range(num_epochs):
+            start_epoch = 0
+            if resume and dst_ckpt and resume_info is None:
+                loaded = load_train_state(dst_ckpt, box.state)
+                if loaded is not None:
+                    state, saved_epoch, saved_stage, best_metric = loaded
+                    if saved_stage == stage_cfg.get('name'):
+                        box.state = state
+                        start_epoch = saved_epoch + 1
+                        logger.info('resumed stage %s at epoch %d',
+                                    saved_stage, start_epoch)
+                    resume_info = (saved_stage, saved_epoch)
+            for epoch in range(start_epoch, num_epochs):
                 meter = MetricLogger()
                 for x, y in train_loader:
                     rng, step_rng = jax.random.split(rng)
@@ -206,6 +223,9 @@ class ClassificationEngine:
                     if dst_ckpt:
                         save_ckpt(dst_ckpt, self.student_variables,
                                   meta={'best_metric': best_metric})
+                if dst_ckpt:
+                    save_train_state(dst_ckpt, box.state, epoch,
+                                     stage_cfg.get('name'), best_metric)
             self.student_variables = box.student_variables
         # final update if never triggered (test protocol expects tables)
         self.runtime.variables = self.student_variables

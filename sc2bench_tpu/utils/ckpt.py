@@ -47,3 +47,32 @@ def load_ckpt(path, variables_template):
     if mpath.exists():
         meta = pickle.loads(mpath.read_bytes())
     return variables, tables, meta
+
+
+_TRAIN_SUFFIX = '.train_state'
+
+
+def save_train_state(path, train_state, epoch: int, stage: str,
+                     best_metric: float):
+    """Persist the full box TrainState (params + batch_stats + optimizer
+    state) for mid-training resume (reference `--start_epoch` +
+    optimizer/scheduler restore, `image_classification.py:159-160`)."""
+    path = Path(str(path) + _TRAIN_SUFFIX)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    payload = {
+        'state': flax.serialization.to_state_dict(
+            jax.device_get(train_state)),
+        'epoch': epoch, 'stage': stage, 'best_metric': best_metric,
+    }
+    path.write_bytes(pickle.dumps(payload))
+
+
+def load_train_state(path, train_state_template):
+    """Returns (train_state, epoch, stage, best_metric) or None."""
+    path = Path(str(path) + _TRAIN_SUFFIX)
+    if not path.exists():
+        return None
+    payload = pickle.loads(path.read_bytes())
+    state = flax.serialization.from_state_dict(train_state_template,
+                                               payload['state'])
+    return state, payload['epoch'], payload['stage'], payload['best_metric']

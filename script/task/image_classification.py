@@ -36,6 +36,8 @@ def get_argparser():
                         help='only test the final model')
     parser.add_argument('-student_only', action='store_true',
                         help='test the student model only')
+    parser.add_argument('-resume', action='store_true',
+                        help='resume training from dst_ckpt train state')
     return parser
 
 
@@ -51,9 +53,10 @@ def main(args):
     config = load_config(args.config, args.json)
     import_dependencies(config.get('dependencies'))
     engine = ClassificationEngine(
-        config, image_size=config.get('image_size', (224, 224)))
+        config, image_size=config.get('image_size', (224, 224)),
+        seed=args.seed)
     if not args.test_only:
-        best = engine.train(dst_ckpt=args.dst_ckpt)
+        best = engine.train(dst_ckpt=args.dst_ckpt, resume=args.resume)
         logger.info('best validation acc1: %s', best)
     result, summaries = engine.test()
     logger.info('test result: %s', result)
