@@ -75,3 +75,26 @@ def test_two_stage_entropic_student_end_to_end(tmp_path):
     assert 'acc1' in result
     assert summaries[0]['num_samples'] == 4
     assert summaries[0]['mean'] > 0  # real bitstream bytes measured
+
+
+@pytest.mark.slow
+def test_train_state_resume(tmp_path):
+    """Interrupted training resumes from the saved optimizer state at the
+    recorded stage/epoch."""
+    from sc2bench_tpu.train.engine import ClassificationEngine
+    config = load_config(REPO / 'configs/sample/tiny_entropic_student.yaml')
+    # shrink to single 2-epoch stage for speed
+    config['train'].pop('stage2')
+    config['train']['stage1']['num_epochs'] = 2
+    config['train']['stage1']['epoch_to_update'] = 2
+    ckpt = tmp_path / 'resume.ckpt'
+
+    engine = ClassificationEngine(config, image_size=(64, 64))
+    engine.train(dst_ckpt=str(ckpt))
+    from pathlib import Path
+    assert Path(str(ckpt) + '.train_state').exists()
+
+    # resume run: starts after the last saved epoch → no epochs left
+    engine2 = ClassificationEngine(config, image_size=(64, 64))
+    engine2.train(dst_ckpt=str(ckpt), resume=True)
+    assert engine2.runtime.bottleneck_updated
