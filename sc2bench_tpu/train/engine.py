@@ -140,8 +140,17 @@ class ClassificationEngine:
                         if self.runtime.bottleneck_updated else 'train',
                         train=False, rngs={'noise': jax.random.key(0)})
                 self._eval_fn = jax.jit(fwd)
+            # shard the eval batch over the data mesh when multiple devices
+            # are available (the reference's DP eval, SURVEY.md §2.4)
+            mesh = None
+            if jax.device_count() > 1:
+                from ..parallel.mesh import data_sharding, get_mesh
+                mesh = get_mesh()
             for x, y in data_loader:
-                logits = self._eval_fn(self.student_variables, jnp.asarray(x))
+                xb = jnp.asarray(x)
+                if mesh is not None and xb.shape[0] % mesh.devices.size == 0:
+                    xb = jax.device_put(xb, data_sharding(mesh))
+                logits = self._eval_fn(self.student_variables, xb)
                 accs = top_k_accuracy(logits, jnp.asarray(y))
                 meter.update(**{k: float(v) for k, v in accs.items()})
         meter.synchronize_between_processes()
