@@ -80,3 +80,34 @@ def custom_fasterrcnn_resnet_fpn(backbone='resnet50', bottleneck_channel=12,
         backbone=SplittableDetectionBackbone(bottleneck_layer=bneck,
                                              stage_sizes=stage_sizes),
         num_classes=num_classes)
+
+
+def custom_maskrcnn_resnet_fpn(backbone='resnet50', bottleneck_channel=12,
+                               bottleneck_idx=8, num_classes=91, **kwargs):
+    """Mask R-CNN over the bottleneck backbone (reference `hubconf.py:210`)."""
+    from sc2bench_tpu.models.detection.base import SplittableDetectionBackbone
+    from sc2bench_tpu.models.detection.rcnn import MaskRCNN
+    stage_sizes = {'resnet50': (3, 4, 6, 3),
+                   'resnet101': (3, 4, 23, 3)}[backbone]
+    bneck = _bottleneck(bottleneck_channel, bottleneck_idx,
+                        'larger_resnet_layer1_bottleneck')
+    return MaskRCNN(
+        backbone=SplittableDetectionBackbone(bottleneck_layer=bneck,
+                                             stage_sizes=stage_sizes),
+        num_classes=num_classes)
+
+
+def custom_keypointrcnn_resnet_fpn(backbone='resnet50', bottleneck_channel=12,
+                                   bottleneck_idx=8, num_classes=2,
+                                   num_keypoints=17, **kwargs):
+    """Keypoint R-CNN over the bottleneck backbone (reference `hubconf.py:231`)."""
+    from sc2bench_tpu.models.detection.base import SplittableDetectionBackbone
+    from sc2bench_tpu.models.detection.rcnn import KeypointRCNN
+    stage_sizes = {'resnet50': (3, 4, 6, 3),
+                   'resnet101': (3, 4, 23, 3)}[backbone]
+    bneck = _bottleneck(bottleneck_channel, bottleneck_idx,
+                        'larger_resnet_layer1_bottleneck')
+    return KeypointRCNN(
+        backbone=SplittableDetectionBackbone(bottleneck_layer=bneck,
+                                             stage_sizes=stage_sizes),
+        num_classes=num_classes, num_keypoints=num_keypoints)

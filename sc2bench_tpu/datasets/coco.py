@@ -122,6 +122,38 @@ class SyntheticDetectionDataset:
         return img, target
 
 
+def rasterize_polygon(polygons, height: int, width: int) -> np.ndarray:
+    """COCO polygon segmentation -> binary mask, pure-numpy even-odd
+    scanline fill (replaces pycocotools `frPyObjects`/`decode`, reference
+    `script/task/coco/dataset.py:89-94`). `polygons`: list of flat
+    [x0, y0, x1, y1, ...] rings."""
+    mask = np.zeros((height, width), bool)
+    for poly in polygons:
+        pts = np.asarray(poly, np.float64).reshape(-1, 2)
+        if len(pts) < 3:
+            continue
+        xs, ys = pts[:, 0], pts[:, 1]
+        y_grid = np.arange(height) + 0.5
+        ring = np.zeros((height, width), bool)
+        for y_i, y in enumerate(y_grid):
+            x1s, y1s = xs, ys
+            x2s = np.roll(xs, -1)
+            y2s = np.roll(ys, -1)
+            crosses = ((y1s <= y) & (y2s > y)) | ((y2s <= y) & (y1s > y))
+            if not crosses.any():
+                continue
+            with np.errstate(divide='ignore', invalid='ignore'):
+                x_int = x1s + (y - y1s) / (y2s - y1s) * (x2s - x1s)
+            x_cross = np.sort(x_int[crosses])
+            for a, b in zip(x_cross[0::2], x_cross[1::2]):
+                lo = max(int(np.ceil(a - 0.5)), 0)
+                hi = min(int(np.ceil(b - 0.5)), width)
+                if hi > lo:
+                    ring[y_i, lo:hi] = True
+        mask |= ring
+    return mask
+
+
 def pad_detection_targets(targets, max_boxes: int):
     """Pad a list of target dicts to static (N, max_boxes, ...) arrays for
     jit-compiled training (SURVEY.md §7: fixed-size padded candidate sets)."""

@@ -1,1 +1,1 @@
-from . import base, rcnn, registry, transform, wrapper  # noqa: F401
+from . import base, rcnn, registry, retinanet, transform, wrapper  # noqa: F401

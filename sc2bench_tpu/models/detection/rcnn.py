@@ -348,6 +348,63 @@ def detection_loss(outputs, targets, rng):
             'loss_classifier': box_cls, 'loss_box_reg': box_reg}
 
 
+class MaskRCNN(FasterRCNN):
+    """Faster R-CNN + mask head (reference hub `custom_maskrcnn_resnet_fpn`,
+    `hubconf.py:210-228`)."""
+
+    def setup(self):
+        super().setup()
+        from .heads import MaskHead
+        self.mask_head = MaskHead(num_classes=self.num_classes)
+
+    def __call__(self, x, mode: str = 'train', train: bool = False,
+                 rpn_only: bool = False):
+        out = FasterRCNN.__call__(self, x, mode, train, rpn_only)
+        if self.is_initializing():
+            # materialize the lazily-built mask head params
+            self.mask_head(jnp.zeros((1, 14, 14, 256)))
+        return out
+
+    def predict_masks(self, features, boxes, labels, image_hw):
+        """Per-detection (D, 28, 28) mask probabilities for the predicted
+        class of each box. `features` = P2..P5 maps of ONE image."""
+        from ...ops.roi_align import multiscale_roi_align
+        scales = [1.0 / (image_hw[0] / f.shape[0]) for f in features]
+        pooled = multiscale_roi_align(features, boxes, output_size=14,
+                                      scales=scales)
+        logits = self.mask_head(pooled)
+        onehot = jax.nn.one_hot(labels, logits.shape[-1])
+        return jax.nn.sigmoid(
+            jnp.einsum('dhwc,dc->dhw', logits, onehot))
+
+
+class KeypointRCNN(FasterRCNN):
+    """Faster R-CNN + keypoint head (reference hub
+    `custom_keypointrcnn_resnet_fpn`, `hubconf.py:231-246`)."""
+
+    num_keypoints: int = 17
+
+    def setup(self):
+        super().setup()
+        from .heads import KeypointHead
+        self.keypoint_head = KeypointHead(num_keypoints=self.num_keypoints)
+
+    def __call__(self, x, mode: str = 'train', train: bool = False,
+                 rpn_only: bool = False):
+        out = FasterRCNN.__call__(self, x, mode, train, rpn_only)
+        if self.is_initializing():
+            self.keypoint_head(jnp.zeros((1, 14, 14, 256)))
+        return out
+
+    def predict_keypoints(self, features, boxes, image_hw):
+        """(D, 56, 56, K) keypoint heatmaps per detection box."""
+        from ...ops.roi_align import multiscale_roi_align
+        scales = [1.0 / (image_hw[0] / f.shape[0]) for f in features]
+        pooled = multiscale_roi_align(features, boxes, output_size=14,
+                                      scales=scales)
+        return self.keypoint_head(pooled)
+
+
 @register_model
 def faster_rcnn_model(backbone_config=None, num_classes=91,
                       backbone_fpn_kwargs=None, **kwargs):
@@ -357,3 +414,19 @@ def faster_rcnn_model(backbone_config=None, num_classes=91,
     backbone = SplittableDetectionBackbone.from_config(
         backbone_config or {}, **(backbone_fpn_kwargs or {}))
     return FasterRCNN(backbone=backbone, num_classes=num_classes)
+
+
+@register_model
+def mask_rcnn_model(backbone_config=None, num_classes=91, **kwargs):
+    from .base import SplittableDetectionBackbone
+    backbone = SplittableDetectionBackbone.from_config(backbone_config or {})
+    return MaskRCNN(backbone=backbone, num_classes=num_classes)
+
+
+@register_model
+def keypoint_rcnn_model(backbone_config=None, num_classes=2,
+                        num_keypoints=17, **kwargs):
+    from .base import SplittableDetectionBackbone
+    backbone = SplittableDetectionBackbone.from_config(backbone_config or {})
+    return KeypointRCNN(backbone=backbone, num_classes=num_classes,
+                        num_keypoints=num_keypoints)

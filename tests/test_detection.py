@@ -134,3 +134,96 @@ class TestFasterRCNN:
         g_bneck = float(sum(jnp.abs(g).sum() for g in
                             jax.tree.leaves(grads['backbone'])))
         assert g_rpn > 0 and g_bneck > 0
+
+
+class TestRetinaNet:
+    @pytest.fixture(scope='class')
+    def model_and_vars(self):
+        from sc2bench_tpu.models.detection.retinanet import RetinaNet
+        from sc2bench_tpu.models.detection.base import \
+            SplittableDetectionBackbone
+        from sc2bench_tpu.models.layer import FPBasedResNetBottleneck
+        backbone = SplittableDetectionBackbone(
+            bottleneck_layer=FPBasedResNetBottleneck(
+                num_bottleneck_channels=8, num_target_channels=256),
+            stage_sizes=(1, 1, 1, 1))
+        model = RetinaNet(backbone=backbone, num_classes=5)
+        x = jnp.zeros((1, 64, 64, 3))
+        variables = jax.jit(lambda r, x: model.init(r, x, mode='train'))(
+            {'params': jax.random.key(0), 'noise': jax.random.key(1)}, x)
+        return model, {'params': variables['params'],
+                       'batch_stats': variables.get('batch_stats', {})}
+
+    def test_forward_and_postprocess(self, model_and_vars):
+        from sc2bench_tpu.models.detection.retinanet import \
+            retinanet_postprocess
+        model, variables = model_and_vars
+        x = jax.random.normal(jax.random.key(2), (1, 64, 64, 3))
+        out = model.apply(variables, x, mode='finetune', train=False)
+        assert out['cls_logits'].shape[-1] == 5
+        assert out['anchors'].shape[0] == out['cls_logits'].shape[1]
+        dets = retinanet_postprocess(out)
+        assert dets['boxes'].shape == (1, 100, 4)
+        b = np.asarray(dets['boxes'][0])
+        assert (b >= -1e-3).all() and (b <= 64 + 1e-3).all()
+        # focal prior init keeps initial scores low -> few/no detections
+        assert np.asarray(dets['valid']).sum() < 100
+
+    def test_loss_finite_and_grads(self, model_and_vars):
+        from sc2bench_tpu.models.detection.retinanet import retinanet_loss
+        model, variables = model_and_vars
+        x = jax.random.normal(jax.random.key(3), (1, 64, 64, 3))
+        targets = {
+            'boxes': jnp.asarray([[[4, 4, 30, 30], [10, 20, 50, 60]]],
+                                 jnp.float32),
+            'boxes_valid': jnp.asarray([[True, True]]),
+            'labels': jnp.asarray([[1, 3]], jnp.int32),
+        }
+
+        def loss_fn(params):
+            out = model.apply({'params': params,
+                               'batch_stats': variables['batch_stats']},
+                              x, mode='train', train=False,
+                              rngs={'noise': jax.random.key(4)})
+            losses = retinanet_loss(out, targets)
+            return sum(losses.values())
+
+        val, grads = jax.value_and_grad(loss_fn)(variables['params'])
+        assert np.isfinite(float(val))
+        g = float(sum(jnp.abs(g).sum() for g in
+                      jax.tree.leaves(grads['head'])))
+        assert g > 0
+
+
+def test_polygon_rasterization():
+    from sc2bench_tpu.datasets.coco import rasterize_polygon
+    # axis-aligned square from (2,2) to (8,8)
+    mask = rasterize_polygon([[2, 2, 8, 2, 8, 8, 2, 8]], 12, 12)
+    assert mask[4, 4] and mask[2, 2] and mask[7, 7]
+    assert not mask[9, 9] and not mask[0, 0]
+    assert abs(mask.sum() - 36) <= 6  # ~6x6 area
+
+
+def test_mask_rcnn_predict_masks():
+    from sc2bench_tpu.models.detection.rcnn import MaskRCNN
+    from sc2bench_tpu.models.detection.base import \
+        SplittableDetectionBackbone
+    from sc2bench_tpu.models.layer import FPBasedResNetBottleneck
+    backbone = SplittableDetectionBackbone(
+        bottleneck_layer=FPBasedResNetBottleneck(
+            num_bottleneck_channels=8, num_target_channels=256),
+        stage_sizes=(1, 1, 1, 1))
+    model = MaskRCNN(backbone=backbone, num_classes=5)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = jax.jit(lambda r, x: model.init(r, x, mode='train'))(
+        {'params': jax.random.key(0), 'noise': jax.random.key(1)}, x)
+    variables = {'params': variables['params'],
+                 'batch_stats': variables.get('batch_stats', {})}
+    out = model.apply(variables, x, mode='finetune', train=False)
+    feats = [f[0] for f in out['features'][:4]]
+    boxes = jnp.asarray([[4, 4, 30, 30], [10, 10, 50, 50]], jnp.float32)
+    labels = jnp.asarray([1, 3], jnp.int32)
+    masks = model.apply(variables, feats, boxes, labels, (64, 64),
+                        method=model.predict_masks)
+    assert masks.shape == (2, 28, 28)
+    assert jnp.all((masks >= 0) & (masks <= 1))
