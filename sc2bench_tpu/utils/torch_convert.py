@@ -1,0 +1,176 @@
+"""Torch state_dict → Flax variables conversion.
+
+The reference's released checkpoints (v0.0.3 zip, `README.md:61-63`) are
+torch state dicts over torchvision/CompressAI modules. This maps their
+tensors into our NHWC Flax trees so parity runs can load reference weights:
+
+  Conv2d.weight (O, I, kH, kW)      -> Conv kernel (kH, kW, I, O)
+  ConvTranspose2d.weight (I,O,kH,kW)-> ConvTranspose kernel (kH, kW, I, O)
+  Linear.weight (O, I)              -> Dense kernel (I, O)
+  BatchNorm2d weight/bias           -> scale/bias (params)
+  BatchNorm2d running_mean/var      -> batch_stats mean/var
+  CompressAI EntropyBottleneck _matrixK/_biasK/_factorK/quantiles
+                                    -> matrix_k/bias_k/factor_k/quantiles
+  CompressAI GDN beta/gamma (reparam stored values) -> beta/gamma (same
+  sqrt-space storage — both sides keep NonNegativeParametrizer semantics)
+
+Name mapping is rule-driven: a list of (torch-prefix regex -> flax path)
+rules per model family, with the tensor-layout transforms applied by
+suffix. Tensors must be numpy-convertible (torch CPU tensors or arrays).
+"""
+from __future__ import annotations
+
+import re
+from typing import Callable, Dict, Iterable, Tuple
+
+import numpy as np
+
+
+def _to_np(t):
+    if hasattr(t, 'detach'):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def convert_tensor(name: str, value) -> Tuple[str, np.ndarray, str]:
+    """(flax_leaf_name, converted_array, collection) for one torch tensor.
+    `name` is the torch key's last component."""
+    v = _to_np(value)
+    if name == 'weight':
+        if v.ndim == 4:      # conv OIHW -> HWIO
+            return 'kernel', np.transpose(v, (2, 3, 1, 0)), 'params'
+        if v.ndim == 2:      # linear (O, I) -> (I, O)
+            return 'kernel', v.T, 'params'
+        return 'scale', v, 'params'      # norm weight
+    if name == 'bias':
+        return 'bias', v, 'params'
+    if name == 'running_mean':
+        return 'mean', v, 'batch_stats'
+    if name == 'running_var':
+        return 'var', v, 'batch_stats'
+    m = re.fullmatch(r'_matrix(\d+)', name)
+    if m:
+        return f'matrix_{m.group(1)}', v, 'params'
+    m = re.fullmatch(r'_bias(\d+)', name)
+    if m:
+        return f'bias_{m.group(1)}', v, 'params'
+    m = re.fullmatch(r'_factor(\d+)', name)
+    if m:
+        return f'factor_{m.group(1)}', v, 'params'
+    if name == 'quantiles':
+        return 'quantiles', v, 'params'
+    if name in ('beta', 'gamma'):        # GDN reparam (stored sqrt space)
+        return name, v, 'params'
+    return name, v, 'params'
+
+
+def convert_deconv_tensor(value) -> np.ndarray:
+    """ConvTranspose2d weight (I, O, kH, kW) -> flax (kH, kW, I, O).
+
+    Torch's transposed conv is the gradient of a conv (implicit spatial
+    flip); flax's ConvTranspose (transpose_kernel=False) runs a plain
+    input-dilated conv — so the kernel must be flipped spatially
+    (verified numerically in tests/test_torch_convert.py)."""
+    v = _to_np(value)
+    return np.transpose(v, (2, 3, 0, 1))[::-1, ::-1].copy()
+
+
+# Rules: regex over the torch key (full dotted name minus the leaf) ->
+# '/'-joined flax scope path (regex group refs allowed).
+RESNET_RULES = [
+    (r'^conv1$', 'stem/conv1'),
+    (r'^bn1$', 'stem/bn1'),
+    (r'^layer(\d)\.(\d+)\.conv(\d)$', r'layer\1/block\2/conv\3'),
+    (r'^layer(\d)\.(\d+)\.bn(\d)$', r'layer\1/block\2/bn\3'),
+    (r'^layer(\d)\.(\d+)\.downsample\.0$', r'layer\1/block\2/downsample_conv'),
+    (r'^layer(\d)\.(\d+)\.downsample\.1$', r'layer\1/block\2/downsample_bn'),
+    (r'^fc$', 'fc'),
+]
+
+FP_BOTTLENECK_RULES = [
+    (r'^encoder\.0$', 'enc_conv0'),
+    (r'^encoder\.1$', 'enc_gdn0'),
+    (r'^encoder\.2$', 'enc_conv1'),
+    (r'^encoder\.3$', 'enc_gdn1'),
+    (r'^encoder\.4$', 'enc_conv2'),
+    (r'^decoder\.0$', 'dec_conv0'),
+    (r'^decoder\.1$', 'dec_igdn0'),
+    (r'^decoder\.2$', 'dec_conv1'),
+    (r'^decoder\.3$', 'dec_igdn1'),
+    (r'^decoder\.4$', 'dec_conv2'),
+    (r'^entropy_bottleneck$', 'entropy_bottleneck'),
+]
+
+SPLITTABLE_RESNET_RULES = [
+    (r'^bottleneck_layer\.(.*)$', None),  # handled via FP rules below
+] + [(rf'^bottleneck_layer\.{pat[1:]}',
+      'bottleneck_layer/' + repl) for pat, repl in FP_BOTTLENECK_RULES] + \
+    RESNET_RULES
+
+
+def convert_state_dict(state_dict: Dict[str, 'np.ndarray'],
+                       rules: Iterable[Tuple[str, str]],
+                       deconv_paths: Iterable[str] = ()) -> dict:
+    """Torch state_dict -> {'params': ..., 'batch_stats': ...} nested dict.
+    Unmatched keys are skipped (CompressAI registered buffers like
+    _quantized_cdf are rebuilt by `update()`, SURVEY.md §5.4)."""
+    out = {'params': {}, 'batch_stats': {}}
+    deconv_paths = set(deconv_paths)
+    skipped = []
+    for key, value in state_dict.items():
+        module_path, _, leaf = key.rpartition('.')
+        if leaf in ('_quantized_cdf', '_offset', '_cdf_length',
+                    'scale_table', 'num_batches_tracked'):
+            continue
+        flax_scope = None
+        for pattern, repl in rules:
+            if repl is None:
+                continue
+            m = re.fullmatch(pattern, module_path)
+            if m:
+                flax_scope = m.expand(repl)
+                break
+        if flax_scope is None:
+            skipped.append(key)
+            continue
+        leaf_name, arr, coll = convert_tensor(leaf, value)
+        if module_path in deconv_paths and leaf == 'weight':
+            arr = convert_deconv_tensor(value)
+        node = out[coll]
+        parts = flax_scope.split('/')
+        for p in parts:
+            node = node.setdefault(p, {})
+        node[leaf_name] = arr
+    if skipped:
+        import logging
+        logging.getLogger(__name__).info(
+            'torch_convert: skipped %d unmatched keys (first: %s)',
+            len(skipped), skipped[:3])
+    return out
+
+
+def merge_into_variables(variables: dict, converted: dict) -> dict:
+    """Overlay converted leaves onto an existing variables tree (shapes must
+    match; raises on mismatch so silent partial loads cannot happen)."""
+    import jax
+
+    def merge(dst, src, path=''):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                if k not in dst:
+                    raise KeyError(f'no target scope {path}/{k}')
+                merge(dst[k], v, f'{path}/{k}')
+            else:
+                if k not in dst:
+                    raise KeyError(f'no target leaf {path}/{k}')
+                if tuple(dst[k].shape) != tuple(v.shape):
+                    raise ValueError(
+                        f'shape mismatch at {path}/{k}: '
+                        f'{dst[k].shape} vs {v.shape}')
+                dst[k] = jax.numpy.asarray(v, dst[k].dtype)
+
+    out = jax.tree.map(lambda x: x, variables)
+    for coll in converted:
+        if converted[coll]:
+            merge(out.setdefault(coll, {}), converted[coll], coll)
+    return out
