@@ -155,3 +155,10 @@ def get_backbone(key: str, **kwargs):
     """Name→builder resolution (reference `backbone.py:894-909`)."""
     from ..registry import get as registry_get
     return registry_get('model', key)(**kwargs)
+
+
+def check_if_updatable(model) -> bool:
+    """True if the object exposes the updatable contract (reference
+    `backbone.py:78-87`): here that is a runtime (or module) with `update`
+    and a `bottleneck_updated` flag."""
+    return hasattr(model, 'update') and hasattr(model, 'bottleneck_updated')

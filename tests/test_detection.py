@@ -227,3 +227,30 @@ def test_mask_rcnn_predict_masks():
                         method=model.predict_masks)
     assert masks.shape == (2, 28, 28)
     assert jnp.all((masks >= 0) & (masks <= 1))
+
+
+def test_fast_nms_matches_greedy_on_separated_boxes():
+    from sc2bench_tpu.ops.boxes import fast_nms_mask
+    boxes = jnp.asarray([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60],
+                         [100, 100, 110, 110]], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8, 0.7, 0.6])
+    idx, valid = fast_nms_mask(boxes, scores, 0.5, 4)
+    kept = sorted(np.asarray(idx)[np.asarray(valid)].tolist())
+    assert kept == [0, 2, 3]
+
+
+def test_hubconf_constructors_build():
+    import hubconf
+    import jax
+    for name in ['custom_resnet50', 'custom_resnet101', 'custom_resnet152',
+                 'custom_densenet169', 'custom_densenet201']:
+        module = getattr(hubconf, name)(bottleneck_channel=3, num_classes=10)
+        shapes = jax.eval_shape(
+            lambda m=module: m.init(
+                {'params': jax.random.key(0), 'noise': jax.random.key(1)},
+                jnp.zeros((1, 64, 64, 3)), mode='train'))
+        assert 'params' in shapes
+    for name in ['custom_fasterrcnn_resnet_fpn', 'custom_maskrcnn_resnet_fpn',
+                 'custom_keypointrcnn_resnet_fpn']:
+        module = getattr(hubconf, name)(bottleneck_channel=3, num_classes=5)
+        assert module is not None
