@@ -38,6 +38,8 @@ def get_argparser():
                         help='test the student model only')
     parser.add_argument('-resume', action='store_true',
                         help='resume training from dst_ckpt train state')
+    parser.add_argument('--profile_dir',
+                        help='capture a jax.profiler trace of the test phase')
     return parser
 
 
@@ -58,7 +60,12 @@ def main(args):
     if not args.test_only:
         best = engine.train(dst_ckpt=args.dst_ckpt, resume=args.resume)
         logger.info('best validation acc1: %s', best)
-    result, summaries = engine.test()
+    if args.profile_dir:
+        from sc2bench_tpu.utils.profiling import trace
+        with trace(args.profile_dir):
+            result, summaries = engine.test()
+    else:
+        result, summaries = engine.test()
     logger.info('test result: %s', result)
     for s in summaries:
         logger.info('analysis: %s', s)
