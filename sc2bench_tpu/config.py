@@ -12,7 +12,7 @@ jit-friendly.
 from __future__ import annotations
 
 import json
-from pathlib import Path
+
 
 import yaml
 

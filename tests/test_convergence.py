@@ -73,3 +73,71 @@ def test_entropy_bottleneck_learns_source_entropy():
     data = coder.encode_with_indexes(sym_cm.ravel(), indexes)
     actual_bits = len(data) * 8 / symbols.size
     assert abs(actual_bits - bits_per_symbol) / bits_per_symbol < 0.08
+
+
+@pytest.mark.slow
+def test_image_codec_rate_distortion_training():
+    """Train a tiny factorized-prior image codec on smooth synthetic images
+    with an MSE+rate objective: distortion must drop substantially while the
+    rate stays finite — the end-to-end trainability contract behind the
+    neural input-compression family."""
+    from sc2bench_tpu.models.zoo import FactorizedPriorCodec
+    module = FactorizedPriorCodec(n=8, m=8)
+
+    def make_batch(rng_np, n=8, size=32):
+        # smooth random images: low-frequency mixtures
+        xs = []
+        for _ in range(n):
+            freq = rng_np.uniform(0.5, 2.0, (2,))
+            phase = rng_np.uniform(0, 2 * np.pi, (2,))
+            yy, xx = np.mgrid[0:size, 0:size] / size
+            img = 0.5 + 0.25 * np.sin(2 * np.pi * freq[0] * yy + phase[0]) \
+                * np.cos(2 * np.pi * freq[1] * xx + phase[1])
+            xs.append(np.stack([img] * 3, -1))
+        return jnp.asarray(np.stack(xs), jnp.float32)
+
+    rng_np = np.random.default_rng(0)
+    x0 = make_batch(rng_np)
+    variables = module.init(
+        {'params': jax.random.key(0), 'noise': jax.random.key(1)},
+        x0, mode='train')
+    params = variables['params']
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, rng):
+        def loss_fn(p):
+            x_hat, state = module.apply(
+                {'params': p}, x, mode='train', rngs={'noise': rng},
+                mutable=['entropy'])
+            (_, lik), = state['entropy']['eb_out']
+            n_pix = x.shape[0] * x.shape[1] * x.shape[2]
+            bpp = -jnp.sum(jnp.log2(lik)) / n_pix
+            mse = jnp.mean((x_hat - x) ** 2)
+            return 255 ** 2 * 0.01 * mse + 0.1 * bpp \
+                + 1e-3 * factorized_aux_loss(p), (mse, bpp)
+        (loss, (mse, bpp)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, mse, bpp
+
+    rng = jax.random.key(2)
+    first_mse = None
+    for i in range(300):
+        rng, srng, drng = jax.random.split(rng, 3)
+        x = make_batch(rng_np)
+        params, opt_state, mse, bpp = step(params, opt_state, x, srng)
+        if first_mse is None:
+            first_mse = float(mse)
+    assert float(mse) < first_mse * 0.5, (first_mse, float(mse))
+    assert 0 < float(bpp) < 24.0
+    # deploy round trip still works after training
+    from sc2bench_tpu.models.zoo import ImageCodecRuntime
+    rt = ImageCodecRuntime(module, {'params': params, 'batch_stats': {}})
+    rt.update()
+    compressed = rt.compress(x0[:1])
+    x_hat = rt.decompress(**compressed)
+    assert x_hat.shape == (1, 32, 32, 3)
+    psnr = -10 * np.log10(float(jnp.mean((x_hat - x0[:1]) ** 2)) + 1e-12)
+    assert psnr > 18.0, psnr
