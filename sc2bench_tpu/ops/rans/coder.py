@@ -76,6 +76,11 @@ def _load_library():
     lib.rans_decode_interleaved.argtypes = [
         u8p, ctypes.c_int, i32p, ctypes.c_int, i32p, ctypes.c_int,
         i32p, i32p, i32p]
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    lib.rans_decode_with_indexes_lut.restype = ctypes.c_int
+    lib.rans_decode_with_indexes_lut.argtypes = [
+        u8p, ctypes.c_int, i32p, ctypes.c_int, i32p, ctypes.c_int,
+        i32p, i32p, i16p, ctypes.c_int, i32p]
     _LIB = lib
     return lib
 
@@ -198,6 +203,7 @@ class RansCoder:
         if use_cpp is None:
             use_cpp = _load_library() is not None
         self.lib = _load_library() if use_cpp else None
+        self._lut = None
 
     def encode_with_indexes(self, symbols, indexes) -> bytes:
         symbols = _as_i32(symbols).ravel()
@@ -217,17 +223,33 @@ class RansCoder:
                 return out[:n].tobytes()
             capacity *= 4
 
+    def _build_lut(self):
+        """slot->symbol direct lookup (2^16 int16 per distribution):
+        lut[i, slot] = number of cdf entries <= slot minus one."""
+        n = self.cdfs.shape[0]
+        lut = np.empty((n, 1 << _PRECISION), np.int16)
+        for i in range(n):
+            L = int(self.cdf_lengths[i])
+            freqs = np.diff(self.cdfs[i, :L]).astype(np.int64)
+            lut[i] = np.repeat(
+                np.arange(L - 1, dtype=np.int16), freqs)
+        self._lut = np.ascontiguousarray(lut)
+
     def decode_with_indexes(self, data: bytes, indexes) -> np.ndarray:
         indexes = _as_i32(indexes).ravel()
         if self.lib is None:
             return _py_decode(data, indexes, self.cdfs, self.cdf_lengths,
                               self.offsets)
+        if self._lut is None:
+            self._build_lut()
         byte_arr = np.frombuffer(data, np.uint8)
         out = np.empty(indexes.size, np.int32)
-        self.lib.rans_decode_with_indexes(
+        self.lib.rans_decode_with_indexes_lut(
             _u8p(byte_arr), byte_arr.size, _i32p(indexes), indexes.size,
             _i32p(self.cdfs), self.cdf_stride, _i32p(self.cdf_lengths),
-            _i32p(self.offsets), _i32p(out))
+            _i32p(self.offsets),
+            self._lut.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            self._lut.shape[1], _i32p(out))
         return out
 
     # ---- interleaved multi-lane (parallel decode; ~num_lanes speedup) ---

@@ -395,3 +395,52 @@ int rans_decode_interleaved(const uint8_t* bytes, int n_bytes,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// LUT decode: a precomputed slot->symbol table (2^precision int16 entries per
+// distribution) replaces the per-symbol binary search — O(1) symbol lookup,
+// ~2-3x faster decode at the cost of 128KB/distribution, built once per
+// update() alongside the CDF tables.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int rans_decode_with_indexes_lut(const uint8_t* bytes, int n_bytes,
+                                 const int32_t* indexes, int n,
+                                 const int32_t* cdfs, int cdf_stride,
+                                 const int32_t* cdf_lengths,
+                                 const int32_t* offsets,
+                                 const int16_t* luts, int lut_stride,
+                                 int32_t* out) {
+    RansDecState dec;
+    dec.init(bytes, n_bytes);
+    for (int i = 0; i < n; ++i) {
+        const int32_t idx = indexes[i];
+        const int32_t* cdf = cdfs + static_cast<int64_t>(idx) * cdf_stride;
+        const int16_t* lut = luts + static_cast<int64_t>(idx) * lut_stride;
+        const int32_t max_value = cdf_lengths[idx] - 2;
+        const uint32_t slot = dec.peek();
+        const int s = lut[slot];
+        dec.advance(static_cast<uint32_t>(cdf[s]),
+                    static_cast<uint32_t>(cdf[s + 1] - cdf[s]));
+        int32_t value = s;
+        if (s == max_value) {
+            int32_t n_bypass = 0;
+            uint32_t val;
+            do {
+                val = dec.get_bypass();
+                n_bypass += static_cast<int32_t>(val);
+            } while (val == static_cast<uint32_t>(kMaxBypass));
+            uint32_t raw_val = 0;
+            for (int32_t j = 0; j < n_bypass; ++j)
+                raw_val |= dec.get_bypass() << (j * kBypassBits);
+            value = (raw_val & 1)
+                ? -static_cast<int32_t>((raw_val + 1) >> 1)
+                : static_cast<int32_t>(raw_val >> 1) + max_value;
+        }
+        out[i] = value + offsets[idx];
+    }
+    return 0;
+}
+
+}  // extern "C"
