@@ -136,6 +136,21 @@ class FasterRCNN(nn.Module):
         dense tensors; losses/postprocess are separate pure fns."""
         image_hw = x.shape[1:3]
         features = self.extract_features(x, mode, train)
+        return self.detect(features, image_hw, train)
+
+    # deploy split: run detection from a decoded bottleneck feature (C2)
+    def forward_from_bottleneck(self, c2, image_hw, train: bool = False):
+        body_feats = self.backbone.forward_tail(c2, train)
+        features = self.fpn(body_feats)
+        return self.detect(features, image_hw, train)
+
+    def encode_ops(self, x, medians):
+        return self.backbone.bottleneck_layer.encode_ops(x, medians)
+
+    def decode_ops(self, symbols, medians):
+        return self.backbone.bottleneck_layer.decode_ops(symbols, medians)
+
+    def detect(self, features, image_hw, train: bool = False):
         objectness, deltas = self.rpn_head(features)
         level_sizes = [int(np.prod(o.shape[1:3])) * o.shape[3]
                        for o in objectness]

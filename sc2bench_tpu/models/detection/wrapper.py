@@ -78,6 +78,68 @@ class InputCompressionDetectionModel(DetectionRuntime):
             analyzer=analyzer, **kwargs.get('transform_kwargs', {}))
 
 
+class SplitDetectionRuntime(AnalyzerHolder):
+    """Deploy runtime for splittable (entropic-student) detection: encode the
+    bottleneck latent → rANS bytes (data-size analysis) → decode → FPN/RPN/
+    RoI heads (the reference's FeatureExtractionBackbone encode→analyze→
+    decode eval path, SURVEY.md §3.3)."""
+
+    def __init__(self, module, variables, analyzer_configs=None):
+        from ..runtime import FactorizedCodec
+        if analyzer_configs is None:
+            analyzer_configs = [{'key': 'FileSizeAnalyzer',
+                                 'kwargs': {'unit': 'KB'}}]
+        super().__init__(analyzer_configs)
+        self.module = module
+        self.variables = variables
+        self.codec = FactorizedCodec(
+            bottleneck_path='backbone.bottleneck_layer')
+        self.bottleneck_updated = False
+        self._jit = {}
+
+    def update(self):
+        from ...ops.entropy.factorized import EntropyBottleneck
+        eb_channels = int(self.codec.eb_params(self.variables)
+                          ['quantiles'].shape[0])
+        eb = EntropyBottleneck(channels=eb_channels)
+        self.codec.update(self.module, self.variables, eb)
+        self._medians_dev = jnp.asarray(self.codec.tables.medians)
+        self.bottleneck_updated = True
+        return True
+
+    def _jitted(self, name, fn):
+        if name not in self._jit:
+            self._jit[name] = jax.jit(fn)
+        return self._jit[name]
+
+    def detect(self, batch):
+        """batch: NHWC canvas images. Returns dense detections + records the
+        per-image bottleneck bitstream size."""
+        from .rcnn import postprocess_detections
+        x = jnp.asarray(batch)
+        ops = self._jitted('enc', lambda v, x, m: self.module.apply(
+            v, x, m, method=lambda mod, x, med: mod.encode_ops(x, med)))(
+            self.variables, x, self._medians_dev)
+        symbols = np.asarray(ops['symbols'])
+        strings = self.codec.compress_symbols(symbols)
+        self.analyze({'strings': [strings],
+                      'shape': tuple(symbols.shape[1:3])})
+        decoded = self.codec.decompress_symbols(
+            strings, symbols.shape[1:3], symbols.shape[-1])
+        hw = x.shape[1:3]
+        key = f'dec_{hw[0]}x{hw[1]}'
+        if key not in self._jit:
+            def dec(v, s, m):
+                def m_fn(mod, s, med):
+                    c2 = mod.decode_ops(s, med)
+                    out = mod.forward_from_bottleneck(c2, hw)
+                    return postprocess_detections(out)
+                return self.module.apply(v, s, m, method=m_fn)
+            self._jit[key] = jax.jit(dec)
+        return self._jit[key](self.variables, jnp.asarray(decoded),
+                              self._medians_dev)
+
+
 def get_wrapped_detection_model(wrapper_model_config, **kwargs):
     """Build base detector + wrap (reference `wrapper.py:98-122`)."""
     from .registry import load_detection_model

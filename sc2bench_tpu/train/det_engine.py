@@ -129,11 +129,11 @@ class DetectionEngine:
         padded['boxes'] = padded['boxes'] * scales[:, None, None]
         return jnp.asarray(batch), jax.tree.map(jnp.asarray, padded), scales
 
-    def evaluate(self, data_loader):
+    def evaluate(self, data_loader, runtime=None):
+        """runtime: a SplitDetectionRuntime for the deploy path (real
+        bitstream + data-size analysis); None = plain jitted forward."""
         evaluator = CocoEvaluator()
-        if self._eval_fn is None:
-            mode = 'finetune' if self.bottleneck_updated else 'train'
-
+        if runtime is None and self._eval_fn is None:
             def fwd(variables, x):
                 out = self.student_module.apply(
                     variables, x, mode='finetune', train=False)
@@ -144,7 +144,11 @@ class DetectionEngine:
         for images, targets in data_loader:
             batch, scales, _ = self.transform(list(images))
             t0 = time.time()
-            dets = self._eval_fn(self.student_variables, jnp.asarray(batch))
+            if runtime is not None:
+                dets = runtime.detect(batch)
+            else:
+                dets = self._eval_fn(self.student_variables,
+                                     jnp.asarray(batch))
             meter.update(model_time=time.time() - t0)
             for i, target in enumerate(targets):
                 evaluator.add_gt(target)
@@ -204,6 +208,23 @@ class DetectionEngine:
         return best
 
     def test(self):
+        """Deploy-path test: real bitstream + data-size analysis when the
+        model has an entropy bottleneck (reference protocol, batch 1)."""
         test_config = self.config.get('test', {})
         loader = self.build_loader(test_config['test_data_loader'])
-        return self.evaluate(loader)
+        runtime = None
+        try:
+            from ..models.detection.wrapper import SplitDetectionRuntime
+            runtime = SplitDetectionRuntime(self.student_module,
+                                            self.student_variables)
+            runtime.update()
+            runtime.activate_analysis()
+        except (KeyError, AttributeError, TypeError):
+            runtime = None  # no entropy bottleneck in this model
+        stats = self.evaluate(loader, runtime=runtime)
+        if runtime is not None:
+            summaries = runtime.summarize()
+            for s in summaries:
+                logger.info('analysis: %s', s)
+            stats['data_size'] = summaries
+        return stats

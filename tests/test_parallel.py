@@ -47,3 +47,28 @@ def test_2d_mesh_construction():
     mesh = get_mesh(8, axes=('data', 'model'))
     assert mesh.devices.size == 8
     assert mesh.axis_names == ('data', 'model')
+
+
+def test_spatial_sharding_of_encoder():
+    """2-D ('data','model') mesh: shard the conv encoder's H dimension over
+    'model' for very large inputs (SURVEY.md §5.7). XLA GSPMD inserts the
+    halo exchanges; the result must match unsharded execution exactly."""
+    from sc2bench_tpu.models.layer import FPBasedResNetBottleneck
+    mesh = get_mesh(8, axes=('data', 'model'))
+    bneck = FPBasedResNetBottleneck(num_bottleneck_channels=8)
+    x = jnp.zeros((2, 128, 128, 3))
+    variables = jax.jit(lambda r, x: bneck.init(r, x, mode='train'))(
+        {'params': jax.random.key(0), 'noise': jax.random.key(1)}, x)
+    variables = {'params': variables['params']}
+    xr = jax.random.normal(jax.random.key(2), (2, 128, 128, 3))
+
+    enc = jax.jit(lambda v, x: bneck.apply(
+        v, x, method=lambda m, x: m.encoder(x)))
+    ref = enc(variables, xr)
+
+    spatial = NamedSharding(mesh, P('data', 'model', None, None))
+    v_repl = jax.device_put(variables, NamedSharding(mesh, P()))
+    x_sh = jax.device_put(xr, spatial)
+    out = enc(v_repl, x_sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
