@@ -141,3 +141,47 @@ def test_image_codec_rate_distortion_training():
     assert x_hat.shape == (1, 32, 32, 3)
     psnr = -10 * np.log10(float(jnp.mean((x_hat - x0[:1]) ** 2)) + 1e-12)
     assert psnr > 18.0, psnr
+
+
+@pytest.mark.slow
+def test_gaussian_conditional_gradients_reduce_rate():
+    """SHP-style training signal: gradients through the GaussianConditional
+    must let the hyper-path shrink the y rate below the no-context
+    (max-scale) rate."""
+    from sc2bench_tpu.models.layer import SHPBasedResNetBottleneck
+    module = SHPBasedResNetBottleneck(num_latent_channels=4,
+                                      num_bottleneck_channels=8,
+                                      num_target_channels=32)
+    x0 = jnp.zeros((4, 32, 32, 3))
+    variables = module.init(
+        {'params': jax.random.key(0), 'noise': jax.random.key(1)},
+        x0, mode='train')
+    params = variables['params']
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    def rate(p, x, rng):
+        _, state = module.apply({'params': p}, x, mode='train',
+                                rngs={'noise': rng}, mutable=['entropy'])
+        (_, z_lik), = state['entropy']['eb_out']
+        (_, y_lik), = state['entropy']['gc_out']
+        return (-jnp.sum(jnp.log2(y_lik)) - jnp.sum(jnp.log2(z_lik))) \
+            / x.shape[0]
+
+    @jax.jit
+    def step(params, opt_state, x, rng):
+        def loss_fn(p):
+            return rate(p, x, rng) + 1e-3 * factorized_aux_loss(p)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = jax.random.key(2)
+    x = jax.random.normal(jax.random.key(3), (4, 32, 32, 3))
+    first = None
+    for i in range(150):
+        rng, srng = jax.random.split(rng)
+        params, opt_state, loss = step(params, opt_state, x, srng)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first * 0.8, (first, float(loss))
