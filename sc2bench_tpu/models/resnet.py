@@ -78,14 +78,17 @@ class ResNetStage(nn.Module):
     dilation: int = 1
     dilate: bool = False
     dtype: Dtype = jnp.float32
+    remat: bool = False  # rematerialize blocks (trade FLOPs for HBM)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         strides = 1 if self.dilate else self.strides
         first_dil = self.dilation
         block_dil = self.dilation * (self.strides if self.dilate else 1)
+        block_cls = nn.remat(BottleneckBlock) if self.remat \
+            else BottleneckBlock
         for i in range(self.blocks):
-            x = BottleneckBlock(
+            x = block_cls(
                 self.filters, strides=strides if i == 0 else 1,
                 dilation=first_dil if i == 0 else block_dil,
                 dtype=self.dtype, name=f'block{i}')(x, train)

@@ -25,7 +25,7 @@ from ..ops.entropy.tables import (
     CodingTables, build_factorized_tables, build_gaussian_tables)
 from ..ops.rans.coder import RansCoder
 from .layer import (EntropyBottleneckLayer, FPBasedResNetBottleneck,
-                    SHPBasedResNetBottleneck, SimpleBottleneck)
+                    SHPBasedResNetBottleneck)
 
 
 def _channel_major(symbols: np.ndarray) -> np.ndarray:

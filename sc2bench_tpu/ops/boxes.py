@@ -131,14 +131,10 @@ def fast_nms_mask(boxes, scores, iou_threshold: float, max_out: int):
     tri = jnp.triu(jnp.ones((b.shape[0], b.shape[0]), bool), k=1)
     max_iou = jnp.max(jnp.where(tri, iou, 0.0), axis=0)
     keep = (max_iou <= iou_threshold) & (order_scores > -jnp.inf)
-    # compact the kept boxes to the first max_out slots
+    # compact kept boxes into the first max_out slots; slot max_out is a
+    # sentinel row that absorbs overflow and suppressed entries
     rank = jnp.cumsum(keep) - 1
-    out_idx = jnp.zeros((max_out,), jnp.int32)
-    out_valid = jnp.zeros((max_out,), bool)
     slot = jnp.where(keep & (rank < max_out), rank, max_out)
-    out_idx = out_idx.at[jnp.minimum(slot, max_out - 1)].set(
-        order, mode='drop')
-    # rebuild via scatter with a sentinel row to drop overflow
     out_idx = jnp.zeros((max_out + 1,), jnp.int32).at[slot].set(
         order, mode='drop')[:max_out]
     out_valid = jnp.zeros((max_out + 1,), bool).at[slot].set(

@@ -120,7 +120,9 @@ class DistillationBox:
             step=jnp.zeros((), jnp.int32), params=params,
             batch_stats=student_variables.get('batch_stats', {}),
             opt_state=self.tx.init(params))
-        self._train_step = jax.jit(self._step,
+        # donate the train state: params/opt-state buffers are reused
+        # in-place, halving peak HBM for the update
+        self._train_step = jax.jit(self._step, donate_argnums=(0,),
                                    static_argnames=('student_mode',))
 
     # ---- pure step ------------------------------------------------------
