@@ -26,6 +26,55 @@ AREA_RANGES = {
 MAX_DETS = (1, 10, 100)
 
 
+def paste_mask(mask28: np.ndarray, box_xyxy, height: int, width: int,
+               thresh: float = 0.5) -> np.ndarray:
+    """Paste a (28, 28) probability mask into an image-sized binary mask at
+    `box` (the torchvision paste_masks_in_image step of Mask R-CNN
+    postprocessing)."""
+    x1, y1, x2, y2 = [float(v) for v in box_xyxy]
+    x1i, y1i = int(np.floor(x1)), int(np.floor(y1))
+    x2i, y2i = int(np.ceil(x2)), int(np.ceil(y2))
+    w = max(x2i - x1i, 1)
+    h = max(y2i - y1i, 1)
+    ys = (np.arange(h) + 0.5) / h * mask28.shape[0] - 0.5
+    xs = (np.arange(w) + 0.5) / w * mask28.shape[1] - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, mask28.shape[0] - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, mask28.shape[1] - 1)
+    y1f = np.clip(y0 + 1, 0, mask28.shape[0] - 1)
+    x1f = np.clip(x0 + 1, 0, mask28.shape[1] - 1)
+    wy = np.clip(ys - y0, 0, 1)[:, None]
+    wx = np.clip(xs - x0, 0, 1)[None, :]
+    m = (mask28[np.ix_(y0, x0)] * (1 - wy) * (1 - wx)
+         + mask28[np.ix_(y0, x1f)] * (1 - wy) * wx
+         + mask28[np.ix_(y1f, x0)] * wy * (1 - wx)
+         + mask28[np.ix_(y1f, x1f)] * wy * wx)
+    out = np.zeros((height, width), bool)
+    oy1, oy2 = max(y1i, 0), min(y2i, height)
+    ox1, ox2 = max(x1i, 0), min(x2i, width)
+    if oy2 > oy1 and ox2 > ox1:
+        out[oy1:oy2, ox1:ox2] = \
+            (m[oy1 - y1i:oy2 - y1i, ox1 - x1i:ox2 - x1i] >= thresh)
+    return out
+
+
+def _mask_iou(det_masks, gt_masks, iscrowd):
+    """IoU matrix over binary masks; crowd gt uses intersection/det-area
+    (pycocotools RLE iou semantics)."""
+    d = len(det_masks)
+    g = len(gt_masks)
+    out = np.zeros((d, g))
+    d_areas = [m.sum() for m in det_masks]
+    for j in range(g):
+        gm = gt_masks[j]
+        g_area = gm.sum()
+        for i in range(d):
+            inter = np.logical_and(det_masks[i], gm).sum()
+            denom = d_areas[i] if iscrowd[j] else \
+                d_areas[i] + g_area - inter
+            out[i, j] = inter / max(denom, 1e-10)
+    return out
+
+
 def _bbox_iou_xywh(dets, gts, iscrowd):
     """IoU with crowd semantics: for crowd gt, intersection / det area."""
     if len(dets) == 0 or len(gts) == 0:
@@ -51,8 +100,12 @@ class CocoEvaluator:
     12 standard COCO metrics. Ground truth comes from the dataset's target
     dicts (boxes xyxy absolute, labels, iscrowd, area)."""
 
-    def __init__(self, dataset=None, iou_types=('bbox',)):
-        assert 'bbox' in iou_types, 'only bbox implemented'
+    def __init__(self, dataset=None, iou_types=('bbox',), iou_type=None):
+        # one evaluator instance per iou_type ('bbox' or 'segm'); pass
+        # iou_type='segm' to score masks (targets/preds carry 'masks':
+        # lists of full-size binary arrays; see `paste_mask`).
+        self.iou_type = iou_type or iou_types[0]
+        assert self.iou_type in ('bbox', 'segm')
         self.gts = {}          # image_id -> target dict
         self.preds = {}        # image_id -> {'boxes','scores','labels'}
         if dataset is not None:
@@ -65,13 +118,17 @@ class CocoEvaluator:
         self.gts[target['image_id']] = target
 
     def update(self, res: dict):
-        """res: {image_id: {'boxes' (xyxy), 'scores', 'labels'}}."""
+        """res: {image_id: {'boxes' (xyxy), 'scores', 'labels'
+        [, 'masks': list of HxW bool]}}."""
         for img_id, pred in res.items():
-            self.preds[img_id] = {
+            entry = {
                 'boxes': np.asarray(pred['boxes'], np.float64).reshape(-1, 4),
                 'scores': np.asarray(pred['scores'], np.float64).ravel(),
                 'labels': np.asarray(pred['labels'], np.int64).ravel(),
             }
+            if 'masks' in pred:
+                entry['masks'] = list(pred['masks'])
+            self.preds[img_id] = entry
 
     def synchronize_between_processes(self):
         import jax
@@ -107,9 +164,14 @@ class CocoEvaluator:
         d_order = np.argsort(-dt['scores'], kind='stable')[:max_det]
         d_boxes = dt['boxes_xywh'][d_order]
         d_scores = dt['scores'][d_order]
-        d_area = d_boxes[:, 2] * d_boxes[:, 3]
-
-        ious = _bbox_iou_xywh(d_boxes, g_boxes, g_iscrowd)
+        if self.iou_type == 'segm' and 'masks' in dt:
+            d_masks = [dt['masks'][k] for k in d_order]
+            g_masks = [gt['masks'][k] for k in order_g]
+            d_area = np.asarray([m.sum() for m in d_masks], np.float64)
+            ious = _mask_iou(d_masks, g_masks, g_iscrowd)
+        else:
+            d_area = d_boxes[:, 2] * d_boxes[:, 3]
+            ious = _bbox_iou_xywh(d_boxes, g_boxes, g_iscrowd)
         T, D, G = len(iou_thrs), len(d_boxes), len(g_boxes)
         dt_m = np.zeros((T, D), np.int64) - 1
         gt_m = np.zeros((T, G), np.int64) - 1
@@ -150,6 +212,9 @@ class CocoEvaluator:
                     'iscrowd': np.asarray(gt['iscrowd'])[sel_g],
                     'area': np.asarray(gt['area'], np.float64)[sel_g],
                 }
+                if self.iou_type == 'segm' and 'masks' in gt:
+                    g['masks'] = [m for m, keep in
+                                  zip(gt['masks'], sel_g) if keep]
                 g['ignore'] = g['iscrowd'].astype(bool)
                 pred = self.preds.get(img_id)
                 if pred is None:
@@ -159,6 +224,9 @@ class CocoEvaluator:
                     sel_d = pred['labels'] == cat
                     d = {'boxes_xywh': _xyxy_to_xywh(pred['boxes'][sel_d]),
                          'scores': pred['scores'][sel_d]}
+                    if self.iou_type == 'segm' and 'masks' in pred:
+                        d['masks'] = [m for m, keep in
+                                      zip(pred['masks'], sel_d) if keep]
                 if len(g['boxes_xywh']) == 0 and len(d['boxes_xywh']) == 0:
                     continue
                 s, dt_m, dt_ig, g_ign = self._evaluate_img(

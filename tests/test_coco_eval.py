@@ -81,3 +81,49 @@ def test_crowd_gt_ignored():
     stats = ev.summarize()
     # the crowd gt must not count as a miss
     assert abs(stats['AP'] - 1.0) < 1e-6
+
+
+def test_segm_iou_type_perfect_masks():
+    from sc2bench_tpu.utils.coco_eval import CocoEvaluator, paste_mask
+    ev = CocoEvaluator(iou_type='segm')
+    h = w = 64
+    gt_mask = np.zeros((h, w), bool)
+    gt_mask[10:30, 10:30] = True
+    gt = _gt(0, [[10, 10, 30, 30]], [1])
+    gt['masks'] = [gt_mask]
+    gt['area'] = np.asarray([gt_mask.sum()], np.float32)
+    ev.add_gt(gt)
+    ev.update({0: {'boxes': [[10, 10, 30, 30]], 'scores': [0.9],
+                   'labels': [1], 'masks': [gt_mask.copy()]}})
+    ev.accumulate()
+    stats = ev.summarize()
+    assert abs(stats['AP'] - 1.0) < 1e-6
+
+
+def test_segm_iou_penalizes_bad_mask():
+    from sc2bench_tpu.utils.coco_eval import CocoEvaluator
+    ev = CocoEvaluator(iou_type='segm')
+    h = w = 64
+    gt_mask = np.zeros((h, w), bool)
+    gt_mask[10:30, 10:30] = True
+    pred_mask = np.zeros((h, w), bool)
+    pred_mask[40:60, 40:60] = True  # same box-size, zero mask overlap
+    gt = _gt(0, [[10, 10, 30, 30]], [1])
+    gt['masks'] = [gt_mask]
+    gt['area'] = np.asarray([gt_mask.sum()], np.float32)
+    ev.add_gt(gt)
+    ev.update({0: {'boxes': [[10, 10, 30, 30]], 'scores': [0.9],
+                   'labels': [1], 'masks': [pred_mask]}})
+    ev.accumulate()
+    stats = ev.summarize()
+    assert stats['AP'] == 0.0
+
+
+def test_paste_mask():
+    from sc2bench_tpu.utils.coco_eval import paste_mask
+    m28 = np.ones((28, 28), np.float32)
+    out = paste_mask(m28, [8.0, 4.0, 24.0, 20.0], 32, 32)
+    assert out.shape == (32, 32)
+    assert out[12, 16] and not out[0, 0] and not out[30, 30]
+    # pasted area ~ box area
+    assert abs(out.sum() - 16 * 16) <= 40
