@@ -75,6 +75,52 @@ def _mask_iou(det_masks, gt_masks, iscrowd):
     return out
 
 
+# COCO keypoint per-joint falloff constants (sigmas), nose..right_ankle
+KPT_SIGMAS = np.asarray([
+    .026, .025, .025, .035, .035, .079, .079, .072, .072, .062, .062,
+    .107, .107, .087, .087, .089, .089])
+
+
+def _oks_iou(det_kps, gt_kps, gt_areas, iscrowd):
+    """Object-keypoint-similarity matrix (pycocotools computeOks semantics).
+    det_kps (D, K, 2|3); gt_kps (G, K, 3) with visibility in [:, :, 2]."""
+    d = len(det_kps)
+    g = len(gt_kps)
+    out = np.zeros((d, g))
+    vars_ = (2 * KPT_SIGMAS) ** 2
+    for j in range(g):
+        gk = np.asarray(gt_kps[j], np.float64)
+        vis = gk[:, 2] > 0
+        s2 = max(float(gt_areas[j]), 1e-10)
+        for i in range(d):
+            dk = np.asarray(det_kps[i], np.float64)
+            dx = dk[:, 0] - gk[:, 0]
+            dy = dk[:, 1] - gk[:, 1]
+            e = (dx ** 2 + dy ** 2) / vars_[:len(dx)] / s2 / 2
+            if vis.any():
+                out[i, j] = np.mean(np.exp(-e[vis]))
+            else:
+                out[i, j] = 0.0
+    return out
+
+
+def keypoints_from_heatmaps(heatmaps: np.ndarray, boxes: np.ndarray):
+    """Decode (D, H, W, K) heatmaps into image-space keypoints (D, K, 3):
+    per-joint argmax mapped into the detection box, score = peak value."""
+    d, hh, ww, k = heatmaps.shape
+    out = np.zeros((d, k, 3), np.float32)
+    for i in range(d):
+        x1, y1, x2, y2 = boxes[i]
+        for j in range(k):
+            hm = heatmaps[i, :, :, j]
+            idx = int(np.argmax(hm))
+            py, px = divmod(idx, ww)
+            out[i, j, 0] = x1 + (px + 0.5) / ww * (x2 - x1)
+            out[i, j, 1] = y1 + (py + 0.5) / hh * (y2 - y1)
+            out[i, j, 2] = hm[py, px]
+    return out
+
+
 def _bbox_iou_xywh(dets, gts, iscrowd):
     """IoU with crowd semantics: for crowd gt, intersection / det area."""
     if len(dets) == 0 or len(gts) == 0:
@@ -105,7 +151,7 @@ class CocoEvaluator:
         # iou_type='segm' to score masks (targets/preds carry 'masks':
         # lists of full-size binary arrays; see `paste_mask`).
         self.iou_type = iou_type or iou_types[0]
-        assert self.iou_type in ('bbox', 'segm')
+        assert self.iou_type in ('bbox', 'segm', 'keypoints')
         self.gts = {}          # image_id -> target dict
         self.preds = {}        # image_id -> {'boxes','scores','labels'}
         if dataset is not None:
@@ -128,6 +174,9 @@ class CocoEvaluator:
             }
             if 'masks' in pred:
                 entry['masks'] = list(pred['masks'])
+            if 'keypoints' in pred:
+                entry['keypoints'] = np.asarray(pred['keypoints'],
+                                                np.float64)
             self.preds[img_id] = entry
 
     def synchronize_between_processes(self):
@@ -169,6 +218,13 @@ class CocoEvaluator:
             g_masks = [gt['masks'][k] for k in order_g]
             d_area = np.asarray([m.sum() for m in d_masks], np.float64)
             ious = _mask_iou(d_masks, g_masks, g_iscrowd)
+        elif self.iou_type == 'keypoints' and 'keypoints' in dt:
+            d_kps = [dt['keypoints'][k] for k in d_order]
+            g_kps = [gt['keypoints'][k] for k in order_g]
+            g_areas = gt['area'][order_g] if hasattr(
+                gt['area'], '__getitem__') else gt['area']
+            d_area = d_boxes[:, 2] * d_boxes[:, 3]
+            ious = _oks_iou(d_kps, g_kps, g_areas, g_iscrowd)
         else:
             d_area = d_boxes[:, 2] * d_boxes[:, 3]
             ious = _bbox_iou_xywh(d_boxes, g_boxes, g_iscrowd)
@@ -215,6 +271,9 @@ class CocoEvaluator:
                 if self.iou_type == 'segm' and 'masks' in gt:
                     g['masks'] = [m for m, keep in
                                   zip(gt['masks'], sel_g) if keep]
+                if self.iou_type == 'keypoints' and 'keypoints' in gt:
+                    g['keypoints'] = [m for m, keep in
+                                      zip(gt['keypoints'], sel_g) if keep]
                 g['ignore'] = g['iscrowd'].astype(bool)
                 pred = self.preds.get(img_id)
                 if pred is None:
@@ -227,6 +286,11 @@ class CocoEvaluator:
                     if self.iou_type == 'segm' and 'masks' in pred:
                         d['masks'] = [m for m, keep in
                                       zip(pred['masks'], sel_d) if keep]
+                    if self.iou_type == 'keypoints' \
+                            and 'keypoints' in pred:
+                        d['keypoints'] = [m for m, keep in
+                                          zip(pred['keypoints'], sel_d)
+                                          if keep]
                 if len(g['boxes_xywh']) == 0 and len(d['boxes_xywh']) == 0:
                     continue
                 s, dt_m, dt_ig, g_ign = self._evaluate_img(

@@ -127,3 +127,41 @@ def test_paste_mask():
     assert out[12, 16] and not out[0, 0] and not out[30, 30]
     # pasted area ~ box area
     assert abs(out.sum() - 16 * 16) <= 40
+
+
+def test_keypoints_oks_perfect_and_shifted():
+    from sc2bench_tpu.utils.coco_eval import CocoEvaluator
+    rng = np.random.default_rng(0)
+    kps = np.zeros((17, 3))
+    kps[:, 0] = rng.uniform(20, 80, 17)
+    kps[:, 1] = rng.uniform(20, 80, 17)
+    kps[:, 2] = 2  # visible
+    gt = _gt(0, [[10, 10, 90, 90]], [1])
+    gt['keypoints'] = [kps]
+    ev = CocoEvaluator(iou_type='keypoints')
+    ev.add_gt(gt)
+    ev.update({0: {'boxes': [[10, 10, 90, 90]], 'scores': [0.9],
+                   'labels': [1], 'keypoints': [kps[:, :2]]}})
+    ev.accumulate()
+    assert abs(ev.summarize()['AP'] - 1.0) < 1e-6
+    # far-off keypoints -> OKS ~ 0 -> AP 0
+    ev2 = CocoEvaluator(iou_type='keypoints')
+    ev2.add_gt(gt)
+    bad = kps[:, :2] + 500.0
+    ev2.update({0: {'boxes': [[10, 10, 90, 90]], 'scores': [0.9],
+                    'labels': [1], 'keypoints': [bad]}})
+    ev2.accumulate()
+    assert ev2.summarize()['AP'] == 0.0
+
+
+def test_keypoints_from_heatmaps():
+    from sc2bench_tpu.utils.coco_eval import keypoints_from_heatmaps
+    hm = np.zeros((1, 56, 56, 2), np.float32)
+    hm[0, 28, 14, 0] = 1.0   # joint 0 peak at (y=28, x=14)
+    hm[0, 7, 49, 1] = 2.0
+    boxes = np.asarray([[100.0, 200.0, 156.0, 256.0]])
+    kps = keypoints_from_heatmaps(hm, boxes)
+    assert kps.shape == (1, 2, 3)
+    np.testing.assert_allclose(kps[0, 0, :2],
+                               [100 + 14.5, 200 + 28.5], atol=1.0)
+    assert kps[0, 1, 2] == 2.0
