@@ -44,13 +44,15 @@ def transfer_matching_subtrees(student_vars, teacher_vars, paths):
     """Copy teacher param/batch_stats subtrees into the student where names
     match (tail init before distillation — the functional equivalent of the
     reference loading torchvision weights into the splittable model,
-    `backbone.py:260-273`)."""
+    `backbone.py:260-273`). Leaves are materialized as fresh buffers: the
+    student's train state is donated per step, so aliasing teacher buffers
+    would delete them."""
     out = jax.tree.map(lambda x: x, student_vars)  # shallow-ish copy
     for coll in ('params', 'batch_stats'):
         s, t = out.get(coll, {}), teacher_vars.get(coll, {})
         for p in paths:
             if p in t and p in s:
-                s[p] = t[p]
+                s[p] = jax.tree.map(lambda a: jnp.array(a), t[p])
     return out
 
 
