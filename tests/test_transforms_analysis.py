@@ -124,3 +124,33 @@ def test_metric_logger():
         m.update(loss=v)
     assert abs(m.meters['loss'].global_avg - 2.0) < 1e-9
     assert 'loss' in str(m)
+
+
+def test_encoder_size_metric_on_flagship():
+    """The benchmark's encoder-size metric (bits of mobile-side params) on
+    the real flagship model: encoder = bottleneck conv/GDN analysis half;
+    entropy-bottleneck density params are shared bookkeeping (the
+    reference's additional_rest_paths contract, analysis.py:202-264)."""
+    import jax
+    import jax.numpy as jnp
+    from sc2bench_tpu.models.backbone import SplittableResNet
+    from sc2bench_tpu.models.layer import FPBasedResNetBottleneck
+    from sc2bench_tpu.analysis import analyze_model_size
+    model = SplittableResNet(
+        bottleneck_layer=FPBasedResNetBottleneck(num_bottleneck_channels=24),
+        stage_sizes=(3, 4, 6, 3), num_classes=1000)
+    shapes = jax.eval_shape(lambda: model.init(
+        {'params': jax.random.key(0), 'noise': jax.random.key(1)},
+        jnp.zeros((1, 224, 224, 3)), mode='train'))
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                          shapes['params'])
+    sizes = analyze_model_size(
+        params,
+        encoder_paths=['bottleneck_layer.encoder',
+                       'bottleneck_layer.enc_'])
+    assert sizes['encoder'] > 0
+    assert sizes['model'] == sizes['encoder'] + sizes['rest']
+    # the mobile encoder must be a tiny fraction of the server model
+    assert sizes['encoder'] < sizes['model'] * 0.02
+    # flagship encoder ~= 2 convs(5x5) + GDNs + 1 conv(2x2) of 96/48/24 ch
+    assert 5e5 < sizes['encoder'] < 2e7  # bits
