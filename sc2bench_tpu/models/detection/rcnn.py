@@ -197,9 +197,18 @@ class FasterRCNN(nn.Module):
 
 def postprocess_detections(outputs, score_thresh=BOX_SCORE_THRESH,
                            nms_thresh=BOX_NMS_THRESH,
-                           detections_per_img=DETECTIONS_PER_IMG):
+                           detections_per_img=DETECTIONS_PER_IMG,
+                           pre_nms_cap=4096):
     """Dense per-image detections (torchvision RoIHeads.postprocess
-    semantics, static shapes). Returns dict of (N, D, ...) arrays."""
+    semantics, static shapes). Returns dict of (N, D, ...) arrays.
+
+    `pre_nms_cap` bounds the per-image candidate set entering class-aware
+    NMS: the static-shape NMS materializes a cap×cap IoU matrix, and the
+    uncapped candidate set is R·(C-1) ≈ 90k (≈32 GB of IoU), so a finite
+    cap is required. torchvision NMS-es every candidate above score_thresh
+    (0.05), which in practice is far fewer than the cap; crowded images
+    could still lose low-score detections — deviation recorded in
+    PARITY.md. None = no cap (only safe for tiny class counts)."""
     logits = outputs['class_logits']          # (N, R, C)
     deltas = outputs['box_regression']        # (N, R, C, 4)
     proposals = outputs['proposals']          # (N, R, 4)
@@ -220,8 +229,8 @@ def postprocess_detections(outputs, score_thresh=BOX_SCORE_THRESH,
             & remove_small_boxes_mask(fg_boxes, 1e-2) \
             & jnp.repeat(valid_i, c - 1)
         sel_scores = jnp.where(ok, fg_scores, -1.0)
-        # cap candidates before NMS (static)
-        cap = min(sel_scores.shape[0], 4 * detections_per_img * 10)
+        cap = sel_scores.shape[0] if pre_nms_cap is None \
+            else min(sel_scores.shape[0], int(pre_nms_cap))
         top_scores, top_idx = jax.lax.top_k(sel_scores, cap)
         idx, keep = batched_nms_mask(fg_boxes[top_idx], top_scores,
                                      fg_labels[top_idx], nms_thresh,

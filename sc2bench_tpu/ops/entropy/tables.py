@@ -47,14 +47,17 @@ class CodingTables:
 
 
 def _pack_rows(pmfs, pmf_lengths, tail_masses, precision=16):
-    """Quantize each pmf row (+ tail symbol) into a padded int32 CDF matrix."""
+    """Quantize each pmf row (+ tail symbol) into a padded int32 CDF matrix.
+
+    Matches CompressAI `EntropyModel._pmf_to_cdf` exactly: row i's cdf has
+    pmf_length[i]+2 entries; the matrix is (num_dists, max_pmf_length+2)."""
     n = len(pmf_lengths)
-    max_cdf_len = int(max(pmf_lengths)) + 2 + 1
+    max_cdf_len = int(max(pmf_lengths)) + 2
     cdf = np.zeros((n, max_cdf_len), np.int32)
     cdf_length = np.zeros(n, np.int32)
     for i in range(n):
         L = int(pmf_lengths[i])
-        prob = np.concatenate([pmfs[i][:L], [max(float(tail_masses[i]), 1e-30)]])
+        prob = np.concatenate([pmfs[i][:L], [float(tail_masses[i])]])
         row = pmf_to_quantized_cdf(prob, precision)
         cdf[i, :len(row)] = row
         cdf_length[i] = L + 2
@@ -62,25 +65,41 @@ def _pack_rows(pmfs, pmf_lengths, tail_masses, precision=16):
 
 
 def _softplus_np(x):
-    return np.logaddexp(0.0, x)
+    """float32 softplus, correctly rounded via f64 — matches
+    torch.nn.functional.softplus(float32)."""
+    return np.logaddexp(0.0, np.asarray(x, np.float64)).astype(np.float32)
 
 
 def _logits_cumulative_np(params, inputs):
     """Host-numpy evaluation of the factorized prior's logit CDF (identical
     math to `EntropyBottleneck.logits_cumulative`). Table building is a tiny
     O(C * support) computation that runs once per update(); doing it on host
-    avoids two device compiles (minutes of wall clock over a TPU tunnel)."""
-    logits = np.asarray(inputs, np.float64)
+    avoids two device compiles (minutes of wall clock over a TPU tunnel).
+
+    Computed with CompressAI's op order (matmul → +bias →
+    +tanh(factor)*tanh(logits)) in correctly-rounded float32: plain
+    elementwise +/- stay f32 (IEEE-exact on every backend), while
+    transcendentals and the matmul evaluate in f64 and round to f32 — so
+    the quantized tables are bit-identical to the torch golden oracle
+    (`utils/torch_golden.py`, which applies the same rounding points)."""
+    logits = np.asarray(inputs, np.float32)
     i = 0
     while f'matrix_{i}' in params:
-        m = _softplus_np(np.asarray(params[f'matrix_{i}'], np.float64))
-        b = np.asarray(params[f'bias_{i}'], np.float64)
-        logits = np.einsum('cij,cjm->cim', m, logits) + b
+        m = _softplus_np(np.asarray(params[f'matrix_{i}'], np.float32))
+        b = np.asarray(params[f'bias_{i}'], np.float32)
+        logits = np.einsum('cij,cjm->cim', m.astype(np.float64),
+                           logits.astype(np.float64)).astype(np.float32)
+        logits = logits + b
         if f'factor_{i}' in params:
-            f = np.tanh(np.asarray(params[f'factor_{i}'], np.float64))
-            logits = logits + f * np.tanh(logits)
+            f = _tanh32(np.asarray(params[f'factor_{i}'], np.float32))
+            logits = logits + f * _tanh32(logits)
         i += 1
     return logits
+
+
+def _tanh32(x):
+    """Correctly-rounded float32 tanh (f64 compute, f32 round)."""
+    return np.tanh(np.asarray(x, np.float64)).astype(np.float32)
 
 
 def build_factorized_tables(bottleneck, params, precision: int = 16) -> CodingTables:
@@ -94,19 +113,19 @@ def build_factorized_tables(bottleneck, params, precision: int = 16) -> CodingTa
     if 'params' in params:
         params = params['params']
     params = jax.device_get(params)
-    quantiles = np.asarray(params['quantiles'])  # (C, 1, 3)
+    quantiles = np.asarray(params['quantiles'], np.float32)  # (C, 1, 3)
     medians = quantiles[:, 0, 1]
     minima = np.maximum(np.ceil(medians - quantiles[:, 0, 0]), 0).astype(np.int32)
     maxima = np.maximum(np.ceil(quantiles[:, 0, 2] - medians), 0).astype(np.int32)
-    pmf_start = medians - minima
+    pmf_start = (medians - minima).astype(np.float32)
     pmf_length = (maxima + minima + 1).astype(np.int32)
     max_length = int(pmf_length.max())
 
-    samples = np.arange(max_length, dtype=np.float32)[None, None, :] \
-        + pmf_start[:, None, None]  # (C, 1, max_length)
+    samples = (np.arange(max_length, dtype=np.float32)[None, None, :]
+               + pmf_start[:, None, None]).astype(np.float32)
 
-    lower = _logits_cumulative_np(params, samples - 0.5)
-    upper = _logits_cumulative_np(params, samples + 0.5)
+    lower = _logits_cumulative_np(params, samples - np.float32(0.5))
+    upper = _logits_cumulative_np(params, samples + np.float32(0.5))
     sign = -np.sign(lower + upper)
     pmf = np.abs(_sigmoid(sign * upper) - _sigmoid(sign * lower))[:, 0, :]
     tail_mass = _sigmoid(lower[:, 0, 0]) + _sigmoid(-upper[:, 0, -1])
@@ -125,19 +144,22 @@ def build_gaussian_tables(scale_table: np.ndarray | None = None,
     `sc2bench/models/layer.py:698-705`)."""
     if scale_table is None:
         scale_table = get_scale_table()
-    scale_table = np.asarray(scale_table, np.float64)
+    scale_table = np.asarray(scale_table, np.float32)
     multiplier = -_norm().ppf(tail_mass / 2)
-    pmf_center = np.ceil(scale_table * multiplier).astype(np.int32)
+    pmf_center = np.ceil(scale_table * np.float32(multiplier)).astype(np.int32)
     pmf_length = 2 * pmf_center + 1
     max_length = int(pmf_length.max())
 
-    samples = np.abs(np.arange(max_length, dtype=np.float64)[None, :]
-                     - pmf_center[:, None])
+    # float32 with CompressAI's erfc-based op order (torch_golden.py)
+    samples = np.abs(np.arange(max_length, dtype=np.int32)[None, :]
+                     - pmf_center[:, None]).astype(np.float32)
     scales = scale_table[:, None]
-    upper = _std_cdf((0.5 - samples) / scales)
-    lower = _std_cdf((-0.5 - samples) / scales)
-    pmf = upper - lower
-    tail_mass_arr = 2 * lower[:, 0]
+    upper = _std_cdf(((np.float32(0.5) - samples) / scales
+                      ).astype(np.float32))
+    lower = _std_cdf(((np.float32(-0.5) - samples) / scales
+                      ).astype(np.float32))
+    pmf = (upper - lower).astype(np.float32)
+    tail_mass_arr = (2 * lower[:, 0]).astype(np.float32)
 
     cdf, cdf_length = _pack_rows(pmf, pmf_length, tail_mass_arr, precision)
     return CodingTables(quantized_cdf=cdf, cdf_length=cdf_length,
@@ -146,8 +168,16 @@ def build_gaussian_tables(scale_table: np.ndarray | None = None,
 
 
 def _sigmoid(x):
-    return 1.0 / (1.0 + np.exp(-x))
+    """float32 sigmoid, correctly rounded (computed in f64, cast to f32) —
+    matches torch.sigmoid(float32) to the last ulp in practice."""
+    return (1.0 / (1.0 + np.exp(-np.asarray(x, np.float64)))
+            ).astype(np.float32)
 
 
 def _std_cdf(x):
-    return _norm().cdf(x)
+    """Standard normal CDF via erfc, float32 result (CompressAI
+    `_standardized_cumulative`: 0.5 * erfc(-x / sqrt(2)))."""
+    from scipy.special import erfc
+    const = np.float64(-(2.0 ** -0.5))
+    return (0.5 * erfc(const * np.asarray(x, np.float64))
+            ).astype(np.float32)

@@ -90,29 +90,46 @@ def pmf_to_quantized_cdf(pmf: np.ndarray, precision: int = 16) -> np.ndarray:
     """Quantize a pmf (including a final tail-mass entry) to an integer CDF
     with `2**precision` total mass and no zero-frequency symbols.
 
-    Mirrors the contract of CompressAI's C++ `pmf_to_quantized_cdf`
-    (invoked from the reference via `CompressionModel.update()`,
-    `sc2bench/models/layer.py:388-398`): freq >= 1 for every symbol, missing
-    mass stolen from the largest-frequency symbol. Returns int32 cdf of
-    length len(pmf)+1 with cdf[0]=0, cdf[-1]=2**precision.
+    Bit-exact reimplementation of the semantics of CompressAI's C++
+    `pmf_to_quantized_cdf` (invoked from the reference via
+    `CompressionModel.update()`, `sc2bench/models/layer.py:388-398`):
+    per-symbol `round(p * 2^precision)` in float32, integer renormalization
+    by truncating division, partial sum with the final entry pinned to
+    `2^precision`, then zero-width intervals widened by stealing one count
+    from the lowest-frequency symbol with freq > 1 (shifting the cdf entries
+    between thief and victim). Returns int32 cdf of length len(pmf)+1 with
+    cdf[0]=0, cdf[-1]=2**precision. Pinned against the pure-torch golden
+    oracle in `tests/test_parity_golden.py`.
     """
-    pmf = np.asarray(pmf, dtype=np.float64)
-    if np.any(pmf < 0) or not np.all(np.isfinite(pmf)):
+    pmf32 = np.asarray(pmf, dtype=np.float32)
+    if np.any(pmf32 < 0) or not np.all(np.isfinite(pmf32)):
         raise ValueError('pmf must be finite and non-negative')
-    total = 1 << precision
-    freqs = np.round(pmf / max(pmf.sum(), 1e-30) * total).astype(np.int64)
-    # Fix rounding drift on the largest entry.
-    drift = total - freqs.sum()
-    freqs[int(np.argmax(freqs))] += drift
-    # Steal from the largest to remove zero-frequency symbols.
-    for i in range(len(freqs)):
-        if freqs[i] == 0:
-            j = int(np.argmax(freqs))
-            if freqs[j] <= 1:
-                raise ValueError('cannot normalize pmf: too many symbols for precision')
-            freqs[i] += 1
-            freqs[j] -= 1
-    cdf = np.zeros(len(freqs) + 1, dtype=np.int32)
+    total_mass = 1 << precision
+    # C++: std::round(p * (1 << precision)) evaluated in float32
+    freqs = np.round(pmf32 * np.float32(total_mass)).astype(np.uint64)
+    total = int(freqs.sum())
+    if total == 0:
+        raise ValueError('pmf sums to zero')
+    # integer renormalization: (2^precision * f) / total, truncating
+    freqs = (np.uint64(total_mass) * freqs) // np.uint64(total)
+    cdf = np.zeros(len(pmf32) + 1, dtype=np.int64)
     np.cumsum(freqs, out=cdf[1:])
-    assert cdf[-1] == total
-    return cdf
+    cdf[-1] = total_mass
+    for i in range(len(cdf) - 1):
+        if cdf[i] == cdf[i + 1]:
+            # steal one count from the lowest-frequency symbol with freq > 1
+            best_freq, best_steal = None, -1
+            for j in range(len(cdf) - 1):
+                freq = cdf[j + 1] - cdf[j]
+                if freq > 1 and (best_freq is None or freq < best_freq):
+                    best_freq, best_steal = freq, j
+            if best_steal < 0:
+                raise ValueError(
+                    'cannot normalize pmf: too many symbols for precision')
+            if best_steal < i:
+                cdf[best_steal + 1:i + 1] -= 1
+            else:
+                cdf[i + 1:best_steal + 1] += 1
+    assert cdf[0] == 0 and cdf[-1] == total_mass
+    assert np.all(np.diff(cdf) > 0), 'zero-frequency symbol survived'
+    return cdf.astype(np.int32)

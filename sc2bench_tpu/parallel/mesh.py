@@ -50,7 +50,19 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
-def sync_metric(x):
-    """Cross-device scalar reduction — usable under jit (psum) or eagerly."""
+def sync_metric(x, mesh: Mesh | None = None):
+    """Sum a metric across all devices of the mesh — the reference's
+    `dist.all_reduce` (`script/task/utils/eval.py:28-34`). `x` is an array
+    whose leading dim is sharded over 'data' (e.g. one partial value per
+    device); returns the replicated global sum, computed by a real psum
+    over the mesh via shard_map."""
     import jax.numpy as jnp
-    return jnp.sum(x)
+    from jax import shard_map
+    mesh = mesh or get_mesh()
+    x = jnp.asarray(x)
+    if mesh.devices.size == 1:
+        return jnp.sum(x)
+    x = jax.device_put(x, data_sharding(mesh))
+    f = shard_map(lambda v: jax.lax.psum(jnp.sum(v), 'data'),
+                  mesh=mesh, in_specs=P('data'), out_specs=P())
+    return jax.jit(f)(x)

@@ -135,13 +135,14 @@ class ClassificationEngine:
                 meter.update(model_time=time.time() - t0,
                              **{k: float(v) for k, v in accs.items()})
         else:
+            # Deterministic eval forward: quantize/dequantize with medians
+            # ('finetune' mode) regardless of bottleneck_updated, matching
+            # the reference's CompressAI eval behavior (no noise RNG); a
+            # fresh jit per engine so nothing stale is baked into the trace.
             if self._eval_fn is None:
-                def fwd(variables, x):
-                    return self.student_module.apply(
-                        variables, x, mode='finetune'
-                        if self.runtime.bottleneck_updated else 'train',
-                        train=False, rngs={'noise': jax.random.key(0)})
-                self._eval_fn = jax.jit(fwd)
+                self._eval_fn = jax.jit(
+                    lambda variables, x: self.student_module.apply(
+                        variables, x, mode='finetune', train=False))
             # shard the eval batch over the data mesh when multiple devices
             # are available (the reference's DP eval, SURVEY.md §2.4)
             mesh = None

@@ -33,8 +33,13 @@ def label_params(params, frozen_prefixes: Sequence[str] = ()):
         p = _path_str(path)
         if p.endswith('quantiles'):
             return 'aux'
+        segs = p.split('.')
         for prefix in frozen_prefixes:
-            if p.startswith(prefix) or f'.{prefix}' in f'.{p}':
+            pre = prefix.split('.')
+            # match on full path segments so frozen 'fc' does not also
+            # freeze 'fc_head.*'
+            if any(segs[i:i + len(pre)] == pre
+                   for i in range(len(segs) - len(pre) + 1)):
                 return 'frozen'
         return 'main'
 
@@ -84,10 +89,13 @@ def build_optimizer(optimizer_config, scheduler_config=None,
         momentum = kwargs.pop('momentum', 0.0)
         tx = optax.sgd(schedule, momentum=momentum or None)
     elif key in ('Adam', 'adam'):
-        tx = optax.adam(schedule, b1=kwargs.pop('betas', (0.9, 0.999))[0]
-                        if 'betas' in kwargs else 0.9)
+        b1, b2 = kwargs.pop('betas', (0.9, 0.999))
+        tx = optax.adam(schedule, b1=b1, b2=b2,
+                        eps=kwargs.pop('eps', 1e-8))
     elif key in ('AdamW', 'adamw'):
-        tx = optax.adamw(schedule, weight_decay=wd)
+        b1, b2 = kwargs.pop('betas', (0.9, 0.999))
+        tx = optax.adamw(schedule, b1=b1, b2=b2,
+                         eps=kwargs.pop('eps', 1e-8), weight_decay=wd)
         wd = 0.0
     else:
         raise KeyError(f'unknown optimizer `{key}`')

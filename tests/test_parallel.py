@@ -43,6 +43,20 @@ def test_data_parallel_eval_matches_single_device():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_sync_metric_reduces_across_devices():
+    """sync_metric must perform a real cross-device psum: per-device partial
+    sums of a sharded array reduce to the global total (the reference's
+    `dist.all_reduce`, `script/task/utils/eval.py:28-34`)."""
+    from sc2bench_tpu.parallel.mesh import sync_metric
+    mesh = get_mesh()
+    x = jnp.arange(16, dtype=jnp.float32)  # 2 elements per device
+    total = sync_metric(x, mesh)
+    assert float(total) == float(x.sum())
+    # matrix-shaped metric (e.g. confusion matrix rows sharded over data)
+    m = jnp.ones((8, 3), jnp.float32)
+    assert float(sync_metric(m, mesh)) == 24.0
+
+
 def test_2d_mesh_construction():
     mesh = get_mesh(8, axes=('data', 'model'))
     assert mesh.devices.size == 8
