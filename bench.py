@@ -7,20 +7,27 @@ reference's north-star hot loop (SURVEY.md §3.2):
     -> rANS decode -> decoder IGDN (TPU) -> ResNet-50 tail -> logits
 
 Each image is processed individually (the benchmark's batch-1 data-size
-protocol, reference README.md:99-103); the stream is software-pipelined so
-the TPU encode of image i+1 overlaps the host entropy coding of image i —
-exactly how a production split-computing server runs.
+protocol, reference README.md:99-103); the stream is software-pipelined
+(`SplitClassifierRuntime.stream_deploy`): encodes for images i+1..i+depth
+overlap the host entropy coding of image i, and a small thread pool overlaps
+the per-image host syncs — exactly how a production split-computing server
+runs. Symbols cross the host<->device boundary as int16 (lossless;
+runtime._to_wire).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} with a
+per-stage breakdown (ms/image).
 
-Baseline: the reference runs this loop as GPU convs + CompressAI's
-single-stream C++ rANS on CPU at batch 1 (`sc2bench/models/layer.py:
-496-521`). BASELINE_IPS is an engineering estimate of that pipeline's
-images/sec (the repo publishes no throughput numbers — BASELINE.json
-`published` is empty), pending a measured reference run.
+Baseline: the measured reference pipeline — the same architecture run as
+torch CPU convs + single-stream C++ rANS at batch 1 on this host
+(`script/bench_reference.py`, stored in BASELINE.json under `measured`).
+The reference itself targets CUDA GPUs and publishes no throughput numbers
+(BASELINE.json `published` is empty), so torch-CPU-on-this-host is the only
+measurable denominator; the host has a single CPU core — see
+BASELINE.json's `measured` entry for its stage breakdown.
 """
 import json
 import time
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +37,15 @@ from sc2bench_tpu.utils.cache import enable_persistent_cache
 
 enable_persistent_cache()
 
-BASELINE_IPS = 25.0  # estimated reference batch-1 deploy-path images/sec
+FALLBACK_BASELINE_IPS = 4.64  # measured 2026-08-16 (script/bench_reference.py)
+
+
+def measured_baseline_ips():
+    try:
+        data = json.loads((Path(__file__).parent / 'BASELINE.json').read_text())
+        return float(data['measured']['torch_cpu_deploy_ips_batch1']['value'])
+    except (FileNotFoundError, KeyError, ValueError):
+        return FALLBACK_BASELINE_IPS
 
 
 def main():
@@ -56,48 +71,28 @@ def main():
               for _ in range(8)]
 
     # warmup: compile encode + decode programs, build host coder state
-    logits = rt(images[0])
-    jax.block_until_ready(logits)
-
-    def run_pipelined(n_iter, depth=3):
-        """Depth-3 software pipeline: encode dispatch + async device->host
-        symbol copy for images i+1..i+depth overlap the host entropy coding
-        and the decode dispatch of image i. One ~RTT-bound sync per image
-        instead of three (the tunnel round trip is the floor here)."""
-        def dispatch(i):
-            ops = rt.encode_device(images[i % len(images)])
-            try:
-                ops['symbols'].copy_to_host_async()
-            except Exception:
-                pass
-            return ops
-        pending = [dispatch(i) for i in range(depth)]
-        results = []
-        t0 = time.perf_counter()
-        for i in range(n_iter):
-            ops = pending.pop(0)
-            if i + depth < n_iter + depth - 1:
-                pending.append(dispatch(i + depth))
-            symbols = np.asarray(ops['symbols'])
-            strings = rt.codec.compress_symbols(symbols)
-            compressed = {'strings': [strings],
-                          'shape': tuple(symbols.shape[1:3])}
-            rt.analyze(compressed)
-            results.append(rt.decode(**compressed))
-        jax.block_until_ready(results[-1])
-        return time.perf_counter() - t0
-
+    jax.block_until_ready(rt(images[0]))
     rt.activate_analysis()
-    run_pipelined(5)  # secondary warmup of the pipelined path
-    n_iter = 100
-    elapsed = run_pipelined(n_iter)
+    rt.stream_deploy([images[i % len(images)] for i in range(10)])
+
+    n_iter = 120
+    stream = [images[i % len(images)] for i in range(n_iter)]
+    timings = {}
+    t0 = time.perf_counter()
+    results = rt.stream_deploy(stream, depth=16, workers=8, timings=timings)
+    elapsed = time.perf_counter() - t0
+    assert len(results) == n_iter
     ips = n_iter / elapsed
 
+    baseline = measured_baseline_ips()
     print(json.dumps({
         'metric': 'deploy_images_per_sec_batch1',
         'value': round(ips, 2),
         'unit': 'images/sec',
-        'vs_baseline': round(ips / BASELINE_IPS, 2),
+        'vs_baseline': round(ips / baseline, 2),
+        'baseline_ips_torch_cpu': baseline,
+        'stage_ms_per_image': {
+            k: round(v / n_iter * 1000, 2) for k, v in sorted(timings.items())},
     }))
 
 

@@ -33,6 +33,18 @@ def _channel_major(symbols: np.ndarray) -> np.ndarray:
     return np.transpose(symbols, (2, 0, 1)).reshape(symbols.shape[-1], -1)
 
 
+def _narrow(symbols: np.ndarray) -> np.ndarray:
+    """Narrow a host symbol array to the smallest lossless integer dtype for
+    the host->device hop (int8 when the range allows, else int16 — trained
+    latents fit int8 almost always; the range check keeps it exact)."""
+    if symbols.dtype == np.int8:
+        return symbols
+    lo, hi = symbols.min(), symbols.max()
+    if -128 <= lo and hi <= 127:
+        return symbols.astype(np.int8)
+    return symbols.astype(np.int16)
+
+
 class FactorizedCodec:
     """Bitstream codec for an `EntropyBottleneck`-only bottleneck (FP)."""
 
@@ -228,8 +240,8 @@ class SplitClassifierRuntime(AnalyzerHolder):
                     method=lambda m, zs, zm, st:
                         m.bottleneck_layer.decode_scales(zs, zm, st))
             y_idx, _ = self._jitted('dec_scales', scales_fn)(
-                self.variables, jnp.asarray(z_sym), self._medians_dev,
-                self._scale_table_dev)
+                self.variables, jnp.asarray(_narrow(z_sym)),
+                self._medians_dev, self._scale_table_dev)
             y_sym = self.codec.decompress_y(strings[0], np.asarray(y_idx))
 
             def dec(variables, y_symbols, z_symbols, z_medians):
@@ -238,9 +250,10 @@ class SplitClassifierRuntime(AnalyzerHolder):
                     return m.forward_tail(feat)
                 return self.module.apply(variables, y_symbols, z_symbols,
                                          z_medians, method=m_fn)
+            # int16 on the wire (host->device), cast in decode_ops
             return self._jitted('decode', dec)(
-                self.variables, jnp.asarray(y_sym), jnp.asarray(z_sym),
-                self._medians_dev)
+                self.variables, jnp.asarray(_narrow(y_sym)),
+                jnp.asarray(_narrow(z_sym)), self._medians_dev)
         else:
             channels = self.codec.tables.medians.shape[0]
             symbols = self.codec.decompress_symbols(strings[0], shape,
@@ -259,33 +272,116 @@ class SplitClassifierRuntime(AnalyzerHolder):
                     return self.module.apply(variables, symbols, medians,
                                              method=m_fn)
             return self._jitted('decode', dec)(
-                self.variables, jnp.asarray(symbols), self._medians_dev)
+                self.variables, jnp.asarray(_narrow(symbols)),
+                self._medians_dev)
 
     # ---- async deploy pieces (for pipelined batch-1 streaming) ----------
+    @staticmethod
+    def _to_wire(ops):
+        """Narrow int32 symbol/index tensors to int16 for the device->host
+        hop. Lossless for any realistic latent (|round(y - median)| <<
+        32767; the reference ships the same values as int32 over PCIe,
+        `layer.py:506`): halves/quarters the transfer, which is the
+        deploy-loop bottleneck over a remote-TPU tunnel."""
+        return jax.tree.map(
+            lambda a: a.astype(jnp.int16) if a.dtype == jnp.int32 else a,
+            ops)
+
     def encode_device(self, x):
-        """Dispatch the mobile-side program; returns device arrays without
-        host sync (lets callers overlap the next encode with host coding)."""
+        """Dispatch the mobile-side program; returns device arrays (int16
+        wire dtype) without host sync (lets callers overlap the next encode
+        with host coding)."""
         if isinstance(self.codec, HyperpriorCodec):
             def enc(variables, x, z_medians, scale_table):
-                return self.module.apply(
+                return self._to_wire(self.module.apply(
                     variables, x, z_medians, scale_table,
                     method=lambda m, x, zm, st:
-                        m.bottleneck_layer.encode_ops(x, zm, st))
+                        m.bottleneck_layer.encode_ops(x, zm, st)))
             return self._jitted('encode', enc)(
                 self.variables, x, self._medians_dev, self._scale_table_dev)
         if self._module_level_ops:
             def enc(variables, x, medians):
-                return self.module.apply(
+                return self._to_wire(self.module.apply(
                     variables, x, medians,
-                    method=lambda m, x, med: m.encode_ops(x, med))
+                    method=lambda m, x, med: m.encode_ops(x, med)))
         else:
             def enc(variables, x, medians):
-                return self.module.apply(
+                return self._to_wire(self.module.apply(
                     variables, x, medians,
                     method=lambda m, x, med:
-                        m.bottleneck_layer.encode_ops(x, med))
+                        m.bottleneck_layer.encode_ops(x, med)))
         return self._jitted('encode', enc)(self.variables, x,
                                            self._medians_dev)
+
+    def stream_deploy(self, images, depth: int = 8, workers: int = 4,
+                      timings: dict | None = None):
+        """Software-pipelined batch-1 deploy over a stream of images — the
+        production serving loop for the reference's eval protocol
+        (SURVEY.md §3.2, batch=1 per README.md:99-103). Returns the list of
+        per-image logits (device arrays, in order).
+
+        Pipelining structure: `depth` encodes are kept in flight on the
+        device with async device->host symbol copies; a small thread pool
+        overlaps the host stages (transfer sync + rANS encode + byte
+        accounting + rANS decode + decode dispatch) across images, since
+        each host sync costs a tunnel round trip. Byte accounting is
+        per-sample, identical to the serial path."""
+        import time as _time
+        from concurrent.futures import ThreadPoolExecutor
+
+        images = list(images)
+        n = len(images)
+        if n == 0:
+            return []
+
+        def dispatch(i):
+            ops = self.encode_device(images[i % n])
+            for leaf in jax.tree.leaves(ops):
+                try:
+                    leaf.copy_to_host_async()
+                except Exception:
+                    pass
+            return ops
+
+        def host_stage(ops):
+            t0 = _time.perf_counter()
+            if isinstance(self.codec, HyperpriorCodec):
+                y_sym = np.asarray(ops['y_symbols']).astype(np.int32)
+                y_idx = np.asarray(ops['y_indexes']).astype(np.int32)
+                z_sym = np.asarray(ops['z_symbols']).astype(np.int32)
+                t1 = _time.perf_counter()
+                strings = [self.codec.compress_y(y_sym, y_idx),
+                           self.codec.compress_symbols(z_sym)]
+                compressed = {'strings': strings,
+                              'shape': tuple(z_sym.shape[1:3])}
+            else:
+                sym = np.asarray(ops['symbols']).astype(np.int32)
+                t1 = _time.perf_counter()
+                strings = self.codec.compress_symbols(sym)
+                compressed = {'strings': [strings],
+                              'shape': tuple(sym.shape[1:3])}
+            self.analyze(compressed)
+            t2 = _time.perf_counter()
+            out = self.decode(**compressed)
+            t3 = _time.perf_counter()
+            if timings is not None:
+                timings['d2h_sync'] = timings.get('d2h_sync', 0.0) + t1 - t0
+                timings['host_code'] = timings.get('host_code', 0.0) + t2 - t1
+                timings['decode_dispatch'] = \
+                    timings.get('decode_dispatch', 0.0) + t3 - t2
+            return out
+
+        with ThreadPoolExecutor(workers) as ex:
+            pending = [dispatch(i) for i in range(min(depth, n))]
+            futures = []
+            for i in range(n):
+                ops = pending.pop(0)
+                if i + depth < n:
+                    pending.append(dispatch(i + depth))
+                futures.append(ex.submit(host_stage, ops))
+            results = [f.result() for f in futures]
+        jax.block_until_ready(results[-1])
+        return results
 
     def __call__(self, x, rng=None):
         """Reference forward dispatch (`backbone.py:225-254`): deploy path
