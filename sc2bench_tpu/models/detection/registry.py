@@ -12,9 +12,11 @@ logger = logging.getLogger(__name__)
 
 def load_detection_model(model_config, image_size=(800, 800)):
     """Build + init a detection module from config; returns
-    (module, variables)."""
+    (module, variables). `init_image_size` in the config overrides the
+    canvas used for parameter init (shapes are init-independent)."""
     import jax
     import jax.numpy as jnp
+    image_size = tuple(model_config.get('init_image_size', image_size))
     key = model_config['key']
     module = registry_get('model', key)(**model_config.get('kwargs', {}))
     x = jnp.zeros((1, *image_size, 3))

@@ -141,11 +141,17 @@ class SplitDetectionRuntime(AnalyzerHolder):
 
 
 def get_wrapped_detection_model(wrapper_model_config, **kwargs):
-    """Build base detector + wrap (reference `wrapper.py:98-122`)."""
+    """Build base detector + wrap (reference `wrapper.py:98-122`). A
+    `compression_model` block builds a neural image codec from the zoo."""
     from .registry import load_detection_model
     model_config = wrapper_model_config.get('detection_model',
                                             wrapper_model_config.get('model'))
     module, variables = load_detection_model(model_config)
     key = wrapper_model_config['key']
     cls = registry_get('wrapper', key)
-    return cls(module, variables, **wrapper_model_config.get('kwargs', {}))
+    cm_cfg = wrapper_model_config.get('compression_model')
+    if cm_cfg is not None and 'compression_model' not in kwargs:
+        from ..registry import get_compression_model
+        kwargs['compression_model'] = get_compression_model(cm_cfg)
+    return cls(module, variables, **wrapper_model_config.get('kwargs', {}),
+               **kwargs)

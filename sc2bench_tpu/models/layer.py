@@ -34,6 +34,7 @@ class LayerSeq(nn.Module):
     splits at an arbitrary index reproduce the reference's builder functions
     (`layer.py:108-343`). Specs:
       ('conv', out_ch, kernel, stride, padding)        # bias-free
+      ('deconv', out_ch, kernel, stride)               # transpose, bias-free
       ('bn',), ('relu',), ('maxpool', k, s, p), ('avgpool', k, s)
     """
 
@@ -48,6 +49,11 @@ class LayerSeq(nn.Module):
                 x = nn.Conv(out_ch, (k, k), strides=(s, s),
                             padding=((p, p), (p, p)), use_bias=False,
                             name=f'layer{i}')(x)
+            elif kind == 'deconv':
+                _, out_ch, k, s = spec
+                x = nn.ConvTranspose(out_ch, (k, k), strides=(s, s),
+                                     padding='SAME', use_bias=False,
+                                     name=f'layer{i}')(x)
             elif kind == 'bn':
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, name=f'layer{i}')(x)
@@ -103,15 +109,21 @@ def _stem_specs():
 
 @register_layer
 def larger_resnet_bottleneck(bottleneck_channel=12, bottleneck_idx=7,
-                             compressor=None, decompressor=None, **kwargs):
-    """GHND bottleneck for ResNet-50/101/152 (reference `layer.py:108-153`):
-    encoder ends at module index `bottleneck_idx` of the 20-module stack."""
+                             output_channel=256, compressor=None,
+                             decompressor=None, **kwargs):
+    """GHND bottleneck for ResNet-50/101/152 (reference `layer.py:108-153`,
+    with the ghnd-bq configs' `output_channel` kwarg): encoder ends at module
+    index `bottleneck_idx`; the decoder upsamples the stride-8 latent back to
+    a layer1-compatible feature (`output_channel` @ stride 4) so the GHND
+    hint `bottleneck_layer_out <-> teacher layer1_out` is well-posed and the
+    tail's layer2 sees its expected input."""
     specs = _stem_specs() + [
-        ('conv', bottleneck_channel, 2, 2, 1), ('bn',), ('relu',),
-        ('conv', 512, 2, 1, 1), ('bn',), ('relu',),
+        ('conv', bottleneck_channel, 2, 2, 0), ('bn',), ('relu',),
         ('conv', 512, 2, 1, 1), ('bn',), ('relu',),
         ('conv', 512, 2, 1, 0), ('bn',), ('relu',),
-        ('conv', 512, 2, 1, 0), ('avgpool', 2, 1),
+        ('deconv', 256, 2, 2), ('bn',), ('relu',),
+        ('conv', output_channel, 2, 1, 1), ('bn',), ('relu',),
+        ('conv', output_channel, 2, 1, 0),
     ]
     return SimpleBottleneck(specs[:bottleneck_idx], specs[bottleneck_idx:],
                             compressor, decompressor)

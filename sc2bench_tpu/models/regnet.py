@@ -119,6 +119,40 @@ class SplittableRegNet(nn.Module):
         return nn.Dense(self.num_classes, name='head_fc')(z)
 
 
+class RegNet(nn.Module):
+    """Full (unsplit) RegNetY classifier — the teacher anchor the reference
+    takes from timm (`regnety_064`, `backbone.py:823-854`). Sows s1..s4
+    outputs so distillation hint losses can target them."""
+
+    stage_widths: tuple = (144, 288, 576, 1296)   # s1..s4 (regnety_064)
+    stage_depths: tuple = (2, 7, 14, 2)
+    group_width: int = 72
+    num_classes: int = 1000
+    sow_intermediates: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, **_):
+        z = nn.Conv(32, (3, 3), (2, 2), ((1, 1), (1, 1)), use_bias=False,
+                    name='stem_conv')(x)
+        z = nn.BatchNorm(momentum=0.9, epsilon=1e-5, name='stem_bn')(
+            z, use_running_average=not train)
+        z = nn.relu(z)
+        for i, (w, d) in enumerate(zip(self.stage_widths,
+                                       self.stage_depths), start=1):
+            z = RegNetStage(w, d, self.group_width, name=f's{i}')(z, train)
+            if self.sow_intermediates:
+                self.sow('intermediates', f's{i}_out', z)
+        z = jnp.mean(z, axis=(1, 2))
+        return nn.Dense(self.num_classes, name='head_fc')(z)
+
+
+@register_model
+def regnety_064(num_classes=1000, **kwargs):
+    """Teacher builder matching the reference's timm `regnety_064`
+    (RegNetY-6.4GF) anchor."""
+    return RegNet(num_classes=num_classes)
+
+
 @register_model
 def splittable_regnet(bottleneck_config, regnet_name='regnety_064',
                       num_classes=1000, **kwargs):

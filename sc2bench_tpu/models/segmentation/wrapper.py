@@ -38,10 +38,11 @@ class CodecInputCompressionSegmentationModel(AnalyzerHolder):
             v, x, mode='finetune', train=False))
 
     def __call__(self, images):
+        from ..wrapper import to_pil
         batch = []
         for img in images:
             if self.codec is not None:
-                out = self.codec(img)
+                out = self.codec(to_pil(img))
                 if isinstance(out, tuple):
                     img, file_size = out
                     self.analyze(file_size)
@@ -119,8 +120,11 @@ class SplitSegmentationRuntime(AnalyzerHolder):
 
     def update(self):
         from ...ops.entropy.factorized import EntropyBottleneck
-        eb_channels = int(self.codec.eb_params(self.variables)
-                          ['quantiles'].shape[0])
+        try:
+            eb_channels = int(self.codec.eb_params(self.variables)
+                              ['quantiles'].shape[0])
+        except (KeyError, AttributeError, TypeError):
+            return False  # no entropy bottleneck (e.g. CR+BQ SimpleBottleneck)
         eb = EntropyBottleneck(channels=eb_channels)
         self.codec.update(self.module, self.variables, eb)
         self.bottleneck_updated = True
@@ -163,12 +167,17 @@ class SplitSegmentationRuntime(AnalyzerHolder):
 
 
 def get_wrapped_segmentation_model(wrapper_model_config, **kwargs):
-    """Build base segmentation model + wrap (reference `wrapper.py:120-144`)."""
+    """Build base segmentation model + wrap (reference `wrapper.py:120-144`).
+    A `compression_model` block builds a neural image codec from the zoo."""
     from .registry import load_segmentation_model
     model_config = wrapper_model_config.get('segmentation_model',
                                             wrapper_model_config.get('model'))
     module, variables = load_segmentation_model(model_config)
     key = wrapper_model_config['key']
     cls = registry_get('wrapper', key)
+    cm_cfg = wrapper_model_config.get('compression_model')
+    if cm_cfg is not None and 'compression_model' not in kwargs:
+        from ..registry import get_compression_model
+        kwargs['compression_model'] = get_compression_model(cm_cfg)
     return cls(module, variables, **wrapper_model_config.get('kwargs', {}),
                **kwargs)

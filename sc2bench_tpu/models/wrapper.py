@@ -27,6 +27,23 @@ from .runtime import SplitClassifierRuntime
 logger = logging.getLogger(__name__)
 
 
+def to_pil(img):
+    """Coerce an HWC array (uint8 or float in [0,1]/normalized) to PIL for
+    the host codecs; PIL images pass through."""
+    from PIL import Image
+    if isinstance(img, Image.Image):
+        return img
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8:
+        lo, hi = float(arr.min()), float(arr.max())
+        if lo >= 0.0 and hi <= 1.0:
+            arr = (arr * 255.0).round()
+        else:  # normalized/arbitrary range: min-max to 8-bit
+            arr = (arr - lo) / max(hi - lo, 1e-12) * 255.0
+        arr = arr.astype(np.uint8)
+    return Image.fromarray(arr)
+
+
 def _build_transform(cfg):
     if cfg is None:
         return None
@@ -71,7 +88,7 @@ class CodecInputCompressionClassifier(AnalyzerHolder):
         batch = []
         for img in images:
             if self.codec is not None:
-                out = self.codec(img)
+                out = self.codec(to_pil(img))
                 if isinstance(out, tuple):
                     img, file_size = out
                     self.analyze(file_size)
@@ -203,10 +220,16 @@ def wrap_model(wrapper_model_config, model, model_variables, **kwargs):
 
 
 def get_wrapped_classification_model(wrapper_model_config, **kwargs):
-    """Build base classifier + wrap (reference `wrapper.py:342-368`)."""
+    """Build base classifier + wrap (reference `wrapper.py:342-368`). A
+    `compression_model` block builds a neural image codec from the zoo
+    (reference `registry.py:83-105`)."""
     model_config = wrapper_model_config.get('classification_model',
                                             wrapper_model_config.get('model'))
     module = load_classification_model(model_config)
     from ..train.engine import init_model
     variables = init_model(module, init_kwargs={'train': False})
+    cm_cfg = wrapper_model_config.get('compression_model')
+    if cm_cfg is not None and 'compression_model' not in kwargs:
+        from .registry import get_compression_model
+        kwargs['compression_model'] = get_compression_model(cm_cfg)
     return wrap_model(wrapper_model_config, module, variables, **kwargs)

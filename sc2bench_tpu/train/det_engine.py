@@ -85,6 +85,14 @@ class DetectionEngine:
             min_size=config.get('min_size', 800),
             max_size=canvas_size, size_divisible=32)
         self.canvas = self.transform.canvas_hw()
+        self.wrapper = None
+        if 'wrapper' in models_config:
+            # input-compression detection (reference `detection/wrapper.py`):
+            # test-only full-pipeline wrapper
+            from ..models.detection.wrapper import get_wrapped_detection_model
+            self.wrapper = get_wrapped_detection_model(
+                models_config['wrapper'])
+            return
         self.teacher_module = None
         self.teacher_variables = None
         if 'teacher_model' in models_config:
@@ -166,6 +174,9 @@ class DetectionEngine:
         return stats
 
     def train(self, dst_ckpt=None):
+        if self.wrapper is not None:
+            raise ValueError('input-compression detection configs are '
+                             'test-only — run with -test_only')
         train_config = self.config.get('train', {})
         stages = train_stage_configs(train_config)
         train_loader = self.build_loader(train_config['train_data_loader'])
@@ -207,11 +218,33 @@ class DetectionEngine:
                             str(meter), best)
         return best
 
+    def _test_wrapper(self, loader):
+        """Eval through the input-compression wrapper: its transform
+        compresses each image before the detector (reference
+        `InputCompressionDetectionModel`, SURVEY.md §3.3)."""
+        if hasattr(self.wrapper, 'activate_analysis'):
+            self.wrapper.activate_analysis()
+        evaluator = CocoEvaluator()
+        for images, targets in loader:
+            results = self.wrapper(list(images))
+            for target, res in zip(targets, results):
+                evaluator.add_gt(target)
+                evaluator.update({target['image_id']: res})
+        evaluator.synchronize_between_processes()
+        evaluator.accumulate()
+        stats = evaluator.summarize()
+        if hasattr(self.wrapper, 'summarize'):
+            stats['data_size'] = self.wrapper.summarize()
+        logger.info('wrapper detection eval: mAP %.4f', stats['AP'])
+        return stats
+
     def test(self):
         """Deploy-path test: real bitstream + data-size analysis when the
         model has an entropy bottleneck (reference protocol, batch 1)."""
         test_config = self.config.get('test', {})
         loader = self.build_loader(test_config['test_data_loader'])
+        if self.wrapper is not None:
+            return self._test_wrapper(loader)
         runtime = None
         try:
             from ..models.detection.wrapper import SplitDetectionRuntime

@@ -75,6 +75,14 @@ class ClassificationEngine:
         self.image_size = tuple(image_size)
         self.seed = int(seed)
         models_config = config.get('models', {})
+        self.wrapper = None
+        if 'wrapper' in models_config:
+            # input/feature-compression families: full-pipeline wrapper,
+            # test-only (reference wrapper configs have no train section)
+            from ..models.wrapper import get_wrapped_classification_model
+            self.wrapper = get_wrapped_classification_model(
+                models_config['wrapper'])
+            return
         self.teacher_module = None
         self.teacher_variables = None
         if 'teacher_model' in models_config:
@@ -167,6 +175,10 @@ class ClassificationEngine:
         saved alongside `dst_ckpt`, continuing from the recorded
         stage/epoch (reference `--start_epoch` semantics)."""
         from ..utils.ckpt import load_train_state, save_train_state
+        if self.wrapper is not None:
+            raise ValueError('wrapper (input/feature compression) configs '
+                             'are test-only — run with -test_only '
+                             '(reference protocol)')
         train_config = self.config.get('train', {})
         stages = train_stage_configs(train_config)
         resume_info = None  # (state_dict payload applied per matching stage)
@@ -251,6 +263,8 @@ class ClassificationEngine:
             'test_data_loader', {'dataset': {'key':
                 'SyntheticClassificationDataset', 'kwargs': {}},
                 'batch_size': 1}))
+        if self.wrapper is not None:
+            return self._test_wrapper(loader)
         self.runtime.variables = self.student_variables
         if not self.runtime.bottleneck_updated and self.runtime.codec:
             self.runtime.update()
@@ -258,4 +272,24 @@ class ClassificationEngine:
         result = self.evaluate(loader, use_deploy_path=bool(
             self.runtime.codec and self.runtime.bottleneck_updated))
         summaries = self.runtime.summarize()
+        return result, summaries
+
+    def _test_wrapper(self, loader):
+        """Eval through a full-pipeline wrapper (codec/neural input or
+        feature compression): per-sample host codec round-trip + jitted
+        classifier, accuracy + data-size summaries (reference
+        `evaluate(...)` over wrapped models, `wrapper.py:29-135`)."""
+        if hasattr(self.wrapper, 'activate_analysis'):
+            self.wrapper.activate_analysis()
+        meter = MetricLogger()
+        for x, y in loader:
+            images = [np.asarray(img) for img in np.asarray(x)]
+            logits = self.wrapper(images)
+            accs = top_k_accuracy(np.asarray(logits), np.asarray(y))
+            meter.update(**{k: float(v) for k, v in accs.items()})
+        meter.synchronize_between_processes()
+        result = {k: m.global_avg for k, m in meter.meters.items()}
+        summaries = self.wrapper.summarize() \
+            if hasattr(self.wrapper, 'summarize') else []
+        logger.info('wrapper eval: %s', result)
         return result, summaries

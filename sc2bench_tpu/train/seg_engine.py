@@ -33,6 +33,15 @@ class SegmentationEngine:
         self.image_size = tuple(image_size)
         self.num_classes = num_classes
         models_config = config.get('models', {})
+        self.wrapper = None
+        if 'wrapper' in models_config:
+            # input-compression segmentation (reference seg `wrapper.py`):
+            # test-only full-pipeline wrapper
+            from ..models.segmentation.wrapper import \
+                get_wrapped_segmentation_model
+            self.wrapper = get_wrapped_segmentation_model(
+                models_config['wrapper'])
+            return
         self.teacher_module = None
         self.teacher_variables = None
         if 'teacher_model' in models_config:
@@ -98,6 +107,9 @@ class SegmentationEngine:
         return {'acc_global': float(acc_global), 'miou': miou}
 
     def train(self, dst_ckpt=None):
+        if self.wrapper is not None:
+            raise ValueError('input-compression segmentation configs are '
+                             'test-only — run with -test_only')
         train_config = self.config.get('train', {})
         stages = train_stage_configs(train_config)
         train_loader = self.build_loader(train_config['train_data_loader'])
@@ -149,9 +161,30 @@ class SegmentationEngine:
             self.runtime.update()
         return best
 
+    def _test_wrapper(self, loader):
+        """Eval through the input-compression wrapper: host codec/neural
+        round-trip then segmentation (reference seg `wrapper.py:12-117`)."""
+        if hasattr(self.wrapper, 'activate_analysis'):
+            self.wrapper.activate_analysis()
+        evaluator = SegEvaluator(self.num_classes)
+        for x, y in loader:
+            out = self.wrapper([np.asarray(img) for img in np.asarray(x)])
+            logits = out['out'] if isinstance(out, dict) else out
+            evaluator.update(y, np.asarray(jnp.argmax(logits, -1)))
+        evaluator.reduce_from_all_processes()
+        acc_global, acc, iou = evaluator.compute()
+        result = {'acc_global': float(acc_global),
+                  'miou': float(iou.mean())}
+        summaries = self.wrapper.summarize() \
+            if hasattr(self.wrapper, 'summarize') else []
+        logger.info('wrapper seg eval: %s', result)
+        return result, summaries
+
     def test(self):
         test_config = self.config.get('test', {})
         loader = self.build_loader(test_config['test_data_loader'])
+        if self.wrapper is not None:
+            return self._test_wrapper(loader)
         self.runtime.variables = self.student_variables
         if not self.runtime.bottleneck_updated:
             self.runtime.update()

@@ -316,14 +316,19 @@ class CocoEvaluator:
                 fp = np.cumsum(~matched[t][keep])
                 recall = tp / n_gt
                 precision = tp / np.maximum(tp + fp, 1e-10)
+                if len(precision) == 0:  # no detections for this category
+                    aps.append(0.0)
+                    ars.append(0.0)
+                    continue
                 # precision envelope + 101-point interpolation
                 for i in range(len(precision) - 1, 0, -1):
                     precision[i - 1] = max(precision[i - 1], precision[i])
                 idx = np.searchsorted(recall, RECALL_THRS, side='left')
-                q = np.where(idx < len(precision), precision[
-                    np.minimum(idx, max(len(precision) - 1, 0))], 0.0)
-                aps.append(np.mean(q) if len(precision) else 0.0)
-                ars.append(recall[-1] if len(recall) else 0.0)
+                q = np.where(idx < len(precision),
+                             precision[np.minimum(idx, len(precision) - 1)],
+                             0.0)
+                aps.append(np.mean(q))
+                ars.append(recall[-1])
             ap_per_cat.append(aps)
             ar_per_cat.append(ars)
         if not ap_per_cat:

@@ -1,14 +1,16 @@
 #!/usr/bin/env python
-"""Generate the experiment-config corpus.
+"""Generate the experiment-config corpus — 1:1 with the reference tree.
 
-Reproduces the reference's operating-point grids (BASELINE.md §sweeps,
-`/root/reference/configs/` ~185 yamls): Entropic Student β sweeps (FP/MSHP ×
-ResNet-50/101 + detection + segmentation), End-to-End β sweeps, CR+BQ channel
-sweeps, fine-tuning split×β grids, codec/neural input-compression quality
-sweeps, and feature compression. Run from the repo root:
+Every file under `/root/reference/configs/` has a same-named counterpart
+here (189 yamls; filenames match exactly, including the reference's
+'splitable_' spelling), with contents expressed in this framework's schema
+(SURVEY.md §5.6): `dependencies`, `models{teacher_model,student_model|model|
+wrapper}`, `train{stage1,stage2|flat}`, `test`, plus `sweep` metadata for
+the quality-sweep driver scripts. Run from the repo root:
 
     python script/gen_configs.py
 """
+import shutil
 import sys
 from pathlib import Path
 
@@ -17,18 +19,58 @@ import yaml
 REPO = Path(__file__).resolve().parents[1]
 CFG = REPO / 'configs'
 
-ES_BETAS = [0.08, 0.16, 0.32, 0.64, 1.28, 2.56, 5.12]
-ES_SEG_BETAS = [0.16, 0.32, 0.64, 1.28, 2.56, 5.12]
-E2E_BETAS = [1.28e-8, 1.024e-7, 2.048e-7, 8.192e-7, 3.2768e-6]
+# ---------------------------------------------------------------------------
+# grids (BASELINE.md; reference config filenames under /root/reference/configs)
+# ---------------------------------------------------------------------------
+ES_FP_BETAS = [0.08, 0.16, 0.32, 0.64, 1.28, 2.56, 5.12]
+E2E_BETAS = ['1.28e-8', '1.024e-7', '2.048e-7', '8.192e-7', '3.2768e-6']
 GHND_CHANNELS = [1, 2, 3, 6, 9, 12]
-FT_SPLITS = ['stem', 'layer1', 'layer2', 'layer3', 'layer4', 'avgpool']
-FT_BETAS = [1.28e-8, 1.024e-7, 8.192e-7]
+# per-split fine-tuning β grids (reference fine-tuning dir, 38 yamls)
+FT_GRID = {
+    'avgpool': ['1.0e-1', '1.0e-10', '1.0e-15', '1.0e-2', '1.0e-4',
+                '6.5536e-6', '8.0e-10'],
+    'layer1': ['1.024e-7', '1.0e-15', '1.0e-4', '1.0e-5', '1.28e-8',
+               '5.0e-11', '6.5536e-6', '8.0e-10', '8.192e-7'],
+    'layer2': ['1.0e-10', '1.0e-15', '1.0e-4', '1.0e-5', '1.0e-6', '1.0e-8'],
+    'layer3': ['1.0e-10', '1.0e-15', '1.0e-4', '1.0e-5', '1.0e-6', '1.0e-8',
+               '5.0e-5'],
+    'layer4': ['1.0e-10', '1.0e-15', '1.0e-3', '1.0e-4', '1.0e-5', '1.0e-6',
+               '1.0e-8', '5.0e-4', '5.0e-5'],
+}
 JPEG_QUALITIES = list(range(10, 101, 10))
 BPG_QUALITIES = list(range(5, 51, 5))
 NEURAL_QUALITIES = list(range(1, 9))
 NEURAL_FAMILIES = ['factorized_prior', 'scale_hyperprior',
                    'mean_scale_hyperprior',
                    'joint_autoregressive_hierarchical_prior']
+
+# Entropic-Student ilsvrc2012 grid: one entry per reference backbone sweep.
+# (file_stem, from_stem) reproduce the reference filenames exactly.
+ES_ILSVRC = {
+    'resnet50': {
+        'file_stem': 'splitable_resnet50', 'from_stem': 'resnet50',
+        'teacher_key': 'resnet50', 'fp': ES_FP_BETAS,
+        'mshp': [0.08, 0.16, 0.32, 0.64, 1.28, 2.56, 3.84],
+    },
+    'resnet101': {
+        'file_stem': 'splitable_resnet101', 'from_stem': 'resnet101',
+        'teacher_key': 'resnet101', 'fp': ES_FP_BETAS,
+        'mshp': [0.08, 0.16, 0.32, 0.64, 1.28, 2.56],
+    },
+    'regnety6.4gf': {
+        'file_stem': 'splitable_regnety6.4gf', 'from_stem': 'regnety6.4gf',
+        'teacher_key': 'regnety_064',
+        'fp': ES_FP_BETAS + [7.68],
+        'mshp': [0.08, 0.16, 0.32, 0.64, 1.28, 2.56, 4.48],
+    },
+    'hybrid_vit_small_r26_s32_224': {
+        'file_stem': 'splitable_hybrid_vit_small_r26_s32_224',
+        'from_stem': 'hybrid_vit_small_r26_s32_224',
+        'teacher_key': 'hybrid_vit_small_r26_s32_224',
+        'fp': [0.16, 0.32, 0.64, 1.28, 2.56, 5.12, 10.24, 15.36, 20.48],
+        'mshp': [0.16, 0.32, 0.64, 1.28, 2.56, 5.12, 10.24, 15.36, 20.48],
+    },
+}
 
 
 def dump(path, config):
@@ -37,7 +79,10 @@ def dump(path, config):
         yaml.safe_dump(config, f, sort_keys=False)
 
 
-def ilsvrc_loaders(train_bs=256, test_bs=1):
+# ---------------------------------------------------------------------------
+# dataset loader blocks
+# ---------------------------------------------------------------------------
+def ilsvrc_loaders(train_bs=256):
     return {
         'train_data_loader': {
             'dataset': {'key': 'ImageFolderDataset',
@@ -57,19 +102,39 @@ def ilsvrc_test(test_bs=1):
         'batch_size': test_bs}}
 
 
-def es_stage1(beta, epochs=10, frozen=('layer2', 'layer3', 'layer4', 'fc')):
+def coco_loader(split, bs, shuffle=False):
+    return {
+        'dataset': {'key': 'CocoDetectionDataset', 'kwargs': {
+            'img_dir': f'~/datasets/coco2017/{split}2017',
+            'ann_file_path': f'~/datasets/coco2017/annotations/'
+                             f'instances_{split}2017.json'}},
+        'batch_size': bs, 'shuffle': shuffle}
+
+
+def voc_loader(split, bs, shuffle=False):
+    return {
+        'dataset': {'key': 'VOCSegmentationDataset', 'kwargs': {
+            'root': '~/datasets/pascal_voc2012', 'image_set': split}},
+        'batch_size': bs, 'shuffle': shuffle}
+
+
+# ---------------------------------------------------------------------------
+# training-stage blocks
+# ---------------------------------------------------------------------------
+def es_stage1(beta, hint_pairs, entropy_paths, epochs=10, frozen=()):
+    """Stage-1 hint distillation + β·bpp (reference entropic-student yaml
+    stage1, `:142-229`; MSHP has two rate terms, z + y, `:224-236`)."""
     sub_terms = {}
-    for i, (sp, tp) in enumerate([
-            ('bottleneck_layer_out', 'layer1_out'),
-            ('layer2_out', 'layer2_out'), ('layer3_out', 'layer3_out'),
-            ('layer4_out', 'layer4_out')], start=1):
-        sub_terms[f'layer{i}'] = {
+    for i, (sp, tp) in enumerate(hint_pairs, start=1):
+        sub_terms[f'hint{i}'] = {
             'criterion': {'key': 'MSELoss', 'kwargs': {
                 'student_module_path': sp, 'teacher_module_path': tp,
                 'reduction': 'sum'}}, 'weight': 1.0}
-    sub_terms['bpp'] = {'criterion': {'key': 'BppLoss', 'kwargs': {
-        'entropy_module_path': 'bottleneck_layer.eb_out',
-        'reduction': 'batchmean'}}, 'weight': beta}
+    for j, path in enumerate(entropy_paths):
+        name = 'bpp' if len(entropy_paths) == 1 else f'bpp{j}'
+        sub_terms[name] = {'criterion': {'key': 'BppLoss', 'kwargs': {
+            'entropy_module_path': path,
+            'reduction': 'batchmean'}}, 'weight': float(beta)}
     return {
         'num_epochs': epochs, 'epoch_to_update': epochs, 'train_bn': False,
         'frozen_modules': list(frozen),
@@ -96,43 +161,108 @@ def es_stage2(epochs=10):
     }
 
 
-def gen_entropic_student():
-    for backbone in ['resnet50', 'resnet101']:
-        for bkey, tag in [('FPBasedResNetBottleneck', 'fp'),
-                          ('MSHPBasedResNetBottleneck', 'mshp')]:
-            for beta in ES_BETAS:
-                name = (f'splittable_{backbone}-{tag}-beta{beta}_'
-                        f'from_{backbone}.yaml')
+def bottleneck_block(kind, backbone):
+    """Bottleneck config per (fp|mshp, backbone family) with the reference's
+    channel sizes (regnet/vit use bch 64 and family-specific decoders,
+    reference yaml `:80-100`)."""
+    if backbone in ('resnet50', 'resnet101'):
+        kw = {'num_bottleneck_channels': 24, 'num_target_channels': 256}
+    elif backbone == 'regnety6.4gf':
+        if kind == 'fp':
+            kw = {'num_bottleneck_channels': 64,
+                  'encoder_channel_sizes': [3, 64, 64, 64],
+                  'decoder_channel_sizes': [64, 288, 144, 144]}
+        else:
+            kw = {'num_bottleneck_channels': 64,
+                  'g_a_channel_sizes': [3, 64, 64, 64],
+                  'g_s_channel_sizes': [64, 288, 144, 144]}
+    else:  # hybrid vit
+        if kind == 'fp':
+            kw = {'num_bottleneck_channels': 64,
+                  'encoder_channel_sizes': [3, 64, 64, 64],
+                  'decoder_channel_sizes': [64, 512, 256, 256]}
+        else:
+            kw = {'num_bottleneck_channels': 64,
+                  'g_a_channel_sizes': [3, 64, 64, 64],
+                  'g_s_channel_sizes': [64, 512, 256, 256]}
+    key = ('FPBasedResNetBottleneck' if kind == 'fp'
+           else 'MSHPBasedResNetBottleneck')
+    return {'key': key, 'kwargs': kw}
+
+
+def student_block(backbone, kind):
+    bneck = bottleneck_block(kind, backbone)
+    if backbone in ('resnet50', 'resnet101'):
+        return {'key': 'splittable_resnet',
+                'kwargs': {'num_classes': 1000, 'resnet_name': backbone,
+                           'bottleneck_config': bneck}}
+    if backbone == 'regnety6.4gf':
+        return {'key': 'splittable_regnet',
+                'kwargs': {'num_classes': 1000,
+                           'regnet_name': 'regnety_064',
+                           'bottleneck_config': bneck}}
+    return {'key': 'splittable_hybrid_vit',
+            'kwargs': {'num_classes': 1000, 'num_pruned_stages': 1,
+                       'bottleneck_config': bneck}}
+
+
+def hint_pairs(backbone):
+    if backbone in ('resnet50', 'resnet101'):
+        return ([('bottleneck_layer_out', 'layer1_out'),
+                 ('layer2_out', 'layer2_out'), ('layer3_out', 'layer3_out'),
+                 ('layer4_out', 'layer4_out')],
+                ['layer2', 'layer3', 'layer4', 'fc'])
+    if backbone == 'regnety6.4gf':
+        return ([('bottleneck_layer_out', 's1_out'),
+                 ('s2_out', 's2_out'), ('s3_out', 's3_out'),
+                 ('s4_out', 's4_out')],
+                ['s2', 's3', 's4', 'head_fc'])
+    return ([('bottleneck_layer_out', 'stage1_out'),
+             ('stage2_out', 'stage2_out'), ('stage3_out', 'stage3_out'),
+             ('block11_out', 'block11_out')],
+            ['stage2', 'stage3', 'patch_proj', 'head'])
+
+
+# ---------------------------------------------------------------------------
+# families
+# ---------------------------------------------------------------------------
+def gen_entropic_student_ilsvrc():
+    for backbone, spec in ES_ILSVRC.items():
+        pairs, frozen = hint_pairs(backbone)
+        for kind in ('fp', 'mshp'):
+            entropy_paths = (['bottleneck_layer.eb_out'] if kind == 'fp'
+                             else ['bottleneck_layer.eb_out',
+                                   'bottleneck_layer.gc_out'])
+            for beta in spec[kind]:
+                name = (f"{spec['file_stem']}-{kind}-beta{beta}_"
+                        f"from_{spec['from_stem']}.yaml")
                 config = {
                     'dependencies': ['sc2bench_tpu.models',
                                      'sc2bench_tpu.transforms'],
                     'models': {
                         'teacher_model': {
-                            'key': backbone, 'kwargs': {'num_classes': 1000},
-                            'ckpt': f'./resource/ckpt/ilsvrc2012/teacher/'
-                                    f'{backbone}.ckpt'},
+                            'key': spec['teacher_key'],
+                            'kwargs': {'num_classes': 1000},
+                            'ckpt': f"./resource/ckpt/ilsvrc2012/teacher/"
+                                    f"{spec['teacher_key']}.ckpt"},
                         'student_model': {
-                            'key': 'splittable_resnet',
-                            'kwargs': {
-                                'num_classes': 1000,
-                                'resnet_name': backbone,
-                                'bottleneck_config': {
-                                    'key': bkey,
-                                    'kwargs': {
-                                        'num_bottleneck_channels': 24,
-                                        'num_target_channels': 256}}},
-                            'ckpt': f'./resource/ckpt/ilsvrc2012/'
-                                    f'entropic_student/splittable_'
-                                    f'{backbone}-{tag}-beta{beta}.ckpt'}},
+                            **student_block(backbone, kind),
+                            'ckpt': f"./resource/ckpt/ilsvrc2012/"
+                                    f"entropic_student/"
+                                    f"{spec['file_stem']}-{kind}"
+                                    f"-beta{beta}.ckpt"}},
                     'train': {**ilsvrc_loaders(),
-                              'stage1': es_stage1(beta),
+                              'stage1': es_stage1(beta, pairs, entropy_paths,
+                                                  frozen=frozen),
                               'stage2': es_stage2()},
                     'test': ilsvrc_test(),
                 }
                 dump(CFG / 'ilsvrc2012/supervised_compression/'
                      'entropic_student' / name, config)
-    # detection + segmentation variants reuse the ImageNet bottleneck
-    for beta in ES_BETAS:
+
+
+def gen_entropic_student_coco():
+    for beta in ES_FP_BETAS:
         config = {
             'dependencies': ['sc2bench_tpu.models'],
             'canvas_size': 1344, 'max_boxes': 100,
@@ -152,18 +282,8 @@ def gen_entropic_student():
                     'ckpt': f'./resource/ckpt/coco2017/entropic_student/'
                             f'faster_rcnn_fp-beta{beta}.ckpt'}},
             'train': {
-                'train_data_loader': {
-                    'dataset': {'key': 'CocoDetectionDataset', 'kwargs': {
-                        'img_dir': '~/datasets/coco2017/train2017',
-                        'ann_file_path': '~/datasets/coco2017/annotations/'
-                                         'instances_train2017.json'}},
-                    'batch_size': 4, 'shuffle': True},
-                'val_data_loader': {
-                    'dataset': {'key': 'CocoDetectionDataset', 'kwargs': {
-                        'img_dir': '~/datasets/coco2017/val2017',
-                        'ann_file_path': '~/datasets/coco2017/annotations/'
-                                         'instances_val2017.json'}},
-                    'batch_size': 1},
+                'train_data_loader': coco_loader('train', 4, shuffle=True),
+                'val_data_loader': coco_loader('val', 1),
                 'stage1': {
                     'num_epochs': 3, 'epoch_to_update': 0, 'train_bn': False,
                     'detection_loss_weight': 0.0,
@@ -176,15 +296,15 @@ def gen_entropic_student():
                             'c2': {'criterion': {'key': 'MSELoss', 'kwargs': {
                                 'student_module_path':
                                     'backbone.bottleneck_layer_out',
-                                'teacher_module_path':
-                                    'backbone.layer1_out',
+                                'teacher_module_path': 'backbone.layer1_out',
                                 'reduction': 'sum'}}, 'weight': 1.0},
                             'bpp': {'criterion': {'key': 'BppLoss',
                                                   'kwargs': {
                                 'entropy_module_path':
                                     'backbone.bottleneck_layer.eb_out',
                                 'reduction': 'batchmean'}},
-                                'weight': beta}}}}},
+                                'weight': float(beta)}}}},
+                },
                 'stage2': {
                     'num_epochs': 2, 'train_bn': True,
                     'detection_loss_weight': 1.0,
@@ -194,17 +314,15 @@ def gen_entropic_student():
                     'criterion': {'key': 'WeightedSumLoss',
                                   'kwargs': {'sub_terms': {}}}},
             },
-            'test': {'test_data_loader': {
-                'dataset': {'key': 'CocoDetectionDataset', 'kwargs': {
-                    'img_dir': '~/datasets/coco2017/val2017',
-                    'ann_file_path': '~/datasets/coco2017/annotations/'
-                                     'instances_val2017.json'}},
-                'batch_size': 1}},
+            'test': {'test_data_loader': coco_loader('val', 1)},
         }
         dump(CFG / 'coco2017/supervised_compression/entropic_student' /
-             f'faster_rcnn_splittable_resnet50-fp-beta{beta}_fpn.yaml',
-             config)
-    for beta in ES_SEG_BETAS:
+             f'faster_rcnn_splittable_resnet50-fp-beta{beta}_fpn_'
+             f'from_faster_rcnn_resnet50_fpn.yaml', config)
+
+
+def gen_entropic_student_voc():
+    for beta in ES_FP_BETAS[1:]:  # seg grid starts at 0.16
         config = {
             'dependencies': ['sc2bench_tpu.models'],
             'image_size': [512, 512], 'num_classes': 21,
@@ -224,39 +342,28 @@ def gen_entropic_student():
                     'ckpt': f'./resource/ckpt/pascal_voc2012/'
                             f'entropic_student/deeplabv3_fp-beta{beta}.ckpt'}},
             'train': {
-                'train_data_loader': {
-                    'dataset': {'key': 'VOCSegmentationDataset', 'kwargs': {
-                        'root': '~/datasets/pascal_voc2012',
-                        'image_set': 'train'}},
-                    'batch_size': 8, 'shuffle': True},
-                'val_data_loader': {
-                    'dataset': {'key': 'VOCSegmentationDataset', 'kwargs': {
-                        'root': '~/datasets/pascal_voc2012',
-                        'image_set': 'val'}},
-                    'batch_size': 1},
+                'train_data_loader': voc_loader('train', 8, shuffle=True),
+                'val_data_loader': voc_loader('val', 1),
                 'stage1': {
                     'num_epochs': 5, 'epoch_to_update': 0, 'train_bn': True,
                     'frozen_modules': ['bottleneck_layer'],
                     'optimizer': {'key': 'SGD', 'kwargs': {
-                        'lr': 0.007, 'momentum': 0.9,
-                        'weight_decay': 1e-4}},
+                        'lr': 0.007, 'momentum': 0.9, 'weight_decay': 1e-4}},
                     'scheduler': {'key': 'poly', 'kwargs': {'power': 0.9}},
                     'criterion': {'key': 'SegCrossEntropyLoss', 'kwargs': {
                         'module_path': 'output',
                         'aux_module_path': 'output.aux',
                         'aux_weight': 0.5}}},
             },
-            'test': {'test_data_loader': {
-                'dataset': {'key': 'VOCSegmentationDataset', 'kwargs': {
-                    'root': '~/datasets/pascal_voc2012',
-                    'image_set': 'val'}},
-                'batch_size': 1}},
+            'test': {'test_data_loader': voc_loader('val', 1)},
         }
         dump(CFG / 'pascal_voc2012/supervised_compression/entropic_student' /
-             f'deeplabv3_splittable_resnet50-fp-beta{beta}.yaml', config)
+             f'deeplabv3_splittable_resnet50-fp-beta{beta}_'
+             f'from_deeplabv3_resnet50.yaml', config)
 
 
 def gen_end_to_end():
+    # ilsvrc2012 (reference names use 'splitable_')
     for beta in E2E_BETAS:
         config = {
             'dependencies': ['sc2bench_tpu.models'],
@@ -268,13 +375,12 @@ def gen_end_to_end():
                                'kwargs': {'num_bottleneck_channels': 24,
                                           'num_target_channels': 256}}},
                 'ckpt': f'./resource/ckpt/ilsvrc2012/end_to_end/'
-                        f'splittable_resnet50-fp-beta{beta}.ckpt'}},
+                        f'splitable_resnet50-fp-beta{beta}.ckpt'}},
             'train': {**ilsvrc_loaders(),
                       'num_epochs': 60, 'epoch_to_update': 60,
                       'train_bn': True,
                       'optimizer': {'key': 'SGD', 'kwargs': {
-                          'lr': 0.1, 'momentum': 0.9,
-                          'weight_decay': 1e-4}},
+                          'lr': 0.1, 'momentum': 0.9, 'weight_decay': 1e-4}},
                       'scheduler': {'key': 'CosineAnnealingLR',
                                     'kwargs': {'T_max': 60}},
                       'criterion': {'key': 'WeightedSumLoss', 'kwargs': {
@@ -288,53 +394,213 @@ def gen_end_to_end():
                                       'entropy_module_path':
                                           'bottleneck_layer.eb_out',
                                       'reduction': 'sum'}},
-                                  'weight': beta}}}}},
+                                  'weight': float(beta)}}}}},
             'test': ilsvrc_test(),
         }
         dump(CFG / 'ilsvrc2012/supervised_compression/end-to-end' /
-             f'splittable_resnet50-fp-beta{beta}.yaml', config)
+             f'splitable_resnet50-fp-beta{beta}.yaml', config)
+    # coco2017: detector trained end-to-end with rate term
+    for beta in E2E_BETAS:
+        config = {
+            'dependencies': ['sc2bench_tpu.models'],
+            'canvas_size': 1344, 'max_boxes': 100,
+            'models': {'model': {
+                'key': 'faster_rcnn_model',
+                'kwargs': {
+                    'num_classes': 91,
+                    'backbone_config': {
+                        'resnet_name': 'resnet50',
+                        'bottleneck_config': {
+                            'key': 'FPBasedResNetBottleneck',
+                            'kwargs': {'num_bottleneck_channels': 24,
+                                       'num_target_channels': 256}}}},
+                'ckpt': f'./resource/ckpt/coco2017/end_to_end/'
+                        f'faster_rcnn_fp-beta{beta}.ckpt'}},
+            'train': {
+                'train_data_loader': coco_loader('train', 4, shuffle=True),
+                'val_data_loader': coco_loader('val', 1),
+                'num_epochs': 5, 'train_bn': True,
+                'detection_loss_weight': 1.0,
+                'optimizer': {'key': 'SGD', 'kwargs': {
+                    'lr': 0.01, 'momentum': 0.9, 'weight_decay': 1e-4}},
+                'scheduler': {'key': 'poly', 'kwargs': {'power': 0.9}},
+                'criterion': {'key': 'WeightedSumLoss', 'kwargs': {
+                    'sub_terms': {
+                        'bpp': {'criterion': {'key': 'BppLoss', 'kwargs': {
+                            'entropy_module_path':
+                                'backbone.bottleneck_layer.eb_out',
+                            'reduction': 'sum'}},
+                            'weight': float(beta)}}}},
+            },
+            'test': {'test_data_loader': coco_loader('val', 1)},
+        }
+        dump(CFG / 'coco2017/supervised_compression/end-to-end' /
+             f'faster_rcnn_splittable_resnet50-fp-beta{beta}_fpn.yaml',
+             config)
+    # pascal_voc2012: deeplabv3 trained end-to-end with rate term
+    for beta in E2E_BETAS:
+        config = {
+            'dependencies': ['sc2bench_tpu.models'],
+            'image_size': [512, 512], 'num_classes': 21,
+            'models': {'model': {
+                'key': 'deeplabv3_model',
+                'kwargs': {
+                    'backbone_name': 'resnet50', 'num_classes': 21,
+                    'uses_aux': False,
+                    'bottleneck_config': {
+                        'key': 'FPBasedResNetBottleneck',
+                        'kwargs': {'num_bottleneck_channels': 24,
+                                   'num_target_channels': 256}}},
+                'ckpt': f'./resource/ckpt/pascal_voc2012/end_to_end/'
+                        f'deeplabv3_fp-beta{beta}.ckpt'}},
+            'train': {
+                'train_data_loader': voc_loader('train', 8, shuffle=True),
+                'val_data_loader': voc_loader('val', 1),
+                'num_epochs': 30, 'train_bn': True,
+                'optimizer': {'key': 'SGD', 'kwargs': {
+                    'lr': 0.02, 'momentum': 0.9, 'weight_decay': 1e-4}},
+                'scheduler': {'key': 'poly', 'kwargs': {'power': 0.9}},
+                'criterion': {'key': 'WeightedSumLoss', 'kwargs': {
+                    'sub_terms': {
+                        'ce': {'criterion': {
+                            'key': 'SegCrossEntropyLoss',
+                            'kwargs': {'module_path': 'output'}},
+                            'weight': 1.0},
+                        'bpp': {'criterion': {'key': 'BppLoss', 'kwargs': {
+                            'entropy_module_path':
+                                'backbone.bottleneck_layer.eb_out',
+                            'reduction': 'sum'}},
+                            'weight': float(beta)}}}},
+            },
+            'test': {'test_data_loader': voc_loader('val', 1)},
+        }
+        dump(CFG / 'pascal_voc2012/supervised_compression/end-to-end' /
+             f'deeplabv3_splittable_resnet50-fp-beta{beta}.yaml', config)
+
+
+def ghnd_stage(frozen, hint_prefix=''):
+    """GHND head-distillation stage (hint MSE only, no rate term)."""
+    sub_terms = {}
+    for i, layer in enumerate(['layer2', 'layer3', 'layer4'], start=2):
+        sub_terms[f'hint{i}'] = {
+            'criterion': {'key': 'MSELoss', 'kwargs': {
+                'student_module_path': f'{hint_prefix}{layer}_out',
+                'teacher_module_path': f'{hint_prefix}{layer}_out',
+                'reduction': 'sum'}}, 'weight': 1.0}
+    sub_terms['hint1'] = {
+        'criterion': {'key': 'MSELoss', 'kwargs': {
+            'student_module_path': f'{hint_prefix}bottleneck_layer_out',
+            'teacher_module_path': f'{hint_prefix}layer1_out',
+            'reduction': 'sum'}}, 'weight': 1.0}
+    return {
+        'num_epochs': 20, 'train_bn': False, 'frozen_modules': list(frozen),
+        'optimizer': {'key': 'Adam', 'kwargs': {'lr': 0.001}},
+        'scheduler': {'key': 'MultiStepLR',
+                      'kwargs': {'milestones': [5, 10, 15], 'gamma': 0.1}},
+        'criterion': {'key': 'WeightedSumLoss',
+                      'kwargs': {'sub_terms': sub_terms}},
+    }
 
 
 def gen_ghnd_bq():
     for bch in GHND_CHANNELS:
-        for quant_bits in [8]:
-            config = {
-                'dependencies': ['sc2bench_tpu.models',
-                                 'sc2bench_tpu.transforms'],
-                'models': {
-                    'teacher_model': {'key': 'resnet50',
-                                      'kwargs': {'num_classes': 1000}},
-                    'student_model': {
-                        'key': 'splittable_resnet',
-                        'kwargs': {
-                            'num_classes': 1000, 'resnet_name': 'resnet50',
+        # ilsvrc2012
+        config = {
+            'dependencies': ['sc2bench_tpu.models', 'sc2bench_tpu.transforms'],
+            'models': {
+                'teacher_model': {'key': 'resnet50',
+                                  'kwargs': {'num_classes': 1000}},
+                'student_model': {
+                    'key': 'splittable_resnet',
+                    'kwargs': {
+                        'num_classes': 1000, 'resnet_name': 'resnet50',
+                        'bottleneck_config': {
+                            'key': 'larger_resnet_bottleneck',
+                            'kwargs': {'bottleneck_channel': bch,
+                                       'output_channel': 256}}},
+                    'ckpt': f'./resource/ckpt/ilsvrc2012/ghnd-bq/'
+                            f'resnet50-bq{bch}ch.ckpt'}},
+            'wrapper': {
+                'key': 'SplitClassifier',
+                'kwargs': {
+                    'compressor': {'key': 'SimpleQuantizer',
+                                   'kwargs': {'num_bits': 8}},
+                    'decompressor': {'key': 'SimpleDequantizer',
+                                     'kwargs': {'num_bits': 8}}}},
+            'train': {**ilsvrc_loaders(),
+                      'stage1': ghnd_stage(['layer2', 'layer3', 'layer4',
+                                            'fc'])},
+            'test': ilsvrc_test(),
+        }
+        dump(CFG / 'ilsvrc2012/supervised_compression/ghnd-bq' /
+             f'resnet50-bq{bch}ch_from_resnet50.yaml', config)
+        # coco2017
+        config = {
+            'dependencies': ['sc2bench_tpu.models', 'sc2bench_tpu.transforms'],
+            'canvas_size': 1344, 'max_boxes': 100,
+            'models': {
+                'teacher_model': {'key': 'faster_rcnn_model',
+                                  'kwargs': {'num_classes': 91}},
+                'student_model': {
+                    'key': 'faster_rcnn_model',
+                    'kwargs': {
+                        'num_classes': 91,
+                        'backbone_config': {
+                            'resnet_name': 'resnet50',
                             'bottleneck_config': {
                                 'key': 'larger_resnet_bottleneck',
-                                'kwargs': {'bottleneck_channel': bch}}},
-                        'ckpt': f'./resource/ckpt/ilsvrc2012/ghnd-bq/'
-                                f'resnet50-bq{bch}ch.ckpt'}},
-                'wrapper': {
-                    'key': 'SplitClassifier',
+                                'kwargs': {'bottleneck_channel': bch,
+                                           'output_channel': 256}}}},
+                    'ckpt': f'./resource/ckpt/coco2017/ghnd-bq/'
+                            f'faster_rcnn_bq{bch}ch.ckpt'}},
+            'train': {
+                'train_data_loader': coco_loader('train', 4, shuffle=True),
+                'val_data_loader': coco_loader('val', 1),
+                'stage1': {**ghnd_stage(
+                    ['layer2', 'layer3', 'layer4', 'rpn_head', 'box_head',
+                     'box_predictor'], hint_prefix='backbone.'),
+                    'detection_loss_weight': 0.0},
+            },
+            'test': {'test_data_loader': coco_loader('val', 1)},
+        }
+        dump(CFG / 'coco2017/supervised_compression/ghnd-bq' /
+             f'faster_rcnn_resnet50-bq{bch}ch_fpn_'
+             f'from_faster_rcnn_resnet50_fpn.yaml', config)
+        # pascal_voc2012
+        config = {
+            'dependencies': ['sc2bench_tpu.models', 'sc2bench_tpu.transforms'],
+            'image_size': [512, 512], 'num_classes': 21,
+            'models': {
+                'teacher_model': {'key': 'deeplabv3_model', 'kwargs': {
+                    'backbone_name': 'resnet50', 'num_classes': 21,
+                    'uses_aux': False}},
+                'student_model': {
+                    'key': 'deeplabv3_model',
                     'kwargs': {
-                        'compressor': {'key': 'SimpleQuantizer',
-                                       'kwargs': {'num_bits': quant_bits}},
-                        'decompressor': {'key': 'SimpleDequantizer',
-                                         'kwargs': {'num_bits': quant_bits}}}},
-                'train': {**ilsvrc_loaders(),
-                          'stage1': es_stage1(0.0, epochs=20)},
-                'test': ilsvrc_test(),
-            }
-            # GHND has no rate term
-            del config['train']['stage1']['criterion']['kwargs'][
-                'sub_terms']['bpp']
-            config['train']['stage1'].pop('epoch_to_update')
-            dump(CFG / 'ilsvrc2012/supervised_compression/ghnd-bq' /
-                 f'resnet50-bq{bch}ch_from_resnet50.yaml', config)
+                        'backbone_name': 'resnet50', 'num_classes': 21,
+                        'uses_aux': False,
+                        'bottleneck_config': {
+                            'key': 'larger_resnet_bottleneck',
+                            'kwargs': {'bottleneck_channel': bch,
+                                       'output_channel': 256}}},
+                    'ckpt': f'./resource/ckpt/pascal_voc2012/ghnd-bq/'
+                            f'deeplabv3_bq{bch}ch.ckpt'}},
+            'train': {
+                'train_data_loader': voc_loader('train', 8, shuffle=True),
+                'val_data_loader': voc_loader('val', 1),
+                'stage1': ghnd_stage(['classifier'],
+                                     hint_prefix='backbone.'),
+            },
+            'test': {'test_data_loader': voc_loader('val', 1)},
+        }
+        dump(CFG / 'pascal_voc2012/supervised_compression/ghnd-bq' /
+             f'deeplabv3_resnet50-bq{bch}ch_from_deeplabv3_resnet50.yaml',
+             config)
 
 
 def gen_fine_tuning():
-    for split in FT_SPLITS:
-        for beta in FT_BETAS:
+    for split, betas in FT_GRID.items():
+        for beta in betas:
             config = {
                 'dependencies': ['sc2bench_tpu.models'],
                 'models': {'model': {
@@ -359,36 +625,50 @@ def gen_fine_tuning():
                                       'key': 'BppLoss', 'kwargs': {
                                           'entropy_module_path': 'eb_out',
                                           'reduction': 'sum'}},
-                                      'weight': beta}}}}},
+                                      'weight': float(beta)}}}}},
                 'test': ilsvrc_test(),
             }
             dump(CFG / 'ilsvrc2012/supervised_compression/fine-tuning' /
                  f'resnet50-eb_after_{split}-beta{beta}.yaml', config)
 
 
-def gen_input_compression():
-    # codec input compression: one config per codec; quality swept via --json
-    for codec, fmt, qualities in [
-            ('jpeg', 'JPEG', JPEG_QUALITIES), ('webp', 'WEBP',
-                                               JPEG_QUALITIES)]:
+# ---------------------------------------------------------------------------
+# input compression (test-only wrapper configs + sweep metadata)
+# ---------------------------------------------------------------------------
+def codec_block(codec):
+    fmt = {'jpeg': 'JPEG', 'webp': 'WEBP'}.get(codec)
+    if fmt:
+        return ({'key': 'PILImageModule',
+                 'kwargs': {'format': fmt, 'quality': 75,
+                            'returns_file_size': True}}, JPEG_QUALITIES)
+    key = {'bpg': 'BPGModule', 'vtm': 'VTMModule'}[codec]
+    qualities = BPG_QUALITIES if codec == 'bpg' else list(range(12, 52, 5))
+    return ({'key': key, 'kwargs': {'quality': 30,
+                                    'returns_file_size': True}}, qualities)
+
+
+def gen_input_compression_ilsvrc():
+    post = [{'key': 'CustomToTensor', 'kwargs': {}},
+            {'key': 'Normalize', 'kwargs': {}}]
+    analysis = {'analyzer_configs': [{'key': 'FileSizeAccumulator',
+                                      'kwargs': {'unit': 'KB'}}]}
+    codec_targets = [('jpeg', b) for b in
+                     ('resnet50', 'resnet101', 'resnet152',
+                      'tf_efficientnet_l2_ns', 'tf_efficientnet_l2_ns_475')]
+    codec_targets += [(c, b) for c in ('webp', 'bpg') for b in
+                      ('resnet50', 'resnet101', 'resnet152')]
+    codec_targets += [('vtm', 'resnet50')]
+    for codec, backbone in codec_targets:
+        codec_cfg, qualities = codec_block(codec)
         config = {
-            'dependencies': ['sc2bench_tpu.models',
-                             'sc2bench_tpu.transforms'],
+            'dependencies': ['sc2bench_tpu.models', 'sc2bench_tpu.transforms'],
             'models': {'wrapper': {
                 'key': 'CodecInputCompressionClassifier',
-                'classification_model': {'key': 'resnet50',
+                'classification_model': {'key': backbone,
                                          'kwargs': {'num_classes': 1000}},
-                'kwargs': {
-                    'codec_encoder_decoder': {
-                        'key': 'PILImageModule',
-                        'kwargs': {'format': fmt, 'quality': 75,
-                                   'returns_file_size': True}},
-                    'post_transform': [
-                        {'key': 'CustomToTensor', 'kwargs': {}},
-                        {'key': 'Normalize', 'kwargs': {}}],
-                    'analysis_config': {'analyzer_configs': [
-                        {'key': 'FileSizeAccumulator',
-                         'kwargs': {'unit': 'KB'}}]}}}},
+                'kwargs': {'codec_encoder_decoder': codec_cfg,
+                           'post_transform': post,
+                           'analysis_config': analysis}}},
             'test': ilsvrc_test(),
             'sweep': {'qualities': qualities,
                       'json_template':
@@ -397,62 +677,159 @@ def gen_input_compression():
                           '{"quality": %d}}}}}}'},
         }
         dump(CFG / 'ilsvrc2012/input_compression' /
-             f'{codec}-resnet50.yaml', config)
-    for codec, key in [('bpg', 'BPGModule'), ('vtm', 'VTMModule')]:
+             f'{codec}-{backbone}.yaml', config)
+    neural_targets = [(f, 'resnet50') for f in NEURAL_FAMILIES]
+    neural_targets += [(f, b) for f in
+                       ('factorized_prior', 'scale_hyperprior',
+                        'mean_scale_hyperprior')
+                       for b in ('tf_efficientnet_l2_ns',
+                                 'tf_efficientnet_l2_ns_475')]
+    for family, backbone in neural_targets:
         config = {
-            'dependencies': ['sc2bench_tpu.models',
-                             'sc2bench_tpu.transforms'],
+            'dependencies': ['sc2bench_tpu.models', 'sc2bench_tpu.transforms'],
             'models': {'wrapper': {
-                'key': 'CodecInputCompressionClassifier',
-                'classification_model': {'key': 'resnet50',
+                'key': 'NeuralInputCompressionClassifier',
+                'classification_model': {'key': backbone,
                                          'kwargs': {'num_classes': 1000}},
+                'compression_model': {
+                    'key': family, 'kwargs': {'quality': 1},
+                    'ckpt': f'./resource/ckpt/codec/{family}-q1.ckpt'},
                 'kwargs': {
-                    'codec_encoder_decoder': {
-                        'key': key,
-                        'kwargs': {'quality': 30,
-                                   'returns_file_size': True}},
-                    'post_transform': [
-                        {'key': 'CustomToTensor', 'kwargs': {}},
-                        {'key': 'Normalize', 'kwargs': {}}]}}},
+                    'pre_transform': [{'key': 'AdaptivePad',
+                                       'kwargs': {'factor': 64}}],
+                    'analysis_config': {
+                        'analyzes_after_compress': True,
+                        'analyzer_configs': [
+                            {'key': 'FileSizeAnalyzer',
+                             'kwargs': {'unit': 'KB'}}]}}}},
             'test': ilsvrc_test(),
-            'sweep': {'qualities': BPG_QUALITIES if codec == 'bpg'
-                      else list(range(12, 52, 5))},
+            'sweep': {'qualities': NEURAL_QUALITIES,
+                      'json_template':
+                          '{"models": {"wrapper": {"compression_model": '
+                          '{"kwargs": {"quality": %d}, "ckpt": '
+                          '"./resource/ckpt/codec/' + family +
+                          '-q%d.ckpt"}}}}'},
         }
         dump(CFG / 'ilsvrc2012/input_compression' /
-             f'{codec}-resnet50.yaml', config)
-    # neural input compression
+             f'{family}-{backbone}.yaml', config)
+
+
+def gen_input_compression_coco():
+    for codec in ('jpeg', 'webp', 'bpg'):
+        codec_cfg, qualities = codec_block(codec)
+        config = {
+            'dependencies': ['sc2bench_tpu.models', 'sc2bench_tpu.transforms'],
+            'canvas_size': 1344,
+            'models': {'wrapper': {
+                'key': 'InputCompressionDetectionModel',
+                'detection_model': {'key': 'faster_rcnn_model',
+                                    'kwargs': {'num_classes': 91}},
+                'kwargs': {'codec_config': {
+                    'key': codec_cfg['key'],
+                    'kwargs': {k: v for k, v in codec_cfg['kwargs'].items()
+                               if k != 'returns_file_size'}}}}},
+            'test': {'test_data_loader': coco_loader('val', 1)},
+            'sweep': {'qualities': qualities,
+                      'json_template':
+                          '{"models": {"wrapper": {"kwargs": '
+                          '{"codec_config": {"kwargs": '
+                          '{"quality": %d}}}}}}'},
+        }
+        dump(CFG / 'coco2017/input_compression' /
+             f'{codec}-faster_rcnn_resnet50_fpn.yaml', config)
     for family in NEURAL_FAMILIES:
-        for q in NEURAL_QUALITIES:
+        config = {
+            'dependencies': ['sc2bench_tpu.models', 'sc2bench_tpu.transforms'],
+            'canvas_size': 1344,
+            'models': {'wrapper': {
+                'key': 'InputCompressionDetectionModel',
+                'detection_model': {'key': 'faster_rcnn_model',
+                                    'kwargs': {'num_classes': 91}},
+                'compression_model': {
+                    'key': family, 'kwargs': {'quality': 1},
+                    'ckpt': f'./resource/ckpt/codec/{family}-q1.ckpt'},
+                'kwargs': {}}},
+            'test': {'test_data_loader': coco_loader('val', 1)},
+            'sweep': {'qualities': NEURAL_QUALITIES,
+                      'json_template':
+                          '{"models": {"wrapper": {"compression_model": '
+                          '{"kwargs": {"quality": %d}, "ckpt": '
+                          '"./resource/ckpt/codec/' + family +
+                          '-q%d.ckpt"}}}}'},
+        }
+        dump(CFG / 'coco2017/input_compression' /
+             f'{family}-faster_rcnn_resnet50_fpn.yaml', config)
+
+
+def gen_input_compression_voc():
+    post = [{'key': 'CustomToTensor', 'kwargs': {}},
+            {'key': 'Normalize', 'kwargs': {}}]
+    for codec in ('jpeg', 'webp', 'bpg'):
+        codec_cfg, qualities = codec_block(codec)
+        for backbone in ('resnet50', 'resnet101'):
             config = {
                 'dependencies': ['sc2bench_tpu.models',
                                  'sc2bench_tpu.transforms'],
+                'image_size': [512, 512], 'num_classes': 21,
                 'models': {'wrapper': {
-                    'key': 'NeuralInputCompressionClassifier',
-                    'classification_model': {'key': 'resnet50',
-                                             'kwargs': {'num_classes': 1000}},
+                    'key': 'CodecInputCompressionSegmentationModel',
+                    'segmentation_model': {'key': 'deeplabv3_model',
+                                           'kwargs': {
+                                               'backbone_name': backbone,
+                                               'num_classes': 21}},
+                    'kwargs': {'codec_encoder_decoder': codec_cfg,
+                               'post_transform': post,
+                               'analysis_config': {'analyzer_configs': [
+                                   {'key': 'FileSizeAccumulator',
+                                    'kwargs': {'unit': 'KB'}}]}}}},
+                'test': {'test_data_loader': voc_loader('val', 1)},
+                'sweep': {'qualities': qualities,
+                          'json_template':
+                              '{"models": {"wrapper": {"kwargs": '
+                              '{"codec_encoder_decoder": {"kwargs": '
+                              '{"quality": %d}}}}}}'},
+            }
+            dump(CFG / 'pascal_voc2012/input_compression' /
+                 f'{codec}-deeplabv3_{backbone}.yaml', config)
+    for family in NEURAL_FAMILIES:
+        for backbone in ('resnet50', 'resnet101'):
+            config = {
+                'dependencies': ['sc2bench_tpu.models',
+                                 'sc2bench_tpu.transforms'],
+                'image_size': [512, 512], 'num_classes': 21,
+                'models': {'wrapper': {
+                    'key': 'NeuralInputCompressionSegmentationModel',
+                    'segmentation_model': {'key': 'deeplabv3_model',
+                                           'kwargs': {
+                                               'backbone_name': backbone,
+                                               'num_classes': 21}},
                     'compression_model': {
-                        'key': family, 'kwargs': {'quality': q},
-                        'ckpt': f'./resource/ckpt/codec/{family}-q{q}.ckpt'},
+                        'key': family, 'kwargs': {'quality': 1},
+                        'ckpt': f'./resource/ckpt/codec/{family}-q1.ckpt'},
                     'kwargs': {
-                        'pre_transform': [
-                            {'key': 'AdaptivePad',
-                             'kwargs': {'factor': 64}}],
+                        'adaptive_pad_kwargs': {'factor': 64},
                         'analysis_config': {
                             'analyzes_after_compress': True,
                             'analyzer_configs': [
                                 {'key': 'FileSizeAnalyzer',
                                  'kwargs': {'unit': 'KB'}}]}}}},
-                'test': ilsvrc_test(),
+                'test': {'test_data_loader': voc_loader('val', 1)},
+                'sweep': {'qualities': NEURAL_QUALITIES,
+                          'json_template':
+                              '{"models": {"wrapper": '
+                              '{"compression_model": {"kwargs": '
+                              '{"quality": %d}, "ckpt": '
+                              '"./resource/ckpt/codec/' + family +
+                              '-q%d.ckpt"}}}}'},
             }
-            dump(CFG / 'ilsvrc2012/input_compression' /
-                 f'{family}-q{q}-resnet50.yaml', config)
+            dump(CFG / 'pascal_voc2012/input_compression' /
+                 f'{family}-deeplabv3_{backbone}.yaml', config)
 
 
 def gen_feature_compression():
     for codec, fmt in [('jpeg', 'JPEG'), ('webp', 'WEBP')]:
         config = {
-            'dependencies': ['sc2bench_tpu.models',
-                             'sc2bench_tpu.transforms'],
+            'dependencies': ['sc2bench_tpu.models', 'sc2bench_tpu.transforms'],
             'models': {'wrapper': {
                 'key': 'CodecFeatureCompressionClassifier',
                 'classification_model': {'key': 'resnet50',
@@ -472,12 +849,29 @@ def gen_feature_compression():
              f'{codec}-resnet50.yaml', config)
 
 
+GENERATED_DIRS = [
+    'ilsvrc2012/supervised_compression/entropic_student',
+    'ilsvrc2012/supervised_compression/end-to-end',
+    'ilsvrc2012/supervised_compression/ghnd-bq',
+    'ilsvrc2012/supervised_compression/fine-tuning',
+    'ilsvrc2012/input_compression',
+    'ilsvrc2012/feature_compression',
+    'coco2017', 'pascal_voc2012',
+]
+
+
 if __name__ == '__main__':
-    gen_entropic_student()
+    for d in GENERATED_DIRS:
+        shutil.rmtree(CFG / d, ignore_errors=True)
+    gen_entropic_student_ilsvrc()
+    gen_entropic_student_coco()
+    gen_entropic_student_voc()
     gen_end_to_end()
     gen_ghnd_bq()
     gen_fine_tuning()
-    gen_input_compression()
+    gen_input_compression_ilsvrc()
+    gen_input_compression_coco()
+    gen_input_compression_voc()
     gen_feature_compression()
     n = len(list(CFG.rglob('*.yaml')))
     print(f'{n} configs under {CFG}')
