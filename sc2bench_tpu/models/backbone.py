@@ -37,12 +37,16 @@ class SplittableResNet(nn.Module):
     skips_fc: bool = False
     sow_intermediates: bool = True
     dtype: Any = jnp.float32  # tail compute dtype (bfloat16 → MXU)
+    frozen_bn: bool = False   # reference `backbone.py:690-698` option
 
     def setup(self):
-        d = self.dtype
-        self.layer2 = ResNetStage(128, self.stage_sizes[1], strides=2, dtype=d)
-        self.layer3 = ResNetStage(256, self.stage_sizes[2], strides=2, dtype=d)
-        self.layer4 = ResNetStage(512, self.stage_sizes[3], strides=2, dtype=d)
+        d, fb = self.dtype, self.frozen_bn
+        self.layer2 = ResNetStage(128, self.stage_sizes[1], strides=2,
+                                  dtype=d, frozen_bn=fb)
+        self.layer3 = ResNetStage(256, self.stage_sizes[2], strides=2,
+                                  dtype=d, frozen_bn=fb)
+        self.layer4 = ResNetStage(512, self.stage_sizes[3], strides=2,
+                                  dtype=d, frozen_bn=fb)
         if not (self.skips_avgpool and self.skips_fc):
             self.fc = nn.Dense(self.num_classes)
 
@@ -72,9 +76,10 @@ class SplittableResNet(nn.Module):
 @register_model
 def splittable_resnet(bottleneck_config, resnet_name='resnet50',
                       num_classes=1000, skips_avgpool=False, skips_fc=False,
-                      **kwargs) -> SplittableResNet:
+                      frozen_bn=False, **kwargs) -> SplittableResNet:
     """Builder (reference `backbone.py:658-698`): bottleneck from the layer
-    registry + ResNet tail selected by name."""
+    registry + ResNet tail selected by name; `frozen_bn` mirrors the
+    reference's FrozenBatchNorm2d option for detection backbones."""
     stage_sizes = {'resnet50': (3, 4, 6, 3), 'resnet101': (3, 4, 23, 3),
                    'resnet152': (3, 8, 36, 3),
                    'resnest50d': (3, 4, 6, 3)}[resnet_name]
@@ -82,16 +87,25 @@ def splittable_resnet(bottleneck_config, resnet_name='resnet50',
                            **bottleneck_config.get('kwargs', {}))
     return SplittableResNet(bottleneck_layer=bottleneck,
                             stage_sizes=stage_sizes, num_classes=num_classes,
-                            skips_avgpool=skips_avgpool, skips_fc=skips_fc)
+                            skips_avgpool=skips_avgpool, skips_fc=skips_fc,
+                            frozen_bn=frozen_bn)
 
 
 @register_model
 def splittable_resnest(bottleneck_config, resnest_name='resnest50d',
-                       num_classes=1000, **kwargs) -> SplittableResNet:
-    """ResNeSt variant (reference `backbone.py:786-820`); the tail reuses
-    ResNet stages (radix attention is a teacher-side nicety the student tail
-    does not need for the benchmark protocol)."""
-    return splittable_resnet(bottleneck_config, 'resnest50d', num_classes)
+                       num_classes=1000, skips_avgpool=False, skips_fc=False,
+                       **kwargs):
+    """ResNeSt variant (reference `backbone.py:786-820`): a true
+    split-attention (radix-2) tail from `models/resnest.py`."""
+    from .resnest import SplittableResNeSt
+    stage_sizes = {'resnest50d': (3, 4, 6, 3),
+                   'resnest101e': (3, 4, 23, 3)}[resnest_name]
+    bottleneck = get_layer(bottleneck_config['key'],
+                           **bottleneck_config.get('kwargs', {}))
+    return SplittableResNeSt(bottleneck_layer=bottleneck,
+                             stage_sizes=stage_sizes,
+                             num_classes=num_classes,
+                             skips_avgpool=skips_avgpool, skips_fc=skips_fc)
 
 
 class SplittableDenseNet(nn.Module):

@@ -21,14 +21,22 @@ class SplittableDetectionBackbone(nn.Module):
 
     bottleneck_layer: Optional[nn.Module] = None
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    # FrozenBatchNorm in the ResNet stages — the reference's torchvision
+    # detection-backbone default (`backbone.py:690-698`)
+    frozen_bn: bool = False
 
     def setup(self):
+        fb = self.frozen_bn
         if self.bottleneck_layer is None:
             self.stem = ResNetStem()
-            self.layer1 = ResNetStage(64, self.stage_sizes[0], strides=1)
-        self.layer2 = ResNetStage(128, self.stage_sizes[1], strides=2)
-        self.layer3 = ResNetStage(256, self.stage_sizes[2], strides=2)
-        self.layer4 = ResNetStage(512, self.stage_sizes[3], strides=2)
+            self.layer1 = ResNetStage(64, self.stage_sizes[0], strides=1,
+                                      frozen_bn=fb)
+        self.layer2 = ResNetStage(128, self.stage_sizes[1], strides=2,
+                                  frozen_bn=fb)
+        self.layer3 = ResNetStage(256, self.stage_sizes[2], strides=2,
+                                  frozen_bn=fb)
+        self.layer4 = ResNetStage(512, self.stage_sizes[3], strides=2,
+                                  frozen_bn=fb)
 
     def __call__(self, x, mode: str = 'train', train: bool = False):
         if self.bottleneck_layer is not None:
@@ -62,6 +70,8 @@ class SplittableDetectionBackbone(nn.Module):
         stage_sizes = {'resnet50': (3, 4, 6, 3),
                        'resnet101': (3, 4, 23, 3)}[
             (backbone_config or {}).get('resnet_name', 'resnet50')]
+        kwargs.setdefault('frozen_bn',
+                          (backbone_config or {}).get('frozen_bn', False))
         return cls(bottleneck_layer=bottleneck, stage_sizes=stage_sizes,
                    **kwargs)
 

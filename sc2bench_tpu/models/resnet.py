@@ -20,9 +20,40 @@ import jax.numpy as jnp
 Dtype = Any
 
 
-def _bn(name: str, dtype=jnp.float32) -> nn.BatchNorm:
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with affine params and running stats all frozen — the
+    reference's torchvision `FrozenBatchNorm2d` option for detection
+    backbones (`/root/reference/sc2bench/models/backbone.py:690-698`).
+    Parameter/stat names match `nn.BatchNorm` (scale/bias + batch_stats
+    mean/var) so checkpoints convert transparently; gradients are stopped
+    and stats never update regardless of train mode."""
+
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+    scale_init: Callable = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = True):
+        import jax
+        c = x.shape[-1]
+        scale = self.param('scale', self.scale_init, (c,), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
+        mean = self.variable('batch_stats', 'mean',
+                             lambda: jnp.zeros((c,), jnp.float32))
+        var = self.variable('batch_stats', 'var',
+                            lambda: jnp.ones((c,), jnp.float32))
+        scale = jax.lax.stop_gradient(scale)
+        bias = jax.lax.stop_gradient(bias)
+        inv = jax.lax.rsqrt(var.value + self.epsilon) * scale
+        y = (x - mean.value) * inv + bias
+        return y.astype(self.dtype)
+
+
+def _bn(name: str, dtype=jnp.float32, frozen: bool = False):
     # dtype = output/compute dtype; statistics accumulate in float32
     # regardless, so bfloat16 keeps the conv->BN->relu chain cast-free.
+    if frozen:
+        return FrozenBatchNorm(dtype=dtype, name=name)
     return nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=dtype, name=name)
 
 
@@ -37,6 +68,7 @@ class BottleneckBlock(nn.Module):
     expansion: int = 4
     zero_init_residual: bool = True
     dtype: Dtype = jnp.float32  # compute dtype; bfloat16 feeds the MXU
+    frozen_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -44,27 +76,32 @@ class BottleneckBlock(nn.Module):
         residual = x
         y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype,
                     name='conv1')(x)
-        y = _bn('bn1', self.dtype)(y, use_running_average=ura)
+        y = _bn('bn1', self.dtype, self.frozen_bn)(y, use_running_average=ura)
         y = nn.relu(y)
         d = self.dilation
         y = nn.Conv(self.filters, (3, 3), strides=(self.strides, self.strides),
                     padding=((d, d), (d, d)), kernel_dilation=(d, d),
                     use_bias=False, dtype=self.dtype, name='conv2')(y)
-        y = _bn('bn2', self.dtype)(y, use_running_average=ura)
+        y = _bn('bn2', self.dtype, self.frozen_bn)(y, use_running_average=ura)
         y = nn.relu(y)
         y = nn.Conv(self.filters * self.expansion, (1, 1), use_bias=False,
                     dtype=self.dtype, name='conv3')(y)
-        bn3 = nn.BatchNorm(
-            momentum=0.9, epsilon=1e-5, dtype=self.dtype, name='bn3',
-            scale_init=nn.initializers.zeros if self.zero_init_residual
-            else nn.initializers.ones)
+        scale_init = nn.initializers.zeros if self.zero_init_residual \
+            else nn.initializers.ones
+        if self.frozen_bn:
+            bn3 = FrozenBatchNorm(dtype=self.dtype, name='bn3',
+                                  scale_init=scale_init)
+        else:
+            bn3 = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                               name='bn3', scale_init=scale_init)
         y = bn3(y, use_running_average=ura)
         if residual.shape != y.shape:
             residual = nn.Conv(self.filters * self.expansion, (1, 1),
                                strides=(self.strides, self.strides),
                                use_bias=False, dtype=self.dtype,
                                name='downsample_conv')(x)
-            residual = _bn('downsample_bn', self.dtype)(residual, use_running_average=ura)
+            residual = _bn('downsample_bn', self.dtype, self.frozen_bn)(
+                residual, use_running_average=ura)
         return nn.relu(y + residual)
 
 
@@ -79,6 +116,7 @@ class ResNetStage(nn.Module):
     dilate: bool = False
     dtype: Dtype = jnp.float32
     remat: bool = False  # rematerialize blocks (trade FLOPs for HBM)
+    frozen_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -91,7 +129,8 @@ class ResNetStage(nn.Module):
             x = block_cls(
                 self.filters, strides=strides if i == 0 else 1,
                 dilation=first_dil if i == 0 else block_dil,
-                dtype=self.dtype, name=f'block{i}')(x, train)
+                dtype=self.dtype, frozen_bn=self.frozen_bn,
+                name=f'block{i}')(x, train)
         return x
 
 

@@ -96,8 +96,20 @@ class ClassificationEngine:
                     self.teacher_variables, _, _ = load_ckpt(
                         tm_cfg['ckpt'], self.teacher_variables)
                 except FileNotFoundError:
-                    logger.warning('teacher ckpt %s missing; random init',
-                                   tm_cfg['ckpt'])
+                    # A configured-but-missing teacher anchor silently turns
+                    # distillation into noise; fail hard unless explicitly
+                    # allowed (tests/smoke runs set allow_missing_teacher).
+                    if not config.get('allow_missing_teacher', False):
+                        raise FileNotFoundError(
+                            f"teacher ckpt {tm_cfg['ckpt']} not found — "
+                            'distilling from RANDOM teacher weights is '
+                            'almost never intended. Provide the checkpoint '
+                            '(see utils/torch_convert.py for converting '
+                            'reference weights) or set '
+                            'allow_missing_teacher: true in the config.')
+                    logger.error('teacher ckpt %s missing; RANDOM teacher '
+                                 'weights (allow_missing_teacher set)',
+                                 tm_cfg['ckpt'])
         sm_cfg = models_config.get('student_model', models_config.get('model'))
         self.student_module = load_classification_model(sm_cfg)
         self.student_variables = init_model(

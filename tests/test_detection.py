@@ -9,6 +9,8 @@ from sc2bench_tpu.ops.boxes import (box_iou, clip_boxes, decode_boxes,
                                     encode_boxes, nms_mask)
 from sc2bench_tpu.ops.roi_align import roi_align
 
+pytestmark = pytest.mark.slow  # heavy compile-bound module (CPU mesh)
+
 
 def test_box_iou():
     a = jnp.asarray([[0, 0, 10, 10], [5, 5, 15, 15]], jnp.float32)

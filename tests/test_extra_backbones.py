@@ -4,6 +4,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy compile-bound module (CPU mesh)
+
 
 def _fp_bneck(target_ch):
     from sc2bench_tpu.models.layer import FPBasedResNetBottleneck

@@ -355,10 +355,10 @@ def test_efficientnet_builders_resolve():
 
 def test_efficientnet_forward():
     from sc2bench_tpu.models.efficientnet import EfficientNet
-    m = EfficientNet(width_coefficient=1.0, depth_coefficient=1.0,
+    m = EfficientNet(width_coefficient=0.5, depth_coefficient=0.4,
                      num_classes=7)
     x = jnp.zeros((1, 64, 64, 3))
     v = jax.jit(lambda r, x: m.init(r, x))({'params': jax.random.key(0)}, x)
-    out = m.apply({'params': v['params'],
-                   'batch_stats': v.get('batch_stats', {})}, x)
+    out = jax.jit(lambda v, x: m.apply(v, x))(
+        {'params': v['params'], 'batch_stats': v.get('batch_stats', {})}, x)
     assert out.shape == (1, 7)

@@ -14,6 +14,7 @@ def test_mesh_has_8_devices():
     assert mesh.devices.size == 8
 
 
+@pytest.mark.slow
 def test_data_parallel_eval_matches_single_device():
     """Batch sharded over 8 devices must produce the same logits as
     unsharded execution (the reference's DP eval, SURVEY.md §2.4)."""
@@ -63,6 +64,7 @@ def test_2d_mesh_construction():
     assert mesh.axis_names == ('data', 'model')
 
 
+@pytest.mark.slow
 def test_spatial_sharding_of_encoder():
     """2-D ('data','model') mesh: shard the conv encoder's H dimension over
     'model' for very large inputs (SURVEY.md §5.7). XLA GSPMD inserts the

@@ -1,5 +1,6 @@
 """Segmentation stack tests: DeepLabv3 forward shapes (dilated backbone),
 splittable bottleneck variant, and the SegEvaluator confusion matrix."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -19,6 +20,7 @@ def test_seg_evaluator():
     assert 'mean IoU' in str(ev)
 
 
+@pytest.mark.slow
 def test_deeplabv3_shapes():
     from sc2bench_tpu.models.segmentation.deeplabv3 import deeplabv3_model
     model = deeplabv3_model(

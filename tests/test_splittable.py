@@ -27,6 +27,7 @@ def _build(bneck, stage_sizes=(1, 1, 1, 1)):
                    'batch_stats': variables.get('batch_stats', {})}
 
 
+@pytest.mark.slow
 class TestFPSplittable:
     @pytest.fixture(scope='class')
     def rt(self):
@@ -77,6 +78,7 @@ class TestFPSplittable:
 
 @pytest.mark.parametrize('cls', [SHPBasedResNetBottleneck,
                                  MSHPBasedResNetBottleneck])
+@pytest.mark.slow
 def test_hyperprior_deploy_roundtrip(cls):
     model, variables = _build(cls(num_latent_channels=4,
                                   num_bottleneck_channels=8,
@@ -95,6 +97,7 @@ def test_hyperprior_deploy_roundtrip(cls):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_crbq_bottleneck_shapes():
     """CR+BQ simple bottleneck: encoder output must reassemble to the tail's
     expected 256-channel layer1-substitute."""

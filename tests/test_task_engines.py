@@ -25,6 +25,7 @@ def _seg_model():
                    'batch_stats': variables.get('batch_stats', {})}
 
 
+@pytest.mark.slow
 def test_split_segmentation_runtime_deploy():
     from sc2bench_tpu.models.segmentation.wrapper import \
         SplitSegmentationRuntime

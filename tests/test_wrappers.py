@@ -9,6 +9,8 @@ from PIL import Image
 import sc2bench_tpu.models  # populate registries  # noqa: F401
 import sc2bench_tpu.transforms  # noqa: F401
 
+pytestmark = pytest.mark.slow  # heavy compile-bound module (CPU mesh)
+
 
 def _small_resnet(num_classes=10):
     from sc2bench_tpu.models.resnet import ResNet

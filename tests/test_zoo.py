@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy compile-bound module (CPU mesh)
+
 
 def _init(module, shape=(1, 64, 64, 3)):
     x = jnp.zeros(shape)
