@@ -23,13 +23,22 @@ class RCNNTransform:
     normalize, pad to a static canvas divisible by `size_divisible`."""
 
     def __init__(self, min_size=800, max_size=1333, image_mean=None,
-                 image_std=None, size_divisible=32, fixed_canvas=True):
+                 image_std=None, size_divisible=32, fixed_canvas=True,
+                 canvas_buckets=None):
         self.min_size = min_size
         self.max_size = max_size
         self.image_mean = np.asarray(image_mean or IMAGENET_MEAN, np.float32)
         self.image_std = np.asarray(image_std or IMAGENET_STD, np.float32)
         self.size_divisible = size_divisible
         self.fixed_canvas = fixed_canvas
+        # Optional aspect-ratio canvas buckets: each bucket is one compiled
+        # program shape, so recompilation is bounded by len(buckets) instead
+        # of padding every image to the worst-case square. True selects the
+        # landscape/portrait/square triple from (min_size, max_size).
+        if canvas_buckets is True:
+            canvas_buckets = self.default_buckets()
+        self.canvas_buckets = [tuple(b) for b in canvas_buckets] \
+            if canvas_buckets else None
 
     def resize(self, img: np.ndarray):
         h, w = img.shape[:2]
@@ -42,24 +51,50 @@ class RCNNTransform:
                              np.float32) / 255.0
         return resized, scale
 
-    def canvas_hw(self):
+    def _round_div(self, v):
         d = self.size_divisible
-        return (-(-self.max_size // d) * d, -(-self.max_size // d) * d)
+        return -(-v // d) * d
+
+    def canvas_hw(self):
+        m = self._round_div(self.max_size)
+        return (m, m)
+
+    def default_buckets(self):
+        """Landscape / portrait / square canvases for the reference's
+        800/1333 eval geometry (torchvision resizes shorter side to 800,
+        longer capped at 1333) — 3 compiled shapes total."""
+        mn, mx = self._round_div(self.min_size), self._round_div(self.max_size)
+        return [(mn, mx), (mx, mn), (mx, mx)]
+
+    def _select_canvas(self, shapes):
+        """Smallest bucket (by area) that fits every resized image."""
+        if not self.canvas_buckets:
+            return self.canvas_hw()
+        need_h = max(s[0] for s in shapes)
+        need_w = max(s[1] for s in shapes)
+        fitting = [b for b in self.canvas_buckets
+                   if b[0] >= need_h and b[1] >= need_w]
+        if not fitting:
+            return self.canvas_hw()
+        return min(fitting, key=lambda b: b[0] * b[1])
 
     def __call__(self, images):
         """images: list of HWC arrays (uint8 or [0,1] float).
         Returns (batch NHWC float32, scales, original sizes)."""
-        out, scales, orig = [], [], []
-        ch, cw = self.canvas_hw()
+        resized_all, scales, orig = [], [], []
         for img in images:
             img = np.asarray(img)
             orig.append(img.shape[:2])
             resized, scale = self.resize(img)
+            resized_all.append(resized)
+            scales.append(scale)
+        ch, cw = self._select_canvas([r.shape[:2] for r in resized_all])
+        out = []
+        for resized in resized_all:
             resized = (resized - self.image_mean) / self.image_std
             canvas = np.zeros((ch, cw, 3), np.float32)
             canvas[:resized.shape[0], :resized.shape[1]] = resized
             out.append(canvas)
-            scales.append(scale)
         return np.stack(out), np.asarray(scales, np.float32), orig
 
 

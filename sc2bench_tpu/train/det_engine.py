@@ -83,7 +83,8 @@ class DetectionEngine:
         models_config = config.get('models', {})
         self.transform = RCNNTransform(
             min_size=config.get('min_size', 800),
-            max_size=canvas_size, size_divisible=32)
+            max_size=canvas_size, size_divisible=32,
+            canvas_buckets=config.get('canvas_buckets'))
         self.canvas = self.transform.canvas_hw()
         self.wrapper = None
         if 'wrapper' in models_config:

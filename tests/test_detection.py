@@ -256,3 +256,27 @@ def test_hubconf_constructors_build():
                  'custom_keypointrcnn_resnet_fpn']:
         module = getattr(hubconf, name)(bottleneck_channel=3, num_classes=5)
         assert module is not None
+
+
+def test_rcnn_transform_canvas_buckets():
+    """Bucketed canvases: landscape/portrait/square images land on the
+    smallest fitting bucket (3 compiled shapes for the reference's 800/1333
+    eval geometry) and box scales are unchanged."""
+    from sc2bench_tpu.models.detection.transform import RCNNTransform
+    t = RCNNTransform(min_size=64, max_size=128, size_divisible=32,
+                      canvas_buckets=True)
+    assert t.default_buckets() == [(64, 128), (128, 64), (128, 128)]
+    wide = np.zeros((50, 100, 3), np.uint8)
+    tall = np.zeros((100, 50, 3), np.uint8)
+    square = np.zeros((80, 80, 3), np.uint8)
+    b_wide, s_wide, _ = t([wide])
+    b_tall, _, _ = t([tall])
+    b_sq, _, _ = t([square])
+    assert b_wide.shape[1:3] == (64, 128)
+    assert b_tall.shape[1:3] == (128, 64)
+    # square resizes shorter side to min_size (64x64) -> smallest bucket
+    assert b_sq.shape[1:3] == (64, 128)
+    # same resize scale as the unbucketed transform
+    t0 = RCNNTransform(min_size=64, max_size=128, size_divisible=32)
+    _, s0, _ = t0([wide])
+    np.testing.assert_allclose(s_wide, s0)
