@@ -82,6 +82,24 @@ class FactorizedCodec:
             out.append(np.transpose(flat.reshape(channels, h, w), (1, 2, 0)))
         return np.stack(out)
 
+    # ---- wire fast path: channels-last int16, no host transpose/widening --
+    def compress_wire(self, symbols: np.ndarray):
+        """symbols: (n, h, w, c) int16 (the device wire layout) -> per-sample
+        byte strings. Same bitstream format and statistically identical size
+        as `compress_symbols` (identical symbols and CDFs; only the symbol
+        order inside the stream differs), but the host does zero reordering:
+        the NHWC ravel is contiguous and the channel index is implicit."""
+        n, h, w, c = symbols.shape
+        flat = symbols.reshape(n, -1)
+        return [self.coder.encode_cyclic_i16(flat[i], c) for i in range(n)]
+
+    def decompress_wire(self, strings, shape, channels):
+        h, w = shape
+        return np.stack([
+            self.coder.decode_cyclic_i16(s, h * w * channels,
+                                         channels).reshape(h, w, channels)
+            for s in strings])
+
 
 class HyperpriorCodec(FactorizedCodec):
     """Codec for SHP/MSHP: factorized-coded z + gaussian-coded y."""
@@ -118,7 +136,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
     `bottleneck_updated`, plus the analyzable surface."""
 
     def __init__(self, module, variables, analyzer_configs=None,
-                 analysis_unit='KB'):
+                 analysis_unit='KB', deploy_bf16_tail=False):
         if analyzer_configs is None:
             analyzer_configs = [{'key': 'FileSizeAnalyzer',
                                  'kwargs': {'unit': analysis_unit}}]
@@ -127,6 +145,13 @@ class SplitClassifierRuntime(AnalyzerHolder):
         self.variables = variables
         self.bottleneck_updated = False
         self.training = False
+        # Optional mixed-precision serving: run the server-side tail
+        # (layer2..4 + head) in bfloat16 while the bottleneck decode
+        # (dequantize + IGDN deconvs) stays float32 so reconstruction
+        # matches training exactly. ~1.5x decode-program speedup on v5e;
+        # logits differ only by bf16 rounding in the tail.
+        self.deploy_bf16_tail = deploy_bf16_tail
+        self._bf16_variables = None
         # Module-level deploy ops (EntropicClassifierModule) vs. a
         # bottleneck_layer submodule (SplittableResNet family).
         self._module_level_ops = hasattr(module, 'encode_ops') and not \
@@ -258,22 +283,55 @@ class SplitClassifierRuntime(AnalyzerHolder):
             channels = self.codec.tables.medians.shape[0]
             symbols = self.codec.decompress_symbols(strings[0], shape,
                                                     channels)
-            if self._module_level_ops:
-                def dec(variables, symbols, medians):
-                    return self.module.apply(
-                        variables, symbols, medians,
-                        method=lambda m, s, med:
-                            m.decode_ops_to_logits(s, med))
-            else:
-                def dec(variables, symbols, medians):
-                    def m_fn(m, s, med):
-                        feat = m.bottleneck_layer.decode_ops(s, med)
-                        return m.forward_tail(feat)
-                    return self.module.apply(variables, symbols, medians,
-                                             method=m_fn)
-            return self._jitted('decode', dec)(
-                self.variables, jnp.asarray(_narrow(symbols)),
+            return self._decode_call(jnp.asarray(_narrow(symbols)))
+
+    def _decode_fn(self):
+        """Server-side jitted program body: symbols -> feature -> logits."""
+        if self._module_level_ops:
+            def dec(variables, symbols, medians):
+                return self.module.apply(
+                    variables, symbols, medians,
+                    method=lambda m, s, med:
+                        m.decode_ops_to_logits(s, med))
+        else:
+            def dec(variables, symbols, medians):
+                def m_fn(m, s, med):
+                    feat = m.bottleneck_layer.decode_ops(s, med)
+                    return m.forward_tail(feat)
+                return self.module.apply(variables, symbols, medians,
+                                         method=m_fn)
+        return dec
+
+    def _decode_call(self, symbols_dev):
+        """Dispatch the server-side program; optionally with a bf16 tail."""
+        if self.deploy_bf16_tail and not self._module_level_ops:
+            if self._bf16_variables is None:
+                self._bf16_variables = jax.tree.map(
+                    lambda a: a.astype(jnp.bfloat16)
+                    if a.dtype == jnp.float32 else a, self.variables)
+
+            def dec(variables, bf16_vars, symbols, medians):
+                feat = self.module.apply(
+                    variables, symbols, medians,
+                    method=lambda m, s, med:
+                        m.bottleneck_layer.decode_ops(s, med))
+                logits = self.module.apply(
+                    bf16_vars, feat.astype(jnp.bfloat16),
+                    method=lambda m, f: m.forward_tail(f))
+                return logits.astype(jnp.float32)
+            return self._jitted('decode_bf16', dec)(
+                self.variables, self._bf16_variables, symbols_dev,
                 self._medians_dev)
+        return self._jitted('decode', self._decode_fn())(
+            self.variables, symbols_dev, self._medians_dev)
+
+    def _decode_wire(self, strings, shape):
+        """Decode from the cyclic int16 wire format (stream_deploy fast
+        path): the rANS output is already the (h, w, c) int16 device layout,
+        so no transpose, range scan, or widening precedes the h2d hop."""
+        channels = self.codec.tables.medians.shape[0]
+        symbols = self.codec.decompress_wire(strings, shape, channels)
+        return self._decode_call(jnp.asarray(symbols))
 
     # ---- async deploy pieces (for pipelined batch-1 streaming) ----------
     @staticmethod
@@ -355,14 +413,18 @@ class SplitClassifierRuntime(AnalyzerHolder):
                 compressed = {'strings': strings,
                               'shape': tuple(z_sym.shape[1:3])}
             else:
-                sym = np.asarray(ops['symbols']).astype(np.int32)
+                sym = np.asarray(ops['symbols'])  # int16 wire dtype
                 t1 = _time.perf_counter()
-                strings = self.codec.compress_symbols(sym)
+                strings = self.codec.compress_wire(sym)
                 compressed = {'strings': [strings],
                               'shape': tuple(sym.shape[1:3])}
             self.analyze(compressed)
             t2 = _time.perf_counter()
-            out = self.decode(**compressed)
+            if isinstance(self.codec, HyperpriorCodec):
+                out = self.decode(**compressed)
+            else:
+                out = self._decode_wire(compressed['strings'][0],
+                                        compressed['shape'])
             t3 = _time.perf_counter()
             if timings is not None:
                 timings['d2h_sync'] = timings.get('d2h_sync', 0.0) + t1 - t0

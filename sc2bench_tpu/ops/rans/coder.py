@@ -81,6 +81,14 @@ def _load_library():
     lib.rans_decode_with_indexes_lut.argtypes = [
         u8p, ctypes.c_int, i32p, ctypes.c_int, i32p, ctypes.c_int,
         i32p, i32p, i16p, ctypes.c_int, i32p]
+    lib.rans_encode_cyclic_i16.restype = ctypes.c_int
+    lib.rans_encode_cyclic_i16.argtypes = [
+        i16p, ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int, i32p, i32p,
+        u8p, ctypes.c_int]
+    lib.rans_decode_cyclic_i16_lut.restype = ctypes.c_int
+    lib.rans_decode_cyclic_i16_lut.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int,
+        i32p, i32p, i16p, ctypes.c_int, i16p]
     _LIB = lib
     return lib
 
@@ -250,6 +258,50 @@ class RansCoder:
             _i32p(self.offsets),
             self._lut.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
             self._lut.shape[1], _i32p(out))
+        return out
+
+    # ---- cyclic int16 wire fast path (channels-last device layout) ------
+    def encode_cyclic_i16(self, symbols, num_dists: int) -> bytes:
+        """Encode a channels-last flat int16 buffer where symbol i uses
+        distribution (i % num_dists) — the device's natural NHWC layout, so
+        the host never transposes, widens, or builds an index array."""
+        symbols = np.ascontiguousarray(symbols, dtype=np.int16).ravel()
+        if self.lib is None:
+            n = symbols.size
+            indexes = np.tile(np.arange(num_dists, dtype=np.int32),
+                              (n + num_dists - 1) // num_dists)[:n]
+            return _py_encode(symbols.astype(np.int32), indexes, self.cdfs,
+                              self.cdf_lengths, self.offsets)
+        capacity = max(1024, symbols.size * 8)
+        while True:
+            out = np.empty(capacity, np.uint8)
+            n = self.lib.rans_encode_cyclic_i16(
+                symbols.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                symbols.size, num_dists, _i32p(self.cdfs), self.cdf_stride,
+                _i32p(self.cdf_lengths), _i32p(self.offsets), _u8p(out),
+                capacity)
+            if n >= 0:
+                return out[:n].tobytes()
+            capacity *= 4
+
+    def decode_cyclic_i16(self, data: bytes, n: int,
+                          num_dists: int) -> np.ndarray:
+        """Inverse of encode_cyclic_i16; returns int16 (the wire dtype)."""
+        if self.lib is None:
+            indexes = np.tile(np.arange(num_dists, dtype=np.int32),
+                              (n + num_dists - 1) // num_dists)[:n]
+            return _py_decode(data, indexes, self.cdfs, self.cdf_lengths,
+                              self.offsets).astype(np.int16)
+        if self._lut is None:
+            self._build_lut()
+        byte_arr = np.frombuffer(data, np.uint8)
+        out = np.empty(n, np.int16)
+        self.lib.rans_decode_cyclic_i16_lut(
+            _u8p(byte_arr), byte_arr.size, n, num_dists, _i32p(self.cdfs),
+            self.cdf_stride, _i32p(self.cdf_lengths), _i32p(self.offsets),
+            self._lut.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            self._lut.shape[1],
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
         return out
 
     # ---- interleaved multi-lane (parallel decode; ~num_lanes speedup) ---

@@ -444,3 +444,118 @@ int rans_decode_with_indexes_lut(const uint8_t* bytes, int n_bytes,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Cyclic int16 fast path: symbols arrive in the device's natural NHWC-flat
+// (channels-last) order and symbol i uses distribution (i % num_dists), so no
+// index array, transpose, or int32 widening is ever materialized on the host.
+// The bitstream format is identical to rans_encode_with_indexes (byte content
+// differs only through symbol order). Decode emits the int16 wire dtype that
+// goes straight back to the device.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline void emit_symbol_ops(std::vector<Op>& ops, const int32_t* cdf,
+                            int32_t max_value, int32_t value) {
+    uint32_t raw_val = 0;
+    bool escape = false;
+    if (value < 0) {
+        raw_val = static_cast<uint32_t>(-2 * value - 1);
+        value = max_value;
+        escape = true;
+    } else if (value >= max_value) {
+        raw_val = static_cast<uint32_t>(2 * (value - max_value));
+        value = max_value;
+        escape = true;
+    }
+    ops.push_back({static_cast<uint32_t>(cdf[value]),
+                   static_cast<uint32_t>(cdf[value + 1] - cdf[value])});
+    if (escape) {
+        int32_t n_bypass = 0;
+        while ((raw_val >> (n_bypass * kBypassBits)) != 0) ++n_bypass;
+        int32_t val = n_bypass;
+        while (val >= kMaxBypass) {
+            ops.push_back({static_cast<uint32_t>(kMaxBypass)
+                               << (kPrecision - kBypassBits),
+                           1u << (kPrecision - kBypassBits)});
+            val -= kMaxBypass;
+        }
+        ops.push_back({static_cast<uint32_t>(val)
+                           << (kPrecision - kBypassBits),
+                       1u << (kPrecision - kBypassBits)});
+        for (int32_t j = 0; j < n_bypass; ++j) {
+            uint32_t chunk = (raw_val >> (j * kBypassBits)) & kMaxBypass;
+            ops.push_back({chunk << (kPrecision - kBypassBits),
+                           1u << (kPrecision - kBypassBits)});
+        }
+    }
+}
+
+inline int32_t read_symbol_escape(RansDecState& dec, int32_t max_value) {
+    int32_t n_bypass = 0;
+    uint32_t val;
+    do {
+        val = dec.get_bypass();
+        n_bypass += static_cast<int32_t>(val);
+    } while (val == static_cast<uint32_t>(kMaxBypass));
+    uint32_t raw_val = 0;
+    for (int32_t j = 0; j < n_bypass; ++j)
+        raw_val |= dec.get_bypass() << (j * kBypassBits);
+    return (raw_val & 1) ? -static_cast<int32_t>((raw_val + 1) >> 1)
+                         : static_cast<int32_t>(raw_val >> 1) + max_value;
+}
+
+}  // namespace
+
+extern "C" {
+
+int rans_encode_cyclic_i16(const int16_t* symbols, int n, int num_dists,
+                           const int32_t* cdfs, int cdf_stride,
+                           const int32_t* cdf_lengths, const int32_t* offsets,
+                           uint8_t* out, int out_capacity) {
+    std::vector<Op> ops;
+    ops.reserve(static_cast<size_t>(n) + 16);
+    int idx = 0;
+    for (int i = 0; i < n; ++i) {
+        const int32_t* cdf = cdfs + static_cast<int64_t>(idx) * cdf_stride;
+        emit_symbol_ops(ops, cdf, cdf_lengths[idx] - 2,
+                        static_cast<int32_t>(symbols[i]) - offsets[idx]);
+        if (++idx == num_dists) idx = 0;
+    }
+    RansEncState enc;
+    enc.buf.reserve(static_cast<size_t>(n) * 2 + 8);
+    for (auto it = ops.rbegin(); it != ops.rend(); ++it)
+        enc.put(it->start, it->freq);
+    enc.flush();
+    const int total = static_cast<int>(enc.buf.size());
+    if (total > out_capacity) return -1;
+    for (int i = 0; i < total; ++i)
+        out[i] = enc.buf[total - 1 - i];
+    return total;
+}
+
+int rans_decode_cyclic_i16_lut(const uint8_t* bytes, int n_bytes, int n,
+                               int num_dists, const int32_t* cdfs,
+                               int cdf_stride, const int32_t* cdf_lengths,
+                               const int32_t* offsets, const int16_t* luts,
+                               int lut_stride, int16_t* out) {
+    RansDecState dec;
+    dec.init(bytes, n_bytes);
+    int idx = 0;
+    for (int i = 0; i < n; ++i) {
+        const int32_t* cdf = cdfs + static_cast<int64_t>(idx) * cdf_stride;
+        const int16_t* lut = luts + static_cast<int64_t>(idx) * lut_stride;
+        const int32_t max_value = cdf_lengths[idx] - 2;
+        const int s = lut[dec.peek()];
+        dec.advance(static_cast<uint32_t>(cdf[s]),
+                    static_cast<uint32_t>(cdf[s + 1] - cdf[s]));
+        int32_t value = (s == max_value) ? read_symbol_escape(dec, max_value)
+                                         : s;
+        out[i] = static_cast<int16_t>(value + offsets[idx]);
+        if (++idx == num_dists) idx = 0;
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -135,3 +135,32 @@ def test_interleaved_size_overhead_small():
     inter = coder.encode_interleaved(symbols, indexes, num_lanes=8)
     # per-lane flush + header overhead stays tiny (< 1%)
     assert len(inter) < len(single) * 1.01 + 64
+
+
+@pytest.mark.parametrize('use_cpp', [False, True])
+def test_cyclic_i16_roundtrip(use_cpp):
+    """The channels-last wire fast path round-trips exactly, including
+    escape-coded out-of-range symbols, and matches the generic coder's
+    size within a few bytes (same symbols/CDFs, different order)."""
+    if use_cpp and _load_library() is None:
+        pytest.skip('C++ rANS unavailable')
+    rng = np.random.default_rng(7)
+    cdfs, lengths, offsets = _make_tables(rng)
+    c = len(lengths)
+    n = c * 517  # non-trivial cyclic length
+    indexes = np.tile(np.arange(c, dtype=np.int32), 517)
+    max_vals = lengths[indexes] - 2
+    symbols = ((rng.integers(0, 1 << 16, n) % max_vals)
+               + offsets[indexes]).astype(np.int16)
+    symbols[::97] = 300   # out of any table's range -> escape path
+    symbols[::131] = -280
+    coder = RansCoder(cdfs, lengths, offsets, use_cpp=use_cpp)
+    data = coder.encode_cyclic_i16(symbols, c)
+    decoded = coder.decode_cyclic_i16(data, n, c)
+    assert decoded.dtype == np.int16
+    np.testing.assert_array_equal(decoded, symbols)
+    generic = coder.encode_with_indexes(symbols.astype(np.int32), indexes)
+    assert abs(len(data) - len(generic)) <= 8
+    # and cross-checks against the generic decoder on the same stream layout
+    np.testing.assert_array_equal(
+        coder.decode_with_indexes(data, indexes), symbols.astype(np.int32))

@@ -115,3 +115,34 @@ def test_builder_registry():
          'kwargs': {'num_bottleneck_channels': 8}},
         resnet_name='resnet50', num_classes=10)
     assert isinstance(m, SplittableResNet)
+
+
+def test_stream_deploy_matches_serial_and_bf16_tail():
+    """The pipelined wire-format stream deploy produces bit-identical logits
+    to the serial reference-API path (the cyclic int16 bitstream is lossless
+    by construction), byte accounting matches, and the opt-in bf16 tail
+    agrees on top-1."""
+    model, variables = _build(FPBasedResNetBottleneck(
+        num_bottleneck_channels=8, num_target_channels=256))
+    rt = SplitClassifierRuntime(model, variables)
+    rt.update()
+    rt.eval()
+    imgs = [jax.random.normal(jax.random.key(i), IMG) for i in range(4)]
+
+    serial = [np.asarray(rt(x)) for x in imgs]
+    rt.activate_analysis()
+    streamed = rt.stream_deploy(imgs, depth=2, workers=2)
+    rt.deactivate_analysis()
+    for s, p in zip(serial, streamed):
+        np.testing.assert_array_equal(s, np.asarray(p))
+    # per-sample byte accounting ran for every streamed image
+    assert len(rt.analyzers[0].file_size_list) == len(imgs)
+
+    rt_bf = SplitClassifierRuntime(model, variables, deploy_bf16_tail=True)
+    rt_bf.update()
+    rt_bf.eval()
+    out_bf = rt_bf.stream_deploy(imgs, depth=2, workers=2)
+    for s, b in zip(serial, out_bf):
+        b = np.asarray(b)
+        assert b.dtype == np.float32
+        assert int(np.argmax(s)) == int(np.argmax(b))
