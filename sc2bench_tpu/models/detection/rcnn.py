@@ -133,10 +133,14 @@ class FasterRCNN(nn.Module):
     def __call__(self, x, mode: str = 'train', train: bool = False,
                  rpn_only: bool = False):
         """Returns dict with rpn outputs, proposals, and roi predictions —
-        dense tensors; losses/postprocess are separate pure fns."""
+        dense tensors; losses/postprocess are separate pure fns. With
+        `rpn_only` the box head is skipped (the training engine then runs
+        it on the sampled-512 proposal set only, torchvision semantics)."""
         image_hw = x.shape[1:3]
         features = self.extract_features(x, mode, train)
-        return self.detect(features, image_hw, train)
+        if self.is_initializing():
+            rpn_only = False  # materialize box-head params at init
+        return self.detect(features, image_hw, train, rpn_only=rpn_only)
 
     # deploy split: run detection from a decoded bottleneck feature (C2)
     def forward_from_bottleneck(self, c2, image_hw, train: bool = False):
@@ -150,7 +154,8 @@ class FasterRCNN(nn.Module):
     def decode_ops(self, symbols, medians):
         return self.backbone.bottleneck_layer.decode_ops(symbols, medians)
 
-    def detect(self, features, image_hw, train: bool = False):
+    def detect(self, features, image_hw, train: bool = False,
+               rpn_only: bool = False):
         objectness, deltas = self.rpn_head(features)
         level_sizes = [int(np.prod(o.shape[1:3])) * o.shape[3]
                        for o in objectness]
@@ -168,7 +173,26 @@ class FasterRCNN(nn.Module):
                            training=train)
 
         proposals, prop_valid = jax.vmap(per_image)(obj_flat, del_flat)
+        out = {
+            'features': features,
+            'anchors': anchors,
+            'objectness': obj_flat,
+            'rpn_deltas': del_flat,
+            'proposals': proposals,
+            'proposal_valid': prop_valid,
+            'image_hw': image_hw,
+        }
+        if not rpn_only:
+            cls_scores, box_regression = self.roi_predict(
+                features, proposals, image_hw)
+            out['class_logits'] = cls_scores
+            out['box_regression'] = box_regression
+        return out
 
+    def roi_predict(self, features, proposals, image_hw):
+        """Box head + predictor over (N, R, 4) proposals — callable on the
+        full proposal set (eval) or a sampled subset (training, torchvision
+        `select_training_samples` semantics)."""
         def roi_per_image(feats_i, props_i):
             pooled = multiscale_roi_align(
                 feats_i, props_i, output_size=7,
@@ -181,18 +205,8 @@ class FasterRCNN(nn.Module):
         cls_scores, box_deltas = jax.vmap(
             lambda fi, pi: roi_per_image(fi, pi))(
             [f for f in features[:4]], proposals)
-        return {
-            'features': features,
-            'anchors': anchors,
-            'objectness': obj_flat,
-            'rpn_deltas': del_flat,
-            'proposals': proposals,
-            'proposal_valid': prop_valid,
-            'class_logits': cls_scores,
-            'box_regression': box_deltas.reshape(
-                *box_deltas.shape[:-1], self.num_classes, 4),
-            'image_hw': image_hw,
-        }
+        return cls_scores, box_deltas.reshape(
+            *box_deltas.shape[:-1], self.num_classes, 4)
 
 
 def postprocess_detections(outputs, score_thresh=BOX_SCORE_THRESH,
@@ -364,10 +378,82 @@ def roi_loss(outputs, targets, rng):
     return jnp.mean(cls), jnp.mean(reg)
 
 
-def detection_loss(outputs, targets, rng):
+def sample_rois(outputs, targets, rng, batch_size=BOX_BATCH_PER_IMAGE,
+                positive_fraction=BOX_POSITIVE_FRACTION):
+    """torchvision `RoIHeads.select_training_samples` with static shapes:
+    per image, append the gt boxes to the proposal set, match at IoU 0.5,
+    and subsample a fixed budget (25% positive) — *before* the box head.
+    Returns sampled proposals plus their class/regression targets; rows
+    past the number actually selected carry weight 0."""
+    def per_image(props_i, valid_i, gt_boxes, gt_valid, gt_labels, rng_i):
+        all_props = jnp.concatenate([props_i, gt_boxes])
+        all_valid = jnp.concatenate([valid_i, gt_valid])
+        iou = box_iou(all_props, gt_boxes)
+        iou = jnp.where(gt_valid[None, :] & all_valid[:, None], iou, -1.0)
+        best_gt = jnp.argmax(iou, axis=1)
+        best_iou = jnp.max(iou, axis=1, initial=-1.0)
+        fg = best_iou >= BOX_FG_IOU
+        labels01 = jnp.where(fg, 1, jnp.where(all_valid, 0, -1))
+        pos_sel, neg_sel = _sample_mask(labels01, rng_i, batch_size,
+                                        positive_fraction)
+        sel = pos_sel | neg_sel
+        # stable partition: selected rows first, truncated to the budget
+        order = jnp.argsort(~sel, stable=True)[:batch_size]
+        cls_targets = jnp.where(fg, gt_labels[best_gt], 0)
+        reg_targets = encode_boxes(gt_boxes[best_gt], all_props,
+                                   weights=BOX_REG_WEIGHTS)
+        return {'proposals': all_props[order],
+                'cls_targets': cls_targets[order],
+                'reg_targets': reg_targets[order],
+                'weight': sel[order].astype(jnp.float32),
+                'positive': pos_sel[order]}
+
+    rngs = jax.random.split(rng, outputs['proposals'].shape[0])
+    return jax.vmap(per_image)(
+        outputs['proposals'], outputs['proposal_valid'],
+        targets['boxes'], targets['boxes_valid'], targets['labels'], rngs)
+
+
+def roi_loss_sampled(class_logits, box_regression, sampled):
+    """Fast R-CNN loss over the pre-sampled proposal set (torchvision
+    `fastrcnn_loss`): CE over all sampled rows, smooth-L1 summed over
+    positives, both normalized by the sampled count."""
+    def per_image(logits_i, deltas_i, s):
+        w = s['weight']
+        log_probs = jax.nn.log_softmax(logits_i, axis=-1)
+        ce = -jnp.take_along_axis(log_probs, s['cls_targets'][:, None],
+                                  axis=1)[:, 0]
+        denom = jnp.maximum(jnp.sum(w), 1.0)
+        cls_loss = jnp.sum(ce * w) / denom
+        per_cls_deltas = jnp.take_along_axis(
+            deltas_i, s['cls_targets'][:, None, None].repeat(4, -1),
+            axis=1)[:, 0]
+        reg_loss = jnp.sum(
+            _smooth_l1(per_cls_deltas - s['reg_targets'], 1.0)
+            * s['positive'][:, None]) / denom
+        return cls_loss, reg_loss
+
+    cls, reg = jax.vmap(per_image)(class_logits, box_regression, sampled)
+    return jnp.mean(cls), jnp.mean(reg)
+
+
+def detection_loss(outputs, targets, rng, apply_roi=None):
+    """Combined RPN + RoI loss. When `apply_roi(features, proposals) ->
+    (class_logits, box_regression)` is given, proposals are subsampled
+    *before* the box head (torchvision semantics; pass the model's
+    `roi_predict` bound over the train-step variables). Otherwise falls
+    back to weighting the full-proposal-set head outputs (same gradient
+    estimator in expectation; requires `class_logits` in outputs)."""
     r1, r2 = jax.random.split(rng)
     rpn_cls, rpn_reg = rpn_loss(outputs, targets, r1)
-    box_cls, box_reg = roi_loss(outputs, targets, r2)
+    if apply_roi is not None:
+        sampled = sample_rois(outputs, targets, r2)
+        class_logits, box_regression = apply_roi(outputs['features'],
+                                                 sampled['proposals'])
+        box_cls, box_reg = roi_loss_sampled(class_logits, box_regression,
+                                            sampled)
+    else:
+        box_cls, box_reg = roi_loss(outputs, targets, r2)
     return {'loss_objectness': rpn_cls, 'loss_rpn_box_reg': rpn_reg,
             'loss_classifier': box_cls, 'loss_box_reg': box_reg}
 

@@ -48,19 +48,35 @@ class DetectionBox(DistillationBox):
             mutable = ['intermediates', 'entropy']
             if self.train_bn:
                 mutable.append('batch_stats')
+            # With task losses on, skip the full-proposal box head: the
+            # head runs only on the sampled 512 proposals below
+            # (torchvision select_training_samples semantics).
+            use_sampled = bool(self.detection_loss_weight) \
+                and targets is not None
             outputs, s_state = self.student_module.apply(
                 variables, x, mode=student_mode, train=self.train_bn,
-                rngs={'noise': rng_noise}, mutable=mutable)
+                rngs={'noise': rng_noise}, mutable=mutable,
+                rpn_only=use_sampled)
             io = flatten_io(s_state.get('intermediates', {}))
             io.update(flatten_io(s_state.get('entropy', {})))
-            io['output'] = outputs['class_logits']
-            main_loss, detail = self.criterion(io, teacher_io, None)
-            if self.detection_loss_weight and targets is not None:
-                det = detection_loss(outputs, targets, rng_det)
+            detail = {}
+            main_loss = 0.0
+            if use_sampled:
+                def apply_roi(feats, props):
+                    return self.student_module.apply(
+                        variables, feats, props, outputs['image_hw'],
+                        method=lambda m, f, p, hw: m.roi_predict(f, p, hw))
+                det = detection_loss(outputs, targets, rng_det,
+                                     apply_roi=apply_roi)
                 for k, v in det.items():
                     detail[k] = v
                 main_loss = main_loss + self.detection_loss_weight \
                     * sum(det.values())
+            else:
+                io['output'] = outputs['class_logits']
+            crit_loss, crit_detail = self.criterion(io, teacher_io, None)
+            detail.update(crit_detail)
+            main_loss = main_loss + crit_loss
             aux = factorized_aux_loss(params)
             new_bs = s_state.get('batch_stats', state.batch_stats)
             return main_loss + aux, (new_bs, detail, aux)

@@ -138,6 +138,59 @@ class TestFasterRCNN:
         assert g_rpn > 0 and g_bneck > 0
 
 
+    def test_sampled_roi_path(self, model_and_vars):
+        """torchvision select_training_samples semantics: gt-augmented
+        proposals, fixed 512 budget before the box head, loss finite,
+        gradients flow through the sampled head."""
+        from sc2bench_tpu.models.detection.rcnn import (
+            BOX_BATCH_PER_IMAGE, detection_loss, sample_rois)
+        model, variables = model_and_vars
+        x = jax.random.normal(jax.random.key(9), (1, 64, 64, 3))
+        targets = {
+            'boxes': jnp.asarray([[[4, 4, 30, 30], [10, 20, 50, 60]]],
+                                 jnp.float32),
+            'boxes_valid': jnp.asarray([[True, True]]),
+            'labels': jnp.asarray([[1, 3]], jnp.int32),
+        }
+
+        out = model.apply(variables, x, mode='train', train=False,
+                          rngs={'noise': jax.random.key(10)},
+                          rpn_only=True)
+        assert 'class_logits' not in out  # head skipped pre-sampling
+        sampled = sample_rois(out, targets, jax.random.key(11))
+        assert sampled['proposals'].shape == (1, BOX_BATCH_PER_IMAGE, 4)
+        # the appended gt boxes guarantee positives exist
+        assert int(jnp.sum(sampled['positive'])) >= 2
+        # positive fraction bounded at 25%
+        assert int(jnp.sum(sampled['positive'])) <= BOX_BATCH_PER_IMAGE // 4
+        # all sampled rows with weight are real (weight 0 past selection)
+        assert float(jnp.max(sampled['weight'])) == 1.0
+
+        def loss_fn(params):
+            vs = {'params': params,
+                  'batch_stats': variables['batch_stats']}
+            o = model.apply(vs, x, mode='train', train=False,
+                            rngs={'noise': jax.random.key(10)},
+                            rpn_only=True)
+
+            def apply_roi(feats, props):
+                return model.apply(
+                    vs, feats, props, o['image_hw'],
+                    method=lambda m, f, p, hw: m.roi_predict(f, p, hw))
+            losses = detection_loss(o, targets, jax.random.key(12),
+                                    apply_roi=apply_roi)
+            return sum(losses.values()), losses
+
+        (total, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(variables['params'])
+        assert np.isfinite(float(total))
+        for k, v in losses.items():
+            assert np.isfinite(float(v)), k
+        g_head = float(sum(jnp.abs(g).sum() for g in
+                           jax.tree.leaves(grads['box_head'])))
+        assert g_head > 0
+
+
 class TestRetinaNet:
     @pytest.fixture(scope='class')
     def model_and_vars(self):
