@@ -165,16 +165,28 @@ class _HostAutoregressive:
     def params_at(self, y_hat_padded, hyper, i, j):
         """y_hat_padded: (H+k-1, W+k-1, M) with k//2 halo; returns
         (scales, means) at (i, j)."""
+        scales, means = self.params_at_batch(
+            y_hat_padded, hyper, np.asarray([i]), np.asarray([j]))
+        return scales[0], means[0]
+
+    def params_at_batch(self, y_hat_padded, hyper, ii, jj):
+        """Vectorized context + entropy-parameters at positions
+        (ii[b], jj[b]) — one call per wavefront instead of per pixel.
+        Positions in a batch must not depend on each other (guaranteed by
+        the wavefront schedule)."""
         k = self.k
-        patch = y_hat_padded[i:i + k, j:j + k, :]
-        ctx = np.einsum('hwc,hwco->o', patch, self.ctx_kernel) + self.ctx_bias
-        feat = np.concatenate([hyper[i, j], ctx])
+        d = np.arange(k)
+        patches = y_hat_padded[ii[:, None, None] + d[None, :, None],
+                               jj[:, None, None] + d[None, None, :], :]
+        ctx = np.einsum('bhwc,hwco->bo', patches,
+                        self.ctx_kernel) + self.ctx_bias
+        feat = np.concatenate([hyper[ii, jj], ctx], axis=1)
         for li, (w, b) in enumerate(self.ep):
             feat = feat @ w + b
             if li < 2:
                 feat = np.where(feat > 0, feat, 0.01 * feat)
-        half = feat.shape[0] // 2
-        return feat[:half], feat[half:]
+        half = feat.shape[1] // 2
+        return feat[:, :half], feat[:, half:]
 
 
 class JointAutoregressiveRuntime:
@@ -212,6 +224,30 @@ class JointAutoregressiveRuntime:
         s = max(float(scale), 0.11)
         return int(np.sum(s > self.scale_table[:-1]))
 
+    def _indexes_of_scales(self, scales):
+        """Vectorized scale-table lookup, identical to _index_of_scale:
+        count of table entries strictly below max(s, table_min)."""
+        s = np.maximum(scales, 0.11)
+        return np.searchsorted(self.scale_table[:-1], s,
+                               side='left').astype(np.int32)
+
+    def _wavefronts(self, h, w):
+        """Anti-diagonal schedule d = a*i + j with a = k//2 + 1: every
+        causal dependency of (i, j) under the masked k x k context kernel
+        (same row left of j; rows above, all columns within the halo) has a
+        strictly smaller d, so all positions of one wavefront are coded in
+        parallel. ~a*h + w wavefronts instead of h*w sequential pixels."""
+        a = self.host_ar.k // 2 + 1
+        fronts = []
+        for d in range(a * (h - 1) + w):
+            ii = np.arange(max(0, (d - w + 1 + a - 1) // a),
+                           min(h, d // a + 1))
+            jj = d - a * ii
+            keep = (jj >= 0) & (jj < w)
+            if np.any(keep):
+                fronts.append((ii[keep], jj[keep]))
+        return fronts
+
     def compress(self, x):
         ops = self._jitted('enc', lambda v, x, m: self.module.apply(
             v, x, m, method=self.module.encode_ops))(
@@ -223,22 +259,22 @@ class JointAutoregressiveRuntime:
         k2 = self.host_ar.k // 2
         y_hat = np.zeros((h + 2 * k2, w + 2 * k2, m), np.float32)
         symbols, indexes = [], []
-        for i in range(h):
-            for j in range(w):
-                scales, means = self.host_ar.params_at(y_hat, hyper, i, j)
-                sym = np.round(y[i, j] - means).astype(np.int32)
-                y_hat[i + k2, j + k2] = sym + means
-                symbols.append(sym)
-                indexes.append([self._index_of_scale(s) for s in scales])
+        for ii, jj in self._wavefronts(h, w):
+            scales, means = self.host_ar.params_at_batch(
+                y_hat, hyper, ii, jj)
+            sym = np.round(y[ii, jj] - means).astype(np.int32)
+            y_hat[ii + k2, jj + k2] = sym + means
+            symbols.append(sym.ravel())
+            indexes.append(self._indexes_of_scales(scales).ravel())
         self._last_y_hat = y_hat[k2:k2 + h, k2:k2 + w].copy()  # test hook
         y_strings = [self.g_coder.encode_with_indexes(
-            np.concatenate(symbols), np.concatenate(
-                [np.asarray(ix, np.int32) for ix in indexes]))]
+            np.concatenate(symbols), np.concatenate(indexes))]
         z_strings = self.codec.compress_symbols(z_symbols)
         return {'strings': [y_strings, z_strings],
                 'shape': tuple(z_symbols.shape[1:3])}
 
     def decompress(self, strings, shape):
+        from ..ops.rans.coder import StreamingDecoder
         z_symbols = self.codec.decompress_symbols(
             strings[1], shape, self.module.n)
         hyper = np.asarray(self._jitted(
@@ -249,88 +285,20 @@ class JointAutoregressiveRuntime:
         m = self.module.m
         k2 = self.host_ar.k // 2
         y_hat = np.zeros((h + 2 * k2, w + 2 * k2, m), np.float32)
-        # decode serially: per position, decode m symbols with its indexes
-        data = strings[0][0]
-        # incremental rANS decode: decode all symbols position-by-position
-        # using a stateful decoder over the single stream
-        decoder = _StreamingRansDecoder(self.g_coder, data)
-        for i in range(h):
-            for j in range(w):
-                scales, means = self.host_ar.params_at(y_hat, hyper, i, j)
-                idx = np.asarray(
-                    [self._index_of_scale(s) for s in scales], np.int32)
-                sym = decoder.decode(idx)
-                y_hat[i + k2, j + k2] = sym + means
+        # wavefront decode: per front, batch-evaluate the context model and
+        # decode all of the front's symbols in one C++ streaming-rANS call
+        decoder = StreamingDecoder(self.g_coder, strings[0][0])
+        for ii, jj in self._wavefronts(h, w):
+            scales, means = self.host_ar.params_at_batch(
+                y_hat, hyper, ii, jj)
+            idx = self._indexes_of_scales(scales)
+            sym = decoder.decode(idx.ravel()).reshape(len(ii), m)
+            y_hat[ii + k2, jj + k2] = sym + means
         y_final = y_hat[k2:k2 + h, k2:k2 + w]
         self._last_y_hat_dec = y_final.copy()  # test hook
         return self._jitted('dec_img', lambda v, y: self.module.apply(
             v, y, method=self.module.decode_image))(
             self.variables, jnp.asarray(y_final)[None])
-
-
-class _StreamingRansDecoder:
-    """Incremental wrapper over the python rANS decoder: decodes chunks of
-    symbols from one stream as indexes become available."""
-
-    def __init__(self, coder, data: bytes):
-        from ..ops.rans.coder import _RANS_L, _PRECISION, _BYPASS_BITS, \
-            _MAX_BYPASS
-        self.coder = coder
-        self.data = data
-        self.pos = 0
-        self.x = 0
-        for _ in range(4):
-            self.x = (self.x << 8) | (data[self.pos]
-                                      if self.pos < len(data) else 0)
-            self.pos += 1
-        self._L = _RANS_L
-        self._P = _PRECISION
-        self._BB = _BYPASS_BITS
-        self._MB = _MAX_BYPASS
-
-    def _advance(self, start, freq):
-        mask = (1 << self._P) - 1
-        self.x = freq * (self.x >> self._P) + (self.x & mask) - start
-        while self.x < self._L:
-            self.x = (self.x << 8) | (self.data[self.pos]
-                                      if self.pos < len(self.data) else 0)
-            self.pos += 1
-
-    def _get_bypass(self):
-        mask = (1 << self._P) - 1
-        val = (self.x & mask) >> (self._P - self._BB)
-        self._advance(val << (self._P - self._BB),
-                      1 << (self._P - self._BB))
-        return val
-
-    def decode(self, indexes):
-        out = np.empty(len(indexes), np.int32)
-        mask = (1 << self._P) - 1
-        cdfs = self.coder.cdfs
-        lengths = self.coder.cdf_lengths
-        offsets = self.coder.offsets
-        for i, idx in enumerate(np.asarray(indexes).tolist()):
-            cdf = cdfs[idx]
-            max_value = int(lengths[idx]) - 2
-            slot = self.x & mask
-            s = int(np.searchsorted(cdf[:int(lengths[idx])], slot,
-                                    'right')) - 1
-            self._advance(int(cdf[s]), int(cdf[s + 1] - cdf[s]))
-            value = s
-            if s == max_value:
-                n_bypass = 0
-                while True:
-                    val = self._get_bypass()
-                    n_bypass += val
-                    if val != self._MB:
-                        break
-                raw = 0
-                for jj in range(n_bypass):
-                    raw |= self._get_bypass() << (jj * self._BB)
-                value = (-(raw + 1) // 2 if raw & 1
-                         else raw // 2 + max_value)
-            out[i] = value + int(offsets[idx])
-        return out
 
 
 @register_model

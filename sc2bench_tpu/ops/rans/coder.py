@@ -89,6 +89,13 @@ def _load_library():
     lib.rans_decode_cyclic_i16_lut.argtypes = [
         u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int,
         i32p, i32p, i16p, ctypes.c_int, i16p]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.rans_stream_init.restype = None
+    lib.rans_stream_init.argtypes = [u8p, ctypes.c_int, i64p]
+    lib.rans_stream_decode.restype = ctypes.c_int
+    lib.rans_stream_decode.argtypes = [
+        u8p, ctypes.c_int, i64p, i32p, ctypes.c_int, i32p, ctypes.c_int,
+        i32p, i32p, i32p]
     _LIB = lib
     return lib
 
@@ -333,6 +340,94 @@ class RansCoder:
             _i32p(self.offsets), _i32p(out))
         if rc != 0:
             raise ValueError('corrupt interleaved rANS stream')
+        return out
+
+
+class StreamingDecoder:
+    """Incremental decoder over one stream: decodes chunks of symbols as
+    their indexes become available (autoregressive models compute indexes
+    from already-decoded symbols). C++-backed with state {x, byte pos}
+    persisted across calls; pure-Python fallback matches bit-for-bit."""
+
+    def __init__(self, coder: RansCoder, data: bytes):
+        self.coder = coder
+        self.data = np.frombuffer(data, np.uint8)
+        self.lib = coder.lib
+        if self.lib is not None:
+            self._state = np.empty(2, np.int64)
+            self.lib.rans_stream_init(
+                _u8p(self.data), self.data.size,
+                self._state.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        else:
+            self._py = _PyStreamingState(bytes(data))
+
+    def decode(self, indexes) -> np.ndarray:
+        indexes = _as_i32(indexes).ravel()
+        if self.lib is None:
+            return self._py.decode(indexes, self.coder.cdfs,
+                                   self.coder.cdf_lengths,
+                                   self.coder.offsets)
+        out = np.empty(indexes.size, np.int32)
+        self.lib.rans_stream_decode(
+            _u8p(self.data), self.data.size,
+            self._state.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            _i32p(indexes), indexes.size, _i32p(self.coder.cdfs),
+            self.coder.cdf_stride, _i32p(self.coder.cdf_lengths),
+            _i32p(self.coder.offsets), _i32p(out))
+        return out
+
+
+class _PyStreamingState:
+    """Python fallback for StreamingDecoder (same stream format)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.x = 0
+        for _ in range(4):
+            self.x = (self.x << 8) | (data[self.pos]
+                                      if self.pos < len(data) else 0)
+            self.pos += 1
+
+    def _advance(self, start, freq):
+        mask = (1 << _PRECISION) - 1
+        self.x = freq * (self.x >> _PRECISION) + (self.x & mask) - start
+        while self.x < _RANS_L:
+            self.x = (self.x << 8) | (self.data[self.pos]
+                                      if self.pos < len(self.data) else 0)
+            self.pos += 1
+
+    def _get_bypass(self):
+        mask = (1 << _PRECISION) - 1
+        val = (self.x & mask) >> (_PRECISION - _BYPASS_BITS)
+        self._advance(val << (_PRECISION - _BYPASS_BITS),
+                      1 << (_PRECISION - _BYPASS_BITS))
+        return val
+
+    def decode(self, indexes, cdfs, cdf_lengths, offsets) -> np.ndarray:
+        out = np.empty(indexes.size, np.int32)
+        mask = (1 << _PRECISION) - 1
+        for i, idx in enumerate(indexes.tolist()):
+            cdf = cdfs[idx]
+            max_value = int(cdf_lengths[idx]) - 2
+            slot = self.x & mask
+            s = int(np.searchsorted(cdf[:int(cdf_lengths[idx])], slot,
+                                    'right')) - 1
+            self._advance(int(cdf[s]), int(cdf[s + 1] - cdf[s]))
+            value = s
+            if s == max_value:
+                n_bypass = 0
+                while True:
+                    val = self._get_bypass()
+                    n_bypass += val
+                    if val != _MAX_BYPASS:
+                        break
+                raw = 0
+                for j in range(n_bypass):
+                    raw |= self._get_bypass() << (j * _BYPASS_BITS)
+                value = (-(raw + 1) // 2 if raw & 1
+                         else raw // 2 + max_value)
+            out[i] = value + int(offsets[idx])
         return out
 
 

@@ -559,3 +559,53 @@ int rans_decode_cyclic_i16_lut(const uint8_t* bytes, int n_bytes, int n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Streaming decode: persist (x, byte position) across calls so a consumer
+// with data-dependent indexes (the mbt2018 autoregressive context model,
+// reference layer.py's JAHP path) can decode a chunk per wavefront instead
+// of one symbol at a time in Python. state = int64[2] {x, pos}.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void rans_stream_init(const uint8_t* bytes, int n_bytes, int64_t* state) {
+    RansDecState dec;
+    dec.init(bytes, n_bytes);
+    state[0] = static_cast<int64_t>(dec.x);
+    state[1] = static_cast<int64_t>(dec.ptr - bytes);
+}
+
+int rans_stream_decode(const uint8_t* bytes, int n_bytes, int64_t* state,
+                       const int32_t* indexes, int n, const int32_t* cdfs,
+                       int cdf_stride, const int32_t* cdf_lengths,
+                       const int32_t* offsets, int32_t* out) {
+    RansDecState dec;
+    dec.x = static_cast<uint32_t>(state[0]);
+    dec.ptr = bytes + state[1];
+    dec.end = bytes + n_bytes;
+    for (int i = 0; i < n; ++i) {
+        const int32_t idx = indexes[i];
+        const int32_t* cdf = cdfs + static_cast<int64_t>(idx) * cdf_stride;
+        const int32_t cdf_len = cdf_lengths[idx];
+        const int32_t max_value = cdf_len - 2;
+        const uint32_t slot = dec.peek();
+        int lo = 0, hi = cdf_len - 1;
+        while (hi - lo > 1) {
+            int mid = (lo + hi) >> 1;
+            if (static_cast<uint32_t>(cdf[mid]) <= slot) lo = mid;
+            else hi = mid;
+        }
+        const int s = lo;
+        dec.advance(static_cast<uint32_t>(cdf[s]),
+                    static_cast<uint32_t>(cdf[s + 1] - cdf[s]));
+        int32_t value = (s == max_value) ? read_symbol_escape(dec, max_value)
+                                         : s;
+        out[i] = value + offsets[idx];
+    }
+    state[0] = static_cast<int64_t>(dec.x);
+    state[1] = static_cast<int64_t>(dec.ptr - bytes);
+    return 0;
+}
+
+}  // extern "C"

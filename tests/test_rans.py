@@ -164,3 +164,31 @@ def test_cyclic_i16_roundtrip(use_cpp):
     # and cross-checks against the generic decoder on the same stream layout
     np.testing.assert_array_equal(
         coder.decode_with_indexes(data, indexes), symbols.astype(np.int32))
+
+
+def test_streaming_decoder_matches_full_decode():
+    """Chunked streaming decode (C++ state persisted across calls, and the
+    Python fallback) reproduces the one-shot decoder exactly."""
+    from sc2bench_tpu.ops.rans.coder import StreamingDecoder
+    rng = np.random.default_rng(11)
+    cdfs, lengths, offsets = _make_tables(rng)
+    n = 4000
+    indexes = rng.integers(0, len(lengths), n).astype(np.int32)
+    max_vals = lengths[indexes] - 2
+    symbols = ((rng.integers(0, 1 << 16, n) % max_vals)
+               + offsets[indexes]).astype(np.int32)
+    symbols[::211] = 400  # escapes
+    coder = RansCoder(cdfs, lengths, offsets)
+    data = coder.encode_with_indexes(symbols, indexes)
+    full = coder.decode_with_indexes(data, indexes)
+
+    for use_cpp in ([False, True] if _load_library() is not None
+                    else [False]):
+        c = RansCoder(cdfs, lengths, offsets, use_cpp=use_cpp)
+        dec = StreamingDecoder(c, data)
+        out, pos = [], 0
+        for chunk in [1, 7, 100, 892, 3000]:
+            out.append(dec.decode(indexes[pos:pos + chunk]))
+            pos += chunk
+        out.append(dec.decode(indexes[pos:]))
+        np.testing.assert_array_equal(np.concatenate(out), full)
