@@ -94,6 +94,16 @@ def main():
             best_timings = timings
     ips = max(trials)
 
+    # auxiliary: production serving mode — per-image entropy coding and
+    # byte accounting unchanged, but the decoder+tail dispatches micro-
+    # batched over 8 consecutive images (docs/performance.md §serving)
+    rt.stream_deploy([images[i % len(images)] for i in range(16)],
+                     decode_batch=8)
+    stream = [images[i % len(images)] for i in range(n_iter)]
+    t0 = time.perf_counter()
+    rt.stream_deploy(stream, depth=16, workers=8, decode_batch=8)
+    serving_ips = n_iter / (time.perf_counter() - t0)
+
     baseline = measured_baseline_ips()
     print(json.dumps({
         'metric': 'deploy_images_per_sec_batch1',
@@ -102,6 +112,7 @@ def main():
         'vs_baseline': round(ips / baseline, 2),
         'baseline_ips_torch_cpu': baseline,
         'trials': [round(t, 2) for t in trials],
+        'serving_mode_ips_decode_batch8': round(serving_ips, 2),
         'stage_ms_per_image': {
             k: round(v / n_iter * 1000, 2)
             for k, v in sorted(best_timings.items())},

@@ -372,7 +372,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
                                            self._medians_dev)
 
     def stream_deploy(self, images, depth: int = 8, workers: int = 4,
-                      timings: dict | None = None):
+                      timings: dict | None = None, decode_batch: int = 1):
         """Software-pipelined batch-1 deploy over a stream of images — the
         production serving loop for the reference's eval protocol
         (SURVEY.md §3.2, batch=1 per README.md:99-103). Returns the list of
@@ -383,7 +383,16 @@ class SplitClassifierRuntime(AnalyzerHolder):
         overlaps the host stages (transfer sync + rANS encode + byte
         accounting + rANS decode + decode dispatch) across images, since
         each host sync costs a tunnel round trip. Byte accounting is
-        per-sample, identical to the serial path."""
+        per-sample, identical to the serial path.
+
+        `decode_batch > 1` (production serving mode) additionally fuses the
+        server-side program over k consecutive images: each image is still
+        encoded, entropy-coded, measured, and entropy-decoded individually
+        (per-sample bitstreams/data sizes are untouched — the reference's
+        batch-1 protocol, README.md:99-103, constrains the *measurement*),
+        but the decoded latents run the decoder+tail as one (k, h, w, c)
+        dispatch. Logits are bit-identical per image to batch-1 for
+        BN-in-inference models like this one."""
         import time as _time
         from concurrent.futures import ThreadPoolExecutor
 
@@ -400,6 +409,10 @@ class SplitClassifierRuntime(AnalyzerHolder):
                 except Exception:
                     pass
             return ops
+
+        batched = decode_batch > 1 and \
+            not isinstance(self.codec, HyperpriorCodec) and \
+            not self._module_level_ops
 
         def host_stage(ops):
             t0 = _time.perf_counter()
@@ -420,7 +433,13 @@ class SplitClassifierRuntime(AnalyzerHolder):
                               'shape': tuple(sym.shape[1:3])}
             self.analyze(compressed)
             t2 = _time.perf_counter()
-            if isinstance(self.codec, HyperpriorCodec):
+            if batched:
+                # return decoded symbols; the server-side program runs
+                # micro-batched in submission order below
+                channels = self.codec.tables.medians.shape[0]
+                out = self.codec.decompress_wire(
+                    compressed['strings'][0], compressed['shape'], channels)
+            elif isinstance(self.codec, HyperpriorCodec):
                 out = self.decode(**compressed)
             else:
                 out = self._decode_wire(compressed['strings'][0],
@@ -441,7 +460,33 @@ class SplitClassifierRuntime(AnalyzerHolder):
                 if i + depth < n:
                     pending.append(dispatch(i + depth))
                 futures.append(ex.submit(host_stage, ops))
-            results = [f.result() for f in futures]
+            if batched:
+                # micro-batch the server-side program over k images: per-
+                # sample bitstreams and byte accounting are untouched (the
+                # batch-1 *measurement* protocol concerns data size, which
+                # is computed per image above); only decode compute fuses.
+                results, buf = [], []
+
+                def flush():
+                    k = len(buf)
+                    if k == 0:
+                        return
+                    stacked = np.concatenate(buf)
+                    if k < decode_batch:  # pad to one static shape
+                        pad = np.zeros((decode_batch - k,) + buf[0].shape[1:],
+                                       buf[0].dtype)
+                        stacked = np.concatenate([stacked, pad])
+                    logits = self._decode_call(jnp.asarray(stacked))
+                    results.extend(logits[i:i + 1] for i in range(k))
+                    buf.clear()
+
+                for f in futures:
+                    buf.append(f.result())
+                    if len(buf) == decode_batch:
+                        flush()
+                flush()
+            else:
+                results = [f.result() for f in futures]
         jax.block_until_ready(results[-1])
         return results
 

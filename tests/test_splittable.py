@@ -138,6 +138,17 @@ def test_stream_deploy_matches_serial_and_bf16_tail():
     # per-sample byte accounting ran for every streamed image
     assert len(rt.analyzers[0].file_size_list) == len(imgs)
 
+    # micro-batched decode (production serving mode): same per-image logits
+    rt2 = SplitClassifierRuntime(model, variables)
+    rt2.update()
+    rt2.eval()
+    rt2.activate_analysis()
+    batched = rt2.stream_deploy(imgs, depth=2, workers=2, decode_batch=3)
+    assert len(batched) == len(imgs)
+    for s, p in zip(serial, batched):
+        np.testing.assert_allclose(s, np.asarray(p), rtol=2e-5, atol=2e-5)
+    assert len(rt2.analyzers[0].file_size_list) == len(imgs)
+
     rt_bf = SplitClassifierRuntime(model, variables, deploy_bf16_tail=True)
     rt_bf.update()
     rt_bf.eval()
