@@ -117,14 +117,19 @@ class SplitDetectionRuntime(AnalyzerHolder):
         per-image bottleneck bitstream size."""
         from .rcnn import postprocess_detections
         x = jnp.asarray(batch)
-        ops = self._jitted('enc', lambda v, x, m: self.module.apply(
-            v, x, m, method=lambda mod, x, med: mod.encode_ops(x, med)))(
+        # int16 wire + cyclic coder: no host transposes/widening (the
+        # detection canvas latent is large — 256ch at stride 4)
+        ops = self._jitted('enc', lambda v, x, m: jax.tree.map(
+            lambda a: a.astype(jnp.int16) if a.dtype == jnp.int32 else a,
+            self.module.apply(
+                v, x, m, method=lambda mod, x, med:
+                    mod.encode_ops(x, med))))(
             self.variables, x, self._medians_dev)
         symbols = np.asarray(ops['symbols'])
-        strings = self.codec.compress_symbols(symbols)
+        strings = self.codec.compress_wire(symbols)
         self.analyze({'strings': [strings],
                       'shape': tuple(symbols.shape[1:3])})
-        decoded = self.codec.decompress_symbols(
+        decoded = self.codec.decompress_wire(
             strings, symbols.shape[1:3], symbols.shape[-1])
         hw = x.shape[1:3]
         key = f'dec_{hw[0]}x{hw[1]}'

@@ -127,6 +127,9 @@ class SplitSegmentationRuntime(AnalyzerHolder):
             return False  # no entropy bottleneck (e.g. CR+BQ SimpleBottleneck)
         eb = EntropyBottleneck(channels=eb_channels)
         self.codec.update(self.module, self.variables, eb)
+        # device-resident medians: re-uploading per call costs one
+        # host->device round trip per image over a remote-TPU tunnel
+        self._medians_dev = jnp.asarray(self.codec.tables.medians)
         self.bottleneck_updated = True
         return True
 
@@ -142,19 +145,24 @@ class SplitSegmentationRuntime(AnalyzerHolder):
                 self.variables, x, mode='train', train=False,
                 rngs={'noise': jax.random.key(0)})
         if 'enc' not in self._jit:
+            # int16 on the wire (device->host): halves the transfer and
+            # feeds the cyclic coder without transposes or widening
             self._jit['enc'] = jax.jit(
-                lambda v, x, m: self.module.apply(
-                    v, x, m, method=lambda mod, x, med:
-                        mod.encode_ops(x, med)))
-        medians = jnp.asarray(self.codec.tables.medians)
+                lambda v, x, m: jax.tree.map(
+                    lambda a: a.astype(jnp.int16)
+                    if a.dtype == jnp.int32 else a,
+                    self.module.apply(
+                        v, x, m, method=lambda mod, x, med:
+                            mod.encode_ops(x, med))))
+        medians = self._medians_dev
         ops = self._jit['enc'](self.variables, x, medians)
         symbols = np.asarray(ops['symbols'])
-        strings = self.codec.compress_symbols(symbols)
+        strings = self.codec.compress_wire(symbols)
         compressed = {'strings': [strings],
                       'shape': tuple(symbols.shape[1:3])}
         self.analyze(compressed)
         channels = self.codec.tables.medians.shape[0]
-        decoded = self.codec.decompress_symbols(
+        decoded = self.codec.decompress_wire(
             compressed['strings'][0], compressed['shape'], channels)
         key = f'dec_{x.shape[1]}x{x.shape[2]}'
         if key not in self._jit:

@@ -148,12 +148,41 @@ class ClassificationEngine:
         if use_deploy_path:
             self.runtime.variables = self.student_variables
             self.runtime.eval()
-            for x, y in data_loader:
+            # software-pipelined batch-1 stream (runtime.stream_deploy):
+            # encodes overlap host entropy coding across images; per-sample
+            # byte accounting identical to the serial loop
+            chunk_x, chunk_y = [], []
+
+            def drain():
+                if not chunk_x:
+                    return
                 t0 = time.time()
-                logits = self.runtime(jnp.asarray(x))
-                accs = top_k_accuracy(np.asarray(logits), np.asarray(y))
-                meter.update(model_time=time.time() - t0,
-                             **{k: float(v) for k, v in accs.items()})
+                logits_list = self.runtime.stream_deploy(chunk_x)
+                dt = (time.time() - t0) / len(chunk_x)
+                for lg, yy in zip(logits_list, chunk_y):
+                    accs = top_k_accuracy(np.asarray(lg), np.asarray(yy))
+                    meter.update(model_time=dt,
+                                 **{k: float(v) for k, v in accs.items()})
+                chunk_x.clear()
+                chunk_y.clear()
+
+            streamable = self.runtime.bottleneck_updated \
+                and self.runtime.codec is not None
+            for x, y in data_loader:
+                x = jnp.asarray(x)
+                if x.shape[0] != 1 or not streamable:
+                    # stream is strictly batch-1 over the bitstream path
+                    t0 = time.time()
+                    logits = self.runtime(x)
+                    accs = top_k_accuracy(np.asarray(logits), np.asarray(y))
+                    meter.update(model_time=time.time() - t0,
+                                 **{k: float(v) for k, v in accs.items()})
+                    continue
+                chunk_x.append(x)
+                chunk_y.append(y)
+                if len(chunk_x) == 64:
+                    drain()
+            drain()
         else:
             # Deterministic eval forward: quantize/dequantize with medians
             # ('finetune' mode) regardless of bottleneck_updated, matching
