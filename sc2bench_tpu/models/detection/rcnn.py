@@ -173,6 +173,9 @@ class FasterRCNN(nn.Module):
                            training=train)
 
         proposals, prop_valid = jax.vmap(per_image)(obj_flat, del_flat)
+        # torchvision decodes proposals from detached RPN deltas: the RoI
+        # losses must not optimize coordinates through the RPN head
+        proposals = jax.lax.stop_gradient(proposals)
         out = {
             'features': features,
             'anchors': anchors,
@@ -338,37 +341,60 @@ def optax_sigmoid_ce(logits, labels):
         jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
+# torchvision fastrcnn_loss smooth-L1 beta
+BOX_REG_BETA = 1.0 / 9
+
+
+def _match_and_sample_rois(props, valid, gt_boxes, gt_valid, gt_labels,
+                           rng, batch_size, positive_fraction):
+    """Single-image proposal->gt matching + fg/bg subsampling shared by the
+    sampled and legacy RoI losses: IoU-0.5 match, class targets (bg=0),
+    box regression targets, and the fixed-budget fg/bg selection masks."""
+    iou = box_iou(props, gt_boxes)
+    iou = jnp.where(gt_valid[None, :] & valid[:, None], iou, -1.0)
+    best_gt = jnp.argmax(iou, axis=1)
+    best_iou = jnp.max(iou, axis=1, initial=-1.0)
+    fg = best_iou >= BOX_FG_IOU
+    labels01 = jnp.where(fg, 1, jnp.where(valid, 0, -1))
+    pos_sel, neg_sel = _sample_mask(labels01, rng, batch_size,
+                                    positive_fraction)
+    cls_targets = jnp.where(fg, gt_labels[best_gt], 0)
+    reg_targets = encode_boxes(gt_boxes[best_gt], props,
+                               weights=BOX_REG_WEIGHTS)
+    return pos_sel, neg_sel, cls_targets, reg_targets
+
+
+def _fastrcnn_terms(logits, per_cls_deltas_src, cls_targets, reg_targets,
+                    ce_weight, pos_weight, denom):
+    """torchvision `fastrcnn_loss`: CE over sampled rows; smooth-L1
+    (beta=1/9) summed over positives; both / sampled count."""
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(log_probs, cls_targets[:, None], axis=1)[:, 0]
+    cls_loss = jnp.sum(ce * ce_weight) / denom
+    per_cls_deltas = jnp.take_along_axis(
+        per_cls_deltas_src, cls_targets[:, None, None].repeat(4, -1),
+        axis=1)[:, 0]
+    reg_loss = jnp.sum(_smooth_l1(per_cls_deltas - reg_targets, BOX_REG_BETA)
+                       * pos_weight[:, None]) / denom
+    return cls_loss, reg_loss
+
+
 def roi_loss(outputs, targets, rng):
     """Fast R-CNN classification + regression loss over sampled proposals.
-    NOTE: torchvision samples proposals *before* the box head; here the head
-    runs on the full proposal set and sampling weights the loss — same
-    estimator, static shapes."""
+    NOTE: torchvision samples proposals *before* the box head (use
+    `detection_loss(apply_roi=...)` for that); here the head ran on the
+    full proposal set and sampling weights the loss — same estimator in
+    expectation, static shapes."""
     def per_image(logits_i, deltas_i, props_i, valid_i, gt_boxes, gt_valid,
                   gt_labels, rng_i):
-        iou = box_iou(props_i, gt_boxes)
-        iou = jnp.where(gt_valid[None, :] & valid_i[:, None], iou, -1.0)
-        best_gt = jnp.argmax(iou, axis=1)
-        best_iou = jnp.max(iou, axis=1, initial=-1.0)
-        fg = best_iou >= BOX_FG_IOU
-        labels01 = jnp.where(fg, 1, jnp.where(valid_i, 0, -1))
-        pos_sel, neg_sel = _sample_mask(labels01, rng_i,
-                                        BOX_BATCH_PER_IMAGE,
-                                        BOX_POSITIVE_FRACTION)
+        pos_sel, neg_sel, cls_targets, reg_targets = _match_and_sample_rois(
+            props_i, valid_i, gt_boxes, gt_valid, gt_labels, rng_i,
+            BOX_BATCH_PER_IMAGE, BOX_POSITIVE_FRACTION)
         sel = pos_sel | neg_sel
-        cls_targets = jnp.where(fg, gt_labels[best_gt], 0)
-        log_probs = jax.nn.log_softmax(logits_i, axis=-1)
-        ce = -jnp.take_along_axis(log_probs, cls_targets[:, None],
-                                  axis=1)[:, 0]
-        cls_loss = jnp.sum(jnp.where(sel, ce, 0.0)) \
-            / jnp.maximum(jnp.sum(sel), 1)
-        reg_targets = encode_boxes(gt_boxes[best_gt], props_i,
-                                   weights=BOX_REG_WEIGHTS)
-        per_cls_deltas = jnp.take_along_axis(
-            deltas_i, cls_targets[:, None, None].repeat(4, -1), axis=1)[:, 0]
-        reg_loss = jnp.sum(_smooth_l1(per_cls_deltas - reg_targets, 1.0)
-                           * pos_sel[:, None]) \
-            / jnp.maximum(jnp.sum(sel), 1)
-        return cls_loss, reg_loss
+        denom = jnp.maximum(jnp.sum(sel), 1)
+        return _fastrcnn_terms(logits_i, deltas_i, cls_targets, reg_targets,
+                               sel.astype(jnp.float32),
+                               pos_sel.astype(jnp.float32), denom)
 
     rngs = jax.random.split(rng, outputs['class_logits'].shape[0])
     cls, reg = jax.vmap(per_image)(
@@ -388,20 +414,12 @@ def sample_rois(outputs, targets, rng, batch_size=BOX_BATCH_PER_IMAGE,
     def per_image(props_i, valid_i, gt_boxes, gt_valid, gt_labels, rng_i):
         all_props = jnp.concatenate([props_i, gt_boxes])
         all_valid = jnp.concatenate([valid_i, gt_valid])
-        iou = box_iou(all_props, gt_boxes)
-        iou = jnp.where(gt_valid[None, :] & all_valid[:, None], iou, -1.0)
-        best_gt = jnp.argmax(iou, axis=1)
-        best_iou = jnp.max(iou, axis=1, initial=-1.0)
-        fg = best_iou >= BOX_FG_IOU
-        labels01 = jnp.where(fg, 1, jnp.where(all_valid, 0, -1))
-        pos_sel, neg_sel = _sample_mask(labels01, rng_i, batch_size,
-                                        positive_fraction)
+        pos_sel, neg_sel, cls_targets, reg_targets = _match_and_sample_rois(
+            all_props, all_valid, gt_boxes, gt_valid, gt_labels, rng_i,
+            batch_size, positive_fraction)
         sel = pos_sel | neg_sel
         # stable partition: selected rows first, truncated to the budget
         order = jnp.argsort(~sel, stable=True)[:batch_size]
-        cls_targets = jnp.where(fg, gt_labels[best_gt], 0)
-        reg_targets = encode_boxes(gt_boxes[best_gt], all_props,
-                                   weights=BOX_REG_WEIGHTS)
         return {'proposals': all_props[order],
                 'cls_targets': cls_targets[order],
                 'reg_targets': reg_targets[order],
@@ -416,28 +434,20 @@ def sample_rois(outputs, targets, rng, batch_size=BOX_BATCH_PER_IMAGE,
 
 def roi_loss_sampled(class_logits, box_regression, sampled):
     """Fast R-CNN loss over the pre-sampled proposal set (torchvision
-    `fastrcnn_loss`): CE over all sampled rows, smooth-L1 summed over
-    positives, both normalized by the sampled count."""
+    `fastrcnn_loss`)."""
     def per_image(logits_i, deltas_i, s):
-        w = s['weight']
-        log_probs = jax.nn.log_softmax(logits_i, axis=-1)
-        ce = -jnp.take_along_axis(log_probs, s['cls_targets'][:, None],
-                                  axis=1)[:, 0]
-        denom = jnp.maximum(jnp.sum(w), 1.0)
-        cls_loss = jnp.sum(ce * w) / denom
-        per_cls_deltas = jnp.take_along_axis(
-            deltas_i, s['cls_targets'][:, None, None].repeat(4, -1),
-            axis=1)[:, 0]
-        reg_loss = jnp.sum(
-            _smooth_l1(per_cls_deltas - s['reg_targets'], 1.0)
-            * s['positive'][:, None]) / denom
-        return cls_loss, reg_loss
+        denom = jnp.maximum(jnp.sum(s['weight']), 1.0)
+        return _fastrcnn_terms(logits_i, deltas_i, s['cls_targets'],
+                               s['reg_targets'], s['weight'],
+                               s['positive'].astype(jnp.float32) *
+                               s['weight'], denom)
 
     cls, reg = jax.vmap(per_image)(class_logits, box_regression, sampled)
     return jnp.mean(cls), jnp.mean(reg)
 
 
-def detection_loss(outputs, targets, rng, apply_roi=None):
+def detection_loss(outputs, targets, rng, apply_roi=None,
+                   return_roi_outputs=False):
     """Combined RPN + RoI loss. When `apply_roi(features, proposals) ->
     (class_logits, box_regression)` is given, proposals are subsampled
     *before* the box head (torchvision semantics; pass the model's
@@ -446,16 +456,21 @@ def detection_loss(outputs, targets, rng, apply_roi=None):
     estimator in expectation; requires `class_logits` in outputs)."""
     r1, r2 = jax.random.split(rng)
     rpn_cls, rpn_reg = rpn_loss(outputs, targets, r1)
+    roi_out = None
     if apply_roi is not None:
         sampled = sample_rois(outputs, targets, r2)
         class_logits, box_regression = apply_roi(outputs['features'],
                                                  sampled['proposals'])
         box_cls, box_reg = roi_loss_sampled(class_logits, box_regression,
                                             sampled)
+        roi_out = (class_logits, box_regression)
     else:
         box_cls, box_reg = roi_loss(outputs, targets, r2)
-    return {'loss_objectness': rpn_cls, 'loss_rpn_box_reg': rpn_reg,
-            'loss_classifier': box_cls, 'loss_box_reg': box_reg}
+        if 'class_logits' in outputs:
+            roi_out = (outputs['class_logits'], outputs['box_regression'])
+    losses = {'loss_objectness': rpn_cls, 'loss_rpn_box_reg': rpn_reg,
+              'loss_classifier': box_cls, 'loss_box_reg': box_reg}
+    return (losses, roi_out) if return_roi_outputs else losses
 
 
 class MaskRCNN(FasterRCNN):

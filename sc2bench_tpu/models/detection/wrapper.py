@@ -119,8 +119,8 @@ class SplitDetectionRuntime(AnalyzerHolder):
         x = jnp.asarray(batch)
         # int16 wire + cyclic coder: no host transposes/widening (the
         # detection canvas latent is large — 256ch at stride 4)
-        ops = self._jitted('enc', lambda v, x, m: jax.tree.map(
-            lambda a: a.astype(jnp.int16) if a.dtype == jnp.int32 else a,
+        from ..runtime import to_wire
+        ops = self._jitted('enc', lambda v, x, m: to_wire(
             self.module.apply(
                 v, x, m, method=lambda mod, x, med:
                     mod.encode_ops(x, med))))(

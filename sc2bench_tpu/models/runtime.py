@@ -33,6 +33,17 @@ def _channel_major(symbols: np.ndarray) -> np.ndarray:
     return np.transpose(symbols, (2, 0, 1)).reshape(symbols.shape[-1], -1)
 
 
+def to_wire(ops):
+    """Narrow int32 symbol/index tensors to int16 for the device->host hop
+    (jit-safe tree map). Lossless for any realistic latent (|round(y -
+    median)| << 32767; the reference ships the same values as int32 over
+    PCIe, `layer.py:506`): halves the transfer, which is the deploy-loop
+    bottleneck over a remote-TPU tunnel. Shared by the classifier runtime
+    and the detection/segmentation deploy wrappers."""
+    return jax.tree.map(
+        lambda a: a.astype(jnp.int16) if a.dtype == jnp.int32 else a, ops)
+
+
 def _narrow(symbols: np.ndarray) -> np.ndarray:
     """Narrow a host symbol array to the smallest lossless integer dtype for
     the host->device hop (int8 when the range allows, else int16 — trained
@@ -151,7 +162,6 @@ class SplitClassifierRuntime(AnalyzerHolder):
         # matches training exactly. ~1.5x decode-program speedup on v5e;
         # logits differ only by bf16 rounding in the tail.
         self.deploy_bf16_tail = deploy_bf16_tail
-        self._bf16_variables = None
         # Module-level deploy ops (EntropicClassifierModule) vs. a
         # bottleneck_layer submodule (SplittableResNet family).
         self._module_level_ops = hasattr(module, 'encode_ops') and not \
@@ -169,6 +179,18 @@ class SplitClassifierRuntime(AnalyzerHolder):
             else:
                 self.codec = None
         self._jit_cache = {}
+
+    @property
+    def variables(self):
+        return self._variables
+
+    @variables.setter
+    def variables(self, value):
+        # invalidate the cached bf16 tail copy whenever weights change
+        # (checkpoint reload, engine reassignment) — a stale cast would
+        # silently mix two checkpoints in one forward
+        self._variables = value
+        self._bf16_variables = None
 
     # ---- reference API surface -----------------------------------------
     def update(self, scale_table=None):
@@ -334,16 +356,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
         return self._decode_call(jnp.asarray(symbols))
 
     # ---- async deploy pieces (for pipelined batch-1 streaming) ----------
-    @staticmethod
-    def _to_wire(ops):
-        """Narrow int32 symbol/index tensors to int16 for the device->host
-        hop. Lossless for any realistic latent (|round(y - median)| <<
-        32767; the reference ships the same values as int32 over PCIe,
-        `layer.py:506`): halves/quarters the transfer, which is the
-        deploy-loop bottleneck over a remote-TPU tunnel."""
-        return jax.tree.map(
-            lambda a: a.astype(jnp.int16) if a.dtype == jnp.int32 else a,
-            ops)
+    _to_wire = staticmethod(to_wire)
 
     def encode_device(self, x):
         """Dispatch the mobile-side program; returns device arrays (int16
@@ -410,9 +423,13 @@ class SplitClassifierRuntime(AnalyzerHolder):
                     pass
             return ops
 
-        batched = decode_batch > 1 and \
-            not isinstance(self.codec, HyperpriorCodec) and \
-            not self._module_level_ops
+        batched = decode_batch > 1
+        if batched and (isinstance(self.codec, HyperpriorCodec)
+                        or self._module_level_ops):
+            raise ValueError(
+                'decode_batch > 1 is implemented for the factorized-prior '
+                'bottleneck runtime only (got '
+                f'{type(self.codec).__name__}); run with decode_batch=1')
 
         def host_stage(ops):
             t0 = _time.perf_counter()

@@ -147,10 +147,9 @@ class SplitSegmentationRuntime(AnalyzerHolder):
         if 'enc' not in self._jit:
             # int16 on the wire (device->host): halves the transfer and
             # feeds the cyclic coder without transposes or widening
+            from ..runtime import to_wire
             self._jit['enc'] = jax.jit(
-                lambda v, x, m: jax.tree.map(
-                    lambda a: a.astype(jnp.int16)
-                    if a.dtype == jnp.int32 else a,
+                lambda v, x, m: to_wire(
                     self.module.apply(
                         v, x, m, method=lambda mod, x, med:
                             mod.encode_ops(x, med))))

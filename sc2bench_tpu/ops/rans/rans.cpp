@@ -90,6 +90,61 @@ struct Op {
 
 }  // namespace
 
+namespace {
+
+inline void emit_symbol_ops(std::vector<Op>& ops, const int32_t* cdf,
+                            int32_t max_value, int32_t value) {
+    uint32_t raw_val = 0;
+    bool escape = false;
+    if (value < 0) {
+        raw_val = static_cast<uint32_t>(-2 * value - 1);
+        value = max_value;
+        escape = true;
+    } else if (value >= max_value) {
+        raw_val = static_cast<uint32_t>(2 * (value - max_value));
+        value = max_value;
+        escape = true;
+    }
+    ops.push_back({static_cast<uint32_t>(cdf[value]),
+                   static_cast<uint32_t>(cdf[value + 1] - cdf[value])});
+    if (escape) {
+        int32_t n_bypass = 0;
+        while ((raw_val >> (n_bypass * kBypassBits)) != 0) ++n_bypass;
+        int32_t val = n_bypass;
+        while (val >= kMaxBypass) {
+            ops.push_back({static_cast<uint32_t>(kMaxBypass)
+                               << (kPrecision - kBypassBits),
+                           1u << (kPrecision - kBypassBits)});
+            val -= kMaxBypass;
+        }
+        ops.push_back({static_cast<uint32_t>(val)
+                           << (kPrecision - kBypassBits),
+                       1u << (kPrecision - kBypassBits)});
+        for (int32_t j = 0; j < n_bypass; ++j) {
+            uint32_t chunk = (raw_val >> (j * kBypassBits)) & kMaxBypass;
+            ops.push_back({chunk << (kPrecision - kBypassBits),
+                           1u << (kPrecision - kBypassBits)});
+        }
+    }
+}
+
+inline int32_t read_symbol_escape(RansDecState& dec, int32_t max_value) {
+    int32_t n_bypass = 0;
+    uint32_t val;
+    do {
+        val = dec.get_bypass();
+        n_bypass += static_cast<int32_t>(val);
+    } while (val == static_cast<uint32_t>(kMaxBypass));
+    uint32_t raw_val = 0;
+    for (int32_t j = 0; j < n_bypass; ++j)
+        raw_val |= dec.get_bypass() << (j * kBypassBits);
+    return (raw_val & 1) ? -static_cast<int32_t>((raw_val + 1) >> 1)
+                         : static_cast<int32_t>(raw_val >> 1) + max_value;
+}
+
+}  // namespace
+
+
 extern "C" {
 
 // Encode n symbols. cdfs is row-major (num_dists, cdf_stride); row i holds
@@ -105,41 +160,7 @@ int rans_encode_with_indexes(const int32_t* symbols, const int32_t* indexes,
         const int32_t idx = indexes[i];
         const int32_t* cdf = cdfs + static_cast<int64_t>(idx) * cdf_stride;
         const int32_t cdf_len = cdf_lengths[idx];
-        const int32_t max_value = cdf_len - 2;
-        int32_t value = symbols[i] - offsets[idx];
-        uint32_t raw_val = 0;
-        bool escape = false;
-        if (value < 0) {
-            raw_val = static_cast<uint32_t>(-2 * value - 1);
-            value = max_value;
-            escape = true;
-        } else if (value >= max_value) {
-            raw_val = static_cast<uint32_t>(2 * (value - max_value));
-            value = max_value;
-            escape = true;
-        }
-        ops.push_back({static_cast<uint32_t>(cdf[value]),
-                       static_cast<uint32_t>(cdf[value + 1] - cdf[value])});
-        if (escape) {
-            // count of 4-bit chunks, base-kMaxBypass unary
-            int32_t n_bypass = 0;
-            while ((raw_val >> (n_bypass * kBypassBits)) != 0) ++n_bypass;
-            int32_t val = n_bypass;
-            while (val >= kMaxBypass) {
-                ops.push_back({static_cast<uint32_t>(kMaxBypass)
-                                   << (kPrecision - kBypassBits),
-                               1u << (kPrecision - kBypassBits)});
-                val -= kMaxBypass;
-            }
-            ops.push_back({static_cast<uint32_t>(val)
-                               << (kPrecision - kBypassBits),
-                           1u << (kPrecision - kBypassBits)});
-            for (int32_t j = 0; j < n_bypass; ++j) {
-                uint32_t chunk = (raw_val >> (j * kBypassBits)) & kMaxBypass;
-                ops.push_back({chunk << (kPrecision - kBypassBits),
-                               1u << (kPrecision - kBypassBits)});
-            }
-        }
+        emit_symbol_ops(ops, cdf, cdf_len - 2, symbols[i] - offsets[idx]);
     }
 
     RansEncState enc;
@@ -180,20 +201,8 @@ int rans_decode_with_indexes(const uint8_t* bytes, int n_bytes,
         const int s = lo;
         dec.advance(static_cast<uint32_t>(cdf[s]),
                     static_cast<uint32_t>(cdf[s + 1] - cdf[s]));
-        int32_t value = s;
-        if (s == max_value) {
-            int32_t n_bypass = 0;
-            uint32_t val;
-            do {
-                val = dec.get_bypass();
-                n_bypass += static_cast<int32_t>(val);
-            } while (val == static_cast<uint32_t>(kMaxBypass));
-            uint32_t raw_val = 0;
-            for (int32_t j = 0; j < n_bypass; ++j)
-                raw_val |= dec.get_bypass() << (j * kBypassBits);
-            value = (raw_val & 1) ? -static_cast<int32_t>((raw_val + 1) >> 1)
-                                  : static_cast<int32_t>(raw_val >> 1) + max_value;
-        }
+        int32_t value = (s == max_value)
+            ? read_symbol_escape(dec, max_value) : s;
         out[i] = value + offsets[idx];
     }
     return 0;
@@ -271,40 +280,8 @@ int rans_encode_interleaved(const int32_t* symbols, const int32_t* indexes,
             const int32_t idx = indexes[i];
             const int32_t* cdf = cdfs + static_cast<int64_t>(idx) * cdf_stride;
             const int32_t cdf_len = cdf_lengths[idx];
-            const int32_t max_value = cdf_len - 2;
-            int32_t value = symbols[i] - offsets[idx];
-            uint32_t raw_val = 0;
-            bool escape = false;
-            if (value < 0) {
-                raw_val = static_cast<uint32_t>(-2 * value - 1);
-                value = max_value;
-                escape = true;
-            } else if (value >= max_value) {
-                raw_val = static_cast<uint32_t>(2 * (value - max_value));
-                value = max_value;
-                escape = true;
-            }
-            ops.push_back({static_cast<uint32_t>(cdf[value]),
-                           static_cast<uint32_t>(cdf[value + 1] - cdf[value])});
-            if (escape) {
-                int32_t n_bypass = 0;
-                while ((raw_val >> (n_bypass * kBypassBits)) != 0) ++n_bypass;
-                int32_t val = n_bypass;
-                while (val >= kMaxBypass) {
-                    ops.push_back({static_cast<uint32_t>(kMaxBypass)
-                                       << (kPrecision - kBypassBits),
-                                   1u << (kPrecision - kBypassBits)});
-                    val -= kMaxBypass;
-                }
-                ops.push_back({static_cast<uint32_t>(val)
-                                   << (kPrecision - kBypassBits),
-                               1u << (kPrecision - kBypassBits)});
-                for (int32_t j = 0; j < n_bypass; ++j) {
-                    uint32_t chunk = (raw_val >> (j * kBypassBits)) & kMaxBypass;
-                    ops.push_back({chunk << (kPrecision - kBypassBits),
-                                   1u << (kPrecision - kBypassBits)});
-                }
-            }
+            emit_symbol_ops(ops, cdf, cdf_len - 2,
+                            symbols[i] - offsets[idx]);
         }
         RansEncState enc;
         enc.buf.reserve(ops.size() * 2 + 8);
@@ -373,21 +350,8 @@ int rans_decode_interleaved(const uint8_t* bytes, int n_bytes,
             const int s = lo;
             dec.advance(static_cast<uint32_t>(cdf[s]),
                         static_cast<uint32_t>(cdf[s + 1] - cdf[s]));
-            int32_t value = s;
-            if (s == max_value) {
-                int32_t n_bypass = 0;
-                uint32_t val;
-                do {
-                    val = dec.get_bypass();
-                    n_bypass += static_cast<int32_t>(val);
-                } while (val == static_cast<uint32_t>(kMaxBypass));
-                uint32_t raw_val = 0;
-                for (int32_t j = 0; j < n_bypass; ++j)
-                    raw_val |= dec.get_bypass() << (j * kBypassBits);
-                value = (raw_val & 1)
-                    ? -static_cast<int32_t>((raw_val + 1) >> 1)
-                    : static_cast<int32_t>(raw_val >> 1) + max_value;
-            }
+            int32_t value = (s == max_value)
+                ? read_symbol_escape(dec, max_value) : s;
             out[i] = value + offsets[idx];
         }
     }
@@ -423,21 +387,8 @@ int rans_decode_with_indexes_lut(const uint8_t* bytes, int n_bytes,
         const int s = lut[slot];
         dec.advance(static_cast<uint32_t>(cdf[s]),
                     static_cast<uint32_t>(cdf[s + 1] - cdf[s]));
-        int32_t value = s;
-        if (s == max_value) {
-            int32_t n_bypass = 0;
-            uint32_t val;
-            do {
-                val = dec.get_bypass();
-                n_bypass += static_cast<int32_t>(val);
-            } while (val == static_cast<uint32_t>(kMaxBypass));
-            uint32_t raw_val = 0;
-            for (int32_t j = 0; j < n_bypass; ++j)
-                raw_val |= dec.get_bypass() << (j * kBypassBits);
-            value = (raw_val & 1)
-                ? -static_cast<int32_t>((raw_val + 1) >> 1)
-                : static_cast<int32_t>(raw_val >> 1) + max_value;
-        }
+        int32_t value = (s == max_value)
+            ? read_symbol_escape(dec, max_value) : s;
         out[i] = value + offsets[idx];
     }
     return 0;
@@ -454,59 +405,6 @@ int rans_decode_with_indexes_lut(const uint8_t* bytes, int n_bytes,
 // goes straight back to the device.
 // ---------------------------------------------------------------------------
 
-namespace {
-
-inline void emit_symbol_ops(std::vector<Op>& ops, const int32_t* cdf,
-                            int32_t max_value, int32_t value) {
-    uint32_t raw_val = 0;
-    bool escape = false;
-    if (value < 0) {
-        raw_val = static_cast<uint32_t>(-2 * value - 1);
-        value = max_value;
-        escape = true;
-    } else if (value >= max_value) {
-        raw_val = static_cast<uint32_t>(2 * (value - max_value));
-        value = max_value;
-        escape = true;
-    }
-    ops.push_back({static_cast<uint32_t>(cdf[value]),
-                   static_cast<uint32_t>(cdf[value + 1] - cdf[value])});
-    if (escape) {
-        int32_t n_bypass = 0;
-        while ((raw_val >> (n_bypass * kBypassBits)) != 0) ++n_bypass;
-        int32_t val = n_bypass;
-        while (val >= kMaxBypass) {
-            ops.push_back({static_cast<uint32_t>(kMaxBypass)
-                               << (kPrecision - kBypassBits),
-                           1u << (kPrecision - kBypassBits)});
-            val -= kMaxBypass;
-        }
-        ops.push_back({static_cast<uint32_t>(val)
-                           << (kPrecision - kBypassBits),
-                       1u << (kPrecision - kBypassBits)});
-        for (int32_t j = 0; j < n_bypass; ++j) {
-            uint32_t chunk = (raw_val >> (j * kBypassBits)) & kMaxBypass;
-            ops.push_back({chunk << (kPrecision - kBypassBits),
-                           1u << (kPrecision - kBypassBits)});
-        }
-    }
-}
-
-inline int32_t read_symbol_escape(RansDecState& dec, int32_t max_value) {
-    int32_t n_bypass = 0;
-    uint32_t val;
-    do {
-        val = dec.get_bypass();
-        n_bypass += static_cast<int32_t>(val);
-    } while (val == static_cast<uint32_t>(kMaxBypass));
-    uint32_t raw_val = 0;
-    for (int32_t j = 0; j < n_bypass; ++j)
-        raw_val |= dec.get_bypass() << (j * kBypassBits);
-    return (raw_val & 1) ? -static_cast<int32_t>((raw_val + 1) >> 1)
-                         : static_cast<int32_t>(raw_val >> 1) + max_value;
-}
-
-}  // namespace
 
 extern "C" {
 

@@ -66,8 +66,11 @@ class DetectionBox(DistillationBox):
                     return self.student_module.apply(
                         variables, feats, props, outputs['image_hw'],
                         method=lambda m, f, p, hw: m.roi_predict(f, p, hw))
-                det = detection_loss(outputs, targets, rng_det,
-                                     apply_roi=apply_roi)
+                det, roi_out = detection_loss(outputs, targets, rng_det,
+                                              apply_roi=apply_roi,
+                                              return_roi_outputs=True)
+                # criterion terms on 'output' see the sampled-head logits
+                io['output'] = roi_out[0]
                 for k, v in det.items():
                     detail[k] = v
                 main_loss = main_loss + self.detection_loss_weight \

@@ -157,3 +157,44 @@ def test_stream_deploy_matches_serial_and_bf16_tail():
         b = np.asarray(b)
         assert b.dtype == np.float32
         assert int(np.argmax(s)) == int(np.argmax(b))
+
+
+def test_bf16_tail_cache_invalidated_on_variables_swap():
+    """Reassigning runtime.variables (checkpoint reload) must refresh the
+    cached bf16 tail copy — a stale cast would mix two checkpoints."""
+    model, v1 = _build(FPBasedResNetBottleneck(
+        num_bottleneck_channels=8, num_target_channels=256))
+    _, v2 = _build(FPBasedResNetBottleneck(
+        num_bottleneck_channels=8, num_target_channels=256))
+    # different init seeds -> different params
+    x = jnp.zeros(IMG)
+    v2 = model.init({'params': jax.random.key(7), 'noise': jax.random.key(8)},
+                    x, mode='train')
+    v2 = {'params': v2['params'],
+          'batch_stats': v2.get('batch_stats', {})}
+    img = jax.random.normal(jax.random.key(9), IMG)
+
+    rt = SplitClassifierRuntime(model, v1, deploy_bf16_tail=True)
+    rt.update()
+    rt.eval()
+    _ = rt(img)  # caches the bf16 copy of v1
+    rt.variables = v2
+    rt.update()
+    out_swapped = np.asarray(rt(img))
+
+    rt_fresh = SplitClassifierRuntime(model, v2, deploy_bf16_tail=True)
+    rt_fresh.update()
+    rt_fresh.eval()
+    np.testing.assert_array_equal(out_swapped, np.asarray(rt_fresh(img)))
+
+
+def test_decode_batch_rejected_for_hyperprior():
+    model, variables = _build(SHPBasedResNetBottleneck(
+        num_bottleneck_channels=8, num_target_channels=256,
+        num_latent_channels=8))
+    rt = SplitClassifierRuntime(model, variables)
+    rt.update()
+    rt.eval()
+    img = jax.random.normal(jax.random.key(1), IMG)
+    with pytest.raises(ValueError, match='decode_batch'):
+        rt.stream_deploy([img], decode_batch=4)
