@@ -76,3 +76,43 @@ def load_train_state(path, train_state_template):
     state = flax.serialization.from_state_dict(train_state_template,
                                                payload['state'])
     return state, payload['epoch'], payload['stage'], payload['best_metric']
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (optional): async, multi-host-sharded variable checkpoints.
+# The msgpack/pickle path above stays the default (single-host, dependency-
+# light); Orbax is the right tool once params are sharded over a mesh —
+# each host writes only its shards and restore honors the target sharding
+# (SURVEY.md §7 design stance).
+# ---------------------------------------------------------------------------
+
+def save_ckpt_orbax(directory, variables, meta=None, async_save=False):
+    """Save a variables pytree into `directory` via Orbax StandardSave.
+    Returns the checkpointer (call .wait_until_finished() for async)."""
+    import orbax.checkpoint as ocp
+    directory = Path(directory).absolute()
+    if directory.exists():
+        import shutil
+        shutil.rmtree(directory)
+    ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler()) \
+        if async_save else ocp.Checkpointer(ocp.StandardCheckpointHandler())
+    payload = {'variables': jax.device_get(variables)}
+    if meta is not None:
+        payload['meta'] = meta
+    ckptr.save(directory, payload)
+    return ckptr
+
+
+def load_ckpt_orbax(directory, variables_template, meta_template=None):
+    """Restore (variables, meta_or_None) saved by `save_ckpt_orbax`.
+    Restored arrays adopt the template leaves' shardings when the template
+    holds sharded jax.Arrays (multi-host restore)."""
+    import orbax.checkpoint as ocp
+    directory = Path(directory).absolute()
+    ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
+    target = {'variables': variables_template}
+    if meta_template is not None:
+        target['meta'] = meta_template
+    payload = ckptr.restore(directory,
+                            args=ocp.args.StandardRestore(target))
+    return payload['variables'], payload.get('meta')
