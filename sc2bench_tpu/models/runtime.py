@@ -139,6 +139,19 @@ class HyperpriorCodec(FactorizedCodec):
             out.append(flat.reshape(y_indexes[i].shape))
         return np.stack(out)
 
+    # ---- wire fast path: both tensors stay int16 -------------------------
+    def compress_y_wire(self, y_symbols: np.ndarray, y_indexes: np.ndarray):
+        n = y_symbols.shape[0]
+        return [self.g_coder.encode_with_indexes_i16(y_symbols[i],
+                                                     y_indexes[i])
+                for i in range(n)]
+
+    def decompress_y_wire(self, strings, y_indexes: np.ndarray):
+        return np.stack([
+            self.g_coder.decode_with_indexes_i16(
+                s, y_indexes[i]).reshape(y_indexes[i].shape)
+            for i, s in enumerate(strings)])
+
 
 class SplitClassifierRuntime(AnalyzerHolder):
     """Runtime for `SplittableResNet`-style models with an FP/SHP/MSHP or
@@ -281,24 +294,12 @@ class SplitClassifierRuntime(AnalyzerHolder):
             z_channels = self._bneck.num_latent_channels
             z_sym = self.codec.decompress_symbols(strings[1], shape,
                                                   z_channels)
-            def scales_fn(variables, z_symbols, z_medians, scale_table):
-                return self.module.apply(
-                    variables, z_symbols, z_medians, scale_table,
-                    method=lambda m, zs, zm, st:
-                        m.bottleneck_layer.decode_scales(zs, zm, st))
-            y_idx, _ = self._jitted('dec_scales', scales_fn)(
+            y_idx, _ = self._jitted('dec_scales', self._scales_fn())(
                 self.variables, jnp.asarray(_narrow(z_sym)),
                 self._medians_dev, self._scale_table_dev)
             y_sym = self.codec.decompress_y(strings[0], np.asarray(y_idx))
-
-            def dec(variables, y_symbols, z_symbols, z_medians):
-                def m_fn(m, ys, zs, zm):
-                    feat = m.bottleneck_layer.decode_ops(ys, zs, zm)
-                    return m.forward_tail(feat)
-                return self.module.apply(variables, y_symbols, z_symbols,
-                                         z_medians, method=m_fn)
             # int16 on the wire (host->device), cast in decode_ops
-            return self._jitted('decode', dec)(
+            return self._jitted('decode', self._decode_fn_hyper())(
                 self.variables, jnp.asarray(_narrow(y_sym)),
                 jnp.asarray(_narrow(z_sym)), self._medians_dev)
         else:
@@ -306,6 +307,42 @@ class SplitClassifierRuntime(AnalyzerHolder):
             symbols = self.codec.decompress_symbols(strings[0], shape,
                                                     channels)
             return self._decode_call(jnp.asarray(_narrow(symbols)))
+
+    def _scales_fn(self):
+        def scales_fn(variables, z_symbols, z_medians, scale_table):
+            return self.module.apply(
+                variables, z_symbols, z_medians, scale_table,
+                method=lambda m, zs, zm, st:
+                    m.bottleneck_layer.decode_scales(zs, zm, st))
+        return scales_fn
+
+    def _decode_fn_hyper(self):
+        def dec(variables, y_symbols, z_symbols, z_medians):
+            def m_fn(m, ys, zs, zm):
+                feat = m.bottleneck_layer.decode_ops(ys, zs, zm)
+                return m.forward_tail(feat)
+            return self.module.apply(variables, y_symbols, z_symbols,
+                                     z_medians, method=m_fn)
+        return dec
+
+    def _decode_hyper_wire(self, strings, shape):
+        """Hyperprior decode from the wire formats (stream_deploy fast
+        path): z from the cyclic int16 stream, y-indexes recomputed on
+        device and shipped back as int16, y from the int16-indexed stream —
+        every host tensor stays in the wire dtype."""
+        z_channels = self._bneck.num_latent_channels
+        z_sym = self.codec.decompress_wire(strings[1], shape, z_channels)
+
+        def scales_wire(variables, z_symbols, z_medians, scale_table):
+            return to_wire(self._scales_fn()(
+                variables, z_symbols, z_medians, scale_table))
+        y_idx, _ = self._jitted('dec_scales_wire', scales_wire)(
+            self.variables, jnp.asarray(z_sym), self._medians_dev,
+            self._scale_table_dev)
+        y_sym = self.codec.decompress_y_wire(strings[0], np.asarray(y_idx))
+        return self._jitted('decode', self._decode_fn_hyper())(
+            self.variables, jnp.asarray(y_sym), jnp.asarray(z_sym),
+            self._medians_dev)
 
     def _decode_fn(self):
         """Server-side jitted program body: symbols -> feature -> logits."""
@@ -434,12 +471,13 @@ class SplitClassifierRuntime(AnalyzerHolder):
         def host_stage(ops):
             t0 = _time.perf_counter()
             if isinstance(self.codec, HyperpriorCodec):
-                y_sym = np.asarray(ops['y_symbols']).astype(np.int32)
-                y_idx = np.asarray(ops['y_indexes']).astype(np.int32)
-                z_sym = np.asarray(ops['z_symbols']).astype(np.int32)
+                # all three tensors stay in the int16 wire dtype
+                y_sym = np.asarray(ops['y_symbols'])
+                y_idx = np.asarray(ops['y_indexes'])
+                z_sym = np.asarray(ops['z_symbols'])
                 t1 = _time.perf_counter()
-                strings = [self.codec.compress_y(y_sym, y_idx),
-                           self.codec.compress_symbols(z_sym)]
+                strings = [self.codec.compress_y_wire(y_sym, y_idx),
+                           self.codec.compress_wire(z_sym)]
                 compressed = {'strings': strings,
                               'shape': tuple(z_sym.shape[1:3])}
             else:
@@ -457,7 +495,8 @@ class SplitClassifierRuntime(AnalyzerHolder):
                 out = self.codec.decompress_wire(
                     compressed['strings'][0], compressed['shape'], channels)
             elif isinstance(self.codec, HyperpriorCodec):
-                out = self.decode(**compressed)
+                out = self._decode_hyper_wire(compressed['strings'],
+                                              compressed['shape'])
             else:
                 out = self._decode_wire(compressed['strings'][0],
                                         compressed['shape'])

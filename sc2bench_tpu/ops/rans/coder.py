@@ -96,6 +96,14 @@ def _load_library():
     lib.rans_stream_decode.argtypes = [
         u8p, ctypes.c_int, i64p, i32p, ctypes.c_int, i32p, ctypes.c_int,
         i32p, i32p, i32p]
+    lib.rans_encode_with_indexes_i16.restype = ctypes.c_int
+    lib.rans_encode_with_indexes_i16.argtypes = [
+        i16p, i16p, ctypes.c_int, i32p, ctypes.c_int, i32p, i32p,
+        u8p, ctypes.c_int]
+    lib.rans_decode_with_indexes_i16_lut.restype = ctypes.c_int
+    lib.rans_decode_with_indexes_i16_lut.argtypes = [
+        u8p, ctypes.c_int, i16p, ctypes.c_int, i32p, ctypes.c_int,
+        i32p, i32p, i16p, ctypes.c_int, i16p]
     _LIB = lib
     return lib
 
@@ -309,6 +317,49 @@ class RansCoder:
             self._lut.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
             self._lut.shape[1],
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+        return out
+
+    def encode_with_indexes_i16(self, symbols, indexes) -> bytes:
+        """Wire-dtype variant: int16 symbols + int16 per-element indexes
+        (the hyperprior y path) — no host widening."""
+        symbols = np.ascontiguousarray(symbols, dtype=np.int16).ravel()
+        indexes = np.ascontiguousarray(indexes, dtype=np.int16).ravel()
+        assert symbols.shape == indexes.shape
+        if self.lib is None:
+            return _py_encode(symbols.astype(np.int32),
+                              indexes.astype(np.int32), self.cdfs,
+                              self.cdf_lengths, self.offsets)
+        i16 = ctypes.POINTER(ctypes.c_int16)
+        capacity = max(1024, symbols.size * 8)
+        while True:
+            out = np.empty(capacity, np.uint8)
+            n = self.lib.rans_encode_with_indexes_i16(
+                symbols.ctypes.data_as(i16), indexes.ctypes.data_as(i16),
+                symbols.size, _i32p(self.cdfs), self.cdf_stride,
+                _i32p(self.cdf_lengths), _i32p(self.offsets), _u8p(out),
+                capacity)
+            if n >= 0:
+                return out[:n].tobytes()
+            capacity *= 4
+
+    def decode_with_indexes_i16(self, data: bytes, indexes) -> np.ndarray:
+        """Inverse of encode_with_indexes_i16; returns int16."""
+        indexes = np.ascontiguousarray(indexes, dtype=np.int16).ravel()
+        if self.lib is None:
+            return _py_decode(data, indexes.astype(np.int32), self.cdfs,
+                              self.cdf_lengths,
+                              self.offsets).astype(np.int16)
+        if self._lut is None:
+            self._build_lut()
+        i16 = ctypes.POINTER(ctypes.c_int16)
+        byte_arr = np.frombuffer(data, np.uint8)
+        out = np.empty(indexes.size, np.int16)
+        self.lib.rans_decode_with_indexes_i16_lut(
+            _u8p(byte_arr), byte_arr.size, indexes.ctypes.data_as(i16),
+            indexes.size, _i32p(self.cdfs), self.cdf_stride,
+            _i32p(self.cdf_lengths), _i32p(self.offsets),
+            self._lut.ctypes.data_as(i16), self._lut.shape[1],
+            out.ctypes.data_as(i16))
         return out
 
     # ---- interleaved multi-lane (parallel decode; ~num_lanes speedup) ---

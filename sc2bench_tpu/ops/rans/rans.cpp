@@ -507,3 +507,63 @@ int rans_stream_decode(const uint8_t* bytes, int n_bytes, int64_t* state,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// int16 indexed fast path: symbols AND per-element distribution indexes in
+// the device's wire dtype (the hyperprior y-path ships both tensors across
+// the host boundary every image — no int32 widening on the 1-core host).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int rans_encode_with_indexes_i16(const int16_t* symbols,
+                                 const int16_t* indexes, int n,
+                                 const int32_t* cdfs, int cdf_stride,
+                                 const int32_t* cdf_lengths,
+                                 const int32_t* offsets, uint8_t* out,
+                                 int out_capacity) {
+    std::vector<Op> ops;
+    ops.reserve(static_cast<size_t>(n) + 16);
+    for (int i = 0; i < n; ++i) {
+        const int32_t idx = indexes[i];
+        const int32_t* cdf = cdfs + static_cast<int64_t>(idx) * cdf_stride;
+        emit_symbol_ops(ops, cdf, cdf_lengths[idx] - 2,
+                        static_cast<int32_t>(symbols[i]) - offsets[idx]);
+    }
+    RansEncState enc;
+    enc.buf.reserve(static_cast<size_t>(n) * 2 + 8);
+    for (auto it = ops.rbegin(); it != ops.rend(); ++it)
+        enc.put(it->start, it->freq);
+    enc.flush();
+    const int total = static_cast<int>(enc.buf.size());
+    if (total > out_capacity) return -1;
+    for (int i = 0; i < total; ++i)
+        out[i] = enc.buf[total - 1 - i];
+    return total;
+}
+
+int rans_decode_with_indexes_i16_lut(const uint8_t* bytes, int n_bytes,
+                                     const int16_t* indexes, int n,
+                                     const int32_t* cdfs, int cdf_stride,
+                                     const int32_t* cdf_lengths,
+                                     const int32_t* offsets,
+                                     const int16_t* luts, int lut_stride,
+                                     int16_t* out) {
+    RansDecState dec;
+    dec.init(bytes, n_bytes);
+    for (int i = 0; i < n; ++i) {
+        const int32_t idx = indexes[i];
+        const int32_t* cdf = cdfs + static_cast<int64_t>(idx) * cdf_stride;
+        const int16_t* lut = luts + static_cast<int64_t>(idx) * lut_stride;
+        const int32_t max_value = cdf_lengths[idx] - 2;
+        const int s = lut[dec.peek()];
+        dec.advance(static_cast<uint32_t>(cdf[s]),
+                    static_cast<uint32_t>(cdf[s + 1] - cdf[s]));
+        int32_t value = (s == max_value)
+            ? read_symbol_escape(dec, max_value) : s;
+        out[i] = static_cast<int16_t>(value + offsets[idx]);
+    }
+    return 0;
+}
+
+}  // extern "C"

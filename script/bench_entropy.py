@@ -65,6 +65,14 @@ def main():
     run('C++ interleaved x8',
         lambda s, i: coder.encode_interleaved(s, i, 8),
         coder.decode_interleaved, 20)
+    # cyclic int16 wire path (deploy-loop hot path): symbols channels-last,
+    # index implicit — no index array, transposes, or int32 widening
+    sym_i16 = symbols.reshape(channels, -1).T.reshape(-1).astype(np.int16)
+    run('C++ cyclic int16',
+        lambda s, i: coder.encode_cyclic_i16(sym_i16, channels),
+        lambda d, i: (lambda o: o.reshape(-1, channels).T.ravel()
+                      .astype(np.int32))(
+            coder.decode_cyclic_i16(d, n, channels)), 20)
     py = run('Python oracle',
              lambda s, i: _py_encode(s, i, coder.cdfs, coder.cdf_lengths,
                                      coder.offsets),

@@ -192,3 +192,27 @@ def test_streaming_decoder_matches_full_decode():
             pos += chunk
         out.append(dec.decode(indexes[pos:]))
         np.testing.assert_array_equal(np.concatenate(out), full)
+
+
+@pytest.mark.parametrize('use_cpp', [False, True])
+def test_indexed_i16_roundtrip(use_cpp):
+    """int16-symbols/int16-indexes wire variant: exact round trip incl.
+    escapes, and byte-identical to the generic int32 coder (same symbol
+    order, same CDFs)."""
+    if use_cpp and _load_library() is None:
+        pytest.skip('C++ rANS unavailable')
+    rng = np.random.default_rng(13)
+    cdfs, lengths, offsets = _make_tables(rng)
+    n = 3000
+    indexes = rng.integers(0, len(lengths), n).astype(np.int16)
+    max_vals = lengths[indexes.astype(np.int32)] - 2
+    symbols = ((rng.integers(0, 1 << 16, n) % max_vals)
+               + offsets[indexes.astype(np.int32)]).astype(np.int16)
+    symbols[::173] = 500
+    coder = RansCoder(cdfs, lengths, offsets, use_cpp=use_cpp)
+    data = coder.encode_with_indexes_i16(symbols, indexes)
+    assert data == coder.encode_with_indexes(symbols.astype(np.int32),
+                                             indexes.astype(np.int32))
+    out = coder.decode_with_indexes_i16(data, indexes)
+    assert out.dtype == np.int16
+    np.testing.assert_array_equal(out, symbols)

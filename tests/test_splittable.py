@@ -198,3 +198,23 @@ def test_decode_batch_rejected_for_hyperprior():
     img = jax.random.normal(jax.random.key(1), IMG)
     with pytest.raises(ValueError, match='decode_batch'):
         rt.stream_deploy([img], decode_batch=4)
+
+
+@pytest.mark.slow
+def test_hyperprior_stream_deploy_matches_serial():
+    """SHP stream deploy (int16 wire formats for z, y, and y-indexes)
+    produces the same logits as the serial reference-API path — the wire
+    bitstreams differ in layout but round-trip the same symbols."""
+    model, variables = _build(SHPBasedResNetBottleneck(
+        num_bottleneck_channels=8, num_target_channels=256,
+        num_latent_channels=8))
+    rt = SplitClassifierRuntime(model, variables)
+    rt.update()
+    rt.eval()
+    imgs = [jax.random.normal(jax.random.key(20 + i), IMG) for i in range(3)]
+    serial = [np.asarray(rt(x)) for x in imgs]
+    rt.activate_analysis()
+    streamed = rt.stream_deploy(imgs, depth=2, workers=2)
+    for s, p in zip(serial, streamed):
+        np.testing.assert_array_equal(s, np.asarray(p))
+    assert len(rt.analyzers[0].file_size_list) == len(imgs)
