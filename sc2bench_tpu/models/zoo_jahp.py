@@ -155,6 +155,14 @@ class _HostAutoregressive:
         mask[k // 2, k // 2:] = 0
         mask[k // 2 + 1:] = 0
         self.ctx_kernel = self.ctx_kernel * mask
+        # only the causal (unmasked) kernel positions contribute — gather
+        # 12 of 25 taps and hit BLAS with the packed (b, 12*c) matmul
+        causal = np.argwhere(mask[:, :, 0, 0] > 0)
+        self._causal_dr = np.ascontiguousarray(causal[:, 0])
+        self._causal_dc = np.ascontiguousarray(causal[:, 1])
+        self._ctx_kernel_causal = np.ascontiguousarray(
+            self.ctx_kernel[self._causal_dr, self._causal_dc].reshape(
+                -1, self.ctx_kernel.shape[-1]))
         self.ctx_bias = np.asarray(p['context_prediction']['bias'])
         # Sequential children with explicit names live at the parent's top
         # level in flax param trees ('ep0'..'ep2', not under a scope)
@@ -174,12 +182,10 @@ class _HostAutoregressive:
         (ii[b], jj[b]) — one call per wavefront instead of per pixel.
         Positions in a batch must not depend on each other (guaranteed by
         the wavefront schedule)."""
-        k = self.k
-        d = np.arange(k)
-        patches = y_hat_padded[ii[:, None, None] + d[None, :, None],
-                               jj[:, None, None] + d[None, None, :], :]
-        ctx = np.einsum('bhwc,hwco->bo', patches,
-                        self.ctx_kernel) + self.ctx_bias
+        taps = y_hat_padded[ii[:, None] + self._causal_dr[None, :],
+                            jj[:, None] + self._causal_dc[None, :], :]
+        ctx = taps.reshape(len(ii), -1) @ self._ctx_kernel_causal \
+            + self.ctx_bias
         feat = np.concatenate([hyper[ii, jj], ctx], axis=1)
         for li, (w, b) in enumerate(self.ep):
             feat = feat @ w + b
