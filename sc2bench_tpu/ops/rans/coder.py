@@ -89,6 +89,10 @@ def _load_library():
     lib.rans_decode_cyclic_i16_lut.argtypes = [
         u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int,
         i32p, i32p, i16p, ctypes.c_int, i16p]
+    lib.rans_decode_cyclic_i16_coarse.restype = ctypes.c_int
+    lib.rans_decode_cyclic_i16_coarse.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int,
+        i32p, i32p, i16p, ctypes.c_int, i16p]
     i64p = ctypes.POINTER(ctypes.c_int64)
     lib.rans_stream_init.restype = None
     lib.rans_stream_init.argtypes = [u8p, ctypes.c_int, i64p]
@@ -102,6 +106,10 @@ def _load_library():
         u8p, ctypes.c_int]
     lib.rans_decode_with_indexes_i16_lut.restype = ctypes.c_int
     lib.rans_decode_with_indexes_i16_lut.argtypes = [
+        u8p, ctypes.c_int, i16p, ctypes.c_int, i32p, ctypes.c_int,
+        i32p, i32p, i16p, ctypes.c_int, i16p]
+    lib.rans_decode_with_indexes_i16_coarse.restype = ctypes.c_int
+    lib.rans_decode_with_indexes_i16_coarse.argtypes = [
         u8p, ctypes.c_int, i16p, ctypes.c_int, i32p, ctypes.c_int,
         i32p, i32p, i16p, ctypes.c_int, i16p]
     _LIB = lib
@@ -227,6 +235,7 @@ class RansCoder:
             use_cpp = _load_library() is not None
         self.lib = _load_library() if use_cpp else None
         self._lut = None
+        self._coarse = None
 
     def encode_with_indexes(self, symbols, indexes) -> bytes:
         symbols = _as_i32(symbols).ravel()
@@ -299,6 +308,14 @@ class RansCoder:
                 return out[:n].tobytes()
             capacity *= 4
 
+    def _build_coarse_lut(self):
+        """256-entry (slot >> 8 -> starting symbol) table per
+        distribution: L1-resident for cyclic index orders where the full
+        2^16 LUT rows thrash the cache (one row hop per symbol)."""
+        if self._lut is None:
+            self._build_lut()
+        self._coarse = np.ascontiguousarray(self._lut[:, ::256])
+
     def decode_cyclic_i16(self, data: bytes, n: int,
                           num_dists: int) -> np.ndarray:
         """Inverse of encode_cyclic_i16; returns int16 (the wire dtype)."""
@@ -307,15 +324,15 @@ class RansCoder:
                               (n + num_dists - 1) // num_dists)[:n]
             return _py_decode(data, indexes, self.cdfs, self.cdf_lengths,
                               self.offsets).astype(np.int16)
-        if self._lut is None:
-            self._build_lut()
+        if self._coarse is None:
+            self._build_coarse_lut()
         byte_arr = np.frombuffer(data, np.uint8)
         out = np.empty(n, np.int16)
-        self.lib.rans_decode_cyclic_i16_lut(
+        self.lib.rans_decode_cyclic_i16_coarse(
             _u8p(byte_arr), byte_arr.size, n, num_dists, _i32p(self.cdfs),
             self.cdf_stride, _i32p(self.cdf_lengths), _i32p(self.offsets),
-            self._lut.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-            self._lut.shape[1],
+            self._coarse.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            self._coarse.shape[1],
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
         return out
 
@@ -349,16 +366,16 @@ class RansCoder:
             return _py_decode(data, indexes.astype(np.int32), self.cdfs,
                               self.cdf_lengths,
                               self.offsets).astype(np.int16)
-        if self._lut is None:
-            self._build_lut()
+        if self._coarse is None:
+            self._build_coarse_lut()
         i16 = ctypes.POINTER(ctypes.c_int16)
         byte_arr = np.frombuffer(data, np.uint8)
         out = np.empty(indexes.size, np.int16)
-        self.lib.rans_decode_with_indexes_i16_lut(
+        self.lib.rans_decode_with_indexes_i16_coarse(
             _u8p(byte_arr), byte_arr.size, indexes.ctypes.data_as(i16),
             indexes.size, _i32p(self.cdfs), self.cdf_stride,
             _i32p(self.cdf_lengths), _i32p(self.offsets),
-            self._lut.ctypes.data_as(i16), self._lut.shape[1],
+            self._coarse.ctypes.data_as(i16), self._coarse.shape[1],
             out.ctypes.data_as(i16))
         return out
 

@@ -567,3 +567,72 @@ int rans_decode_with_indexes_i16_lut(const uint8_t* bytes, int n_bytes,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Coarse-LUT cyclic decode: the full 2^16-entry LUT is 128KB per
+// distribution, and cyclic index order touches a different distribution
+// every symbol — the random row hops thrash L2. A 256-entry coarse table
+// (slot >> 8 -> starting symbol) keeps all distributions L1-resident; the
+// exact symbol is found by a short forward scan over the (tiny, hot) CDF.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int rans_decode_cyclic_i16_coarse(const uint8_t* bytes, int n_bytes, int n,
+                                  int num_dists, const int32_t* cdfs,
+                                  int cdf_stride,
+                                  const int32_t* cdf_lengths,
+                                  const int32_t* offsets,
+                                  const int16_t* coarse, int coarse_stride,
+                                  int16_t* out) {
+    RansDecState dec;
+    dec.init(bytes, n_bytes);
+    int idx = 0;
+    for (int i = 0; i < n; ++i) {
+        const int32_t* cdf = cdfs + static_cast<int64_t>(idx) * cdf_stride;
+        const int32_t max_value = cdf_lengths[idx] - 2;
+        const uint32_t slot = dec.peek();
+        int s = coarse[static_cast<int64_t>(idx) * coarse_stride
+                       + (slot >> 8)];
+        while (static_cast<uint32_t>(cdf[s + 1]) <= slot) ++s;
+        dec.advance(static_cast<uint32_t>(cdf[s]),
+                    static_cast<uint32_t>(cdf[s + 1] - cdf[s]));
+        int32_t value = (s == max_value)
+            ? read_symbol_escape(dec, max_value) : s;
+        out[i] = static_cast<int16_t>(value + offsets[idx]);
+        if (++idx == num_dists) idx = 0;
+    }
+    return 0;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+int rans_decode_with_indexes_i16_coarse(const uint8_t* bytes, int n_bytes,
+                                        const int16_t* indexes, int n,
+                                        const int32_t* cdfs, int cdf_stride,
+                                        const int32_t* cdf_lengths,
+                                        const int32_t* offsets,
+                                        const int16_t* coarse,
+                                        int coarse_stride, int16_t* out) {
+    RansDecState dec;
+    dec.init(bytes, n_bytes);
+    for (int i = 0; i < n; ++i) {
+        const int32_t idx = indexes[i];
+        const int32_t* cdf = cdfs + static_cast<int64_t>(idx) * cdf_stride;
+        const int32_t max_value = cdf_lengths[idx] - 2;
+        const uint32_t slot = dec.peek();
+        int s = coarse[static_cast<int64_t>(idx) * coarse_stride
+                       + (slot >> 8)];
+        while (static_cast<uint32_t>(cdf[s + 1]) <= slot) ++s;
+        dec.advance(static_cast<uint32_t>(cdf[s]),
+                    static_cast<uint32_t>(cdf[s + 1] - cdf[s]));
+        int32_t value = (s == max_value)
+            ? read_symbol_escape(dec, max_value) : s;
+        out[i] = static_cast<int16_t>(value + offsets[idx]);
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -68,11 +68,20 @@ def main():
     # cyclic int16 wire path (deploy-loop hot path): symbols channels-last,
     # index implicit — no index array, transposes, or int32 widening
     sym_i16 = symbols.reshape(channels, -1).T.reshape(-1).astype(np.int16)
-    run('C++ cyclic int16',
-        lambda s, i: coder.encode_cyclic_i16(sym_i16, channels),
-        lambda d, i: (lambda o: o.reshape(-1, channels).T.ravel()
-                      .astype(np.int32))(
-            coder.decode_cyclic_i16(d, n, channels)), 20)
+    data = coder.encode_cyclic_i16(sym_i16, channels)
+    np.testing.assert_array_equal(
+        coder.decode_cyclic_i16(data, n, channels), sym_i16)
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        data = coder.encode_cyclic_i16(sym_i16, channels)
+    te = (time.perf_counter() - t0) / reps
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        coder.decode_cyclic_i16(data, n, channels)
+    td = (time.perf_counter() - t0) / reps
+    print(f'{"C++ cyclic int16":>22}: encode {n / te / 1e6:7.1f} Msym/s   '
+          f'decode {n / td / 1e6:7.1f} Msym/s   ({len(data)} bytes/latent)')
     py = run('Python oracle',
              lambda s, i: _py_encode(s, i, coder.cdfs, coder.cdf_lengths,
                                      coder.offsets),
