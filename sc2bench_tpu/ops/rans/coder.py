@@ -81,6 +81,10 @@ def _load_library():
     lib.rans_decode_with_indexes_lut.argtypes = [
         u8p, ctypes.c_int, i32p, ctypes.c_int, i32p, ctypes.c_int,
         i32p, i32p, i16p, ctypes.c_int, i32p]
+    lib.rans_decode_with_indexes_coarse.restype = ctypes.c_int
+    lib.rans_decode_with_indexes_coarse.argtypes = [
+        u8p, ctypes.c_int, i32p, ctypes.c_int, i32p, ctypes.c_int,
+        i32p, i32p, i16p, ctypes.c_int, i32p]
     lib.rans_encode_cyclic_i16.restype = ctypes.c_int
     lib.rans_encode_cyclic_i16.argtypes = [
         i16p, ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int, i32p, i32p,
@@ -272,16 +276,16 @@ class RansCoder:
         if self.lib is None:
             return _py_decode(data, indexes, self.cdfs, self.cdf_lengths,
                               self.offsets)
-        if self._lut is None:
-            self._build_lut()
+        if self._coarse is None:
+            self._build_coarse_lut()
         byte_arr = np.frombuffer(data, np.uint8)
         out = np.empty(indexes.size, np.int32)
-        self.lib.rans_decode_with_indexes_lut(
+        self.lib.rans_decode_with_indexes_coarse(
             _u8p(byte_arr), byte_arr.size, _i32p(indexes), indexes.size,
             _i32p(self.cdfs), self.cdf_stride, _i32p(self.cdf_lengths),
             _i32p(self.offsets),
-            self._lut.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-            self._lut.shape[1], _i32p(out))
+            self._coarse.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            self._coarse.shape[1], _i32p(out))
         return out
 
     # ---- cyclic int16 wire fast path (channels-last device layout) ------

@@ -636,3 +636,33 @@ int rans_decode_with_indexes_i16_coarse(const uint8_t* bytes, int n_bytes,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+int rans_decode_with_indexes_coarse(const uint8_t* bytes, int n_bytes,
+                                    const int32_t* indexes, int n,
+                                    const int32_t* cdfs, int cdf_stride,
+                                    const int32_t* cdf_lengths,
+                                    const int32_t* offsets,
+                                    const int16_t* coarse,
+                                    int coarse_stride, int32_t* out) {
+    RansDecState dec;
+    dec.init(bytes, n_bytes);
+    for (int i = 0; i < n; ++i) {
+        const int32_t idx = indexes[i];
+        const int32_t* cdf = cdfs + static_cast<int64_t>(idx) * cdf_stride;
+        const int32_t max_value = cdf_lengths[idx] - 2;
+        const uint32_t slot = dec.peek();
+        int s = coarse[static_cast<int64_t>(idx) * coarse_stride
+                       + (slot >> 8)];
+        while (static_cast<uint32_t>(cdf[s + 1]) <= slot) ++s;
+        dec.advance(static_cast<uint32_t>(cdf[s]),
+                    static_cast<uint32_t>(cdf[s + 1] - cdf[s]));
+        int32_t value = (s == max_value)
+            ? read_symbol_escape(dec, max_value) : s;
+        out[i] = value + offsets[idx];
+    }
+    return 0;
+}
+
+}  // extern "C"
