@@ -77,10 +77,6 @@ def _load_library():
         u8p, ctypes.c_int, i32p, ctypes.c_int, i32p, ctypes.c_int,
         i32p, i32p, i32p]
     i16p = ctypes.POINTER(ctypes.c_int16)
-    lib.rans_decode_with_indexes_lut.restype = ctypes.c_int
-    lib.rans_decode_with_indexes_lut.argtypes = [
-        u8p, ctypes.c_int, i32p, ctypes.c_int, i32p, ctypes.c_int,
-        i32p, i32p, i16p, ctypes.c_int, i32p]
     lib.rans_decode_with_indexes_coarse.restype = ctypes.c_int
     lib.rans_decode_with_indexes_coarse.argtypes = [
         u8p, ctypes.c_int, i32p, ctypes.c_int, i32p, ctypes.c_int,
@@ -89,10 +85,6 @@ def _load_library():
     lib.rans_encode_cyclic_i16.argtypes = [
         i16p, ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int, i32p, i32p,
         u8p, ctypes.c_int]
-    lib.rans_decode_cyclic_i16_lut.restype = ctypes.c_int
-    lib.rans_decode_cyclic_i16_lut.argtypes = [
-        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int,
-        i32p, i32p, i16p, ctypes.c_int, i16p]
     lib.rans_decode_cyclic_i16_coarse.restype = ctypes.c_int
     lib.rans_decode_cyclic_i16_coarse.argtypes = [
         u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int,
@@ -108,10 +100,6 @@ def _load_library():
     lib.rans_encode_with_indexes_i16.argtypes = [
         i16p, i16p, ctypes.c_int, i32p, ctypes.c_int, i32p, i32p,
         u8p, ctypes.c_int]
-    lib.rans_decode_with_indexes_i16_lut.restype = ctypes.c_int
-    lib.rans_decode_with_indexes_i16_lut.argtypes = [
-        u8p, ctypes.c_int, i16p, ctypes.c_int, i32p, ctypes.c_int,
-        i32p, i32p, i16p, ctypes.c_int, i16p]
     lib.rans_decode_with_indexes_i16_coarse.restype = ctypes.c_int
     lib.rans_decode_with_indexes_i16_coarse.argtypes = [
         u8p, ctypes.c_int, i16p, ctypes.c_int, i32p, ctypes.c_int,
@@ -238,8 +226,9 @@ class RansCoder:
         if use_cpp is None:
             use_cpp = _load_library() is not None
         self.lib = _load_library() if use_cpp else None
-        self._lut = None
         self._coarse = None
+        import threading
+        self._init_lock = threading.Lock()
 
     def encode_with_indexes(self, symbols, indexes) -> bytes:
         symbols = _as_i32(symbols).ravel()
@@ -258,18 +247,6 @@ class RansCoder:
             if n >= 0:
                 return out[:n].tobytes()
             capacity *= 4
-
-    def _build_lut(self):
-        """slot->symbol direct lookup (2^16 int16 per distribution):
-        lut[i, slot] = number of cdf entries <= slot minus one."""
-        n = self.cdfs.shape[0]
-        lut = np.empty((n, 1 << _PRECISION), np.int16)
-        for i in range(n):
-            L = int(self.cdf_lengths[i])
-            freqs = np.diff(self.cdfs[i, :L]).astype(np.int64)
-            lut[i] = np.repeat(
-                np.arange(L - 1, dtype=np.int16), freqs)
-        self._lut = np.ascontiguousarray(lut)
 
     def decode_with_indexes(self, data: bytes, indexes) -> np.ndarray:
         indexes = _as_i32(indexes).ravel()
@@ -313,12 +290,22 @@ class RansCoder:
             capacity *= 4
 
     def _build_coarse_lut(self):
-        """256-entry (slot >> 8 -> starting symbol) table per
-        distribution: L1-resident for cyclic index orders where the full
-        2^16 LUT rows thrash the cache (one row hop per symbol)."""
-        if self._lut is None:
-            self._build_lut()
-        self._coarse = np.ascontiguousarray(self._lut[:, ::256])
+        """256-entry (slot >> 8 -> starting symbol) table per distribution:
+        L1-resident for arbitrary index orders, where a full 2^16 LUT row
+        per distribution would thrash the cache. Built directly from the
+        CDFs (no full-LUT intermediate); decode scans forward from the
+        coarse start over the hot CDF row."""
+        with self._init_lock:
+            if self._coarse is not None:
+                return
+            n = self.cdfs.shape[0]
+            slots = np.arange(0, 1 << _PRECISION, 256)
+            coarse = np.empty((n, slots.size), np.int16)
+            for i in range(n):
+                L = int(self.cdf_lengths[i])
+                coarse[i] = np.searchsorted(self.cdfs[i, :L], slots,
+                                            'right') - 1
+            self._coarse = np.ascontiguousarray(coarse)
 
     def decode_cyclic_i16(self, data: bytes, n: int,
                           num_dists: int) -> np.ndarray:

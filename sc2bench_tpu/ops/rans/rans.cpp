@@ -360,41 +360,6 @@ int rans_decode_interleaved(const uint8_t* bytes, int n_bytes,
 
 }  // extern "C"
 
-// ---------------------------------------------------------------------------
-// LUT decode: a precomputed slot->symbol table (2^precision int16 entries per
-// distribution) replaces the per-symbol binary search — O(1) symbol lookup,
-// ~2-3x faster decode at the cost of 128KB/distribution, built once per
-// update() alongside the CDF tables.
-// ---------------------------------------------------------------------------
-
-extern "C" {
-
-int rans_decode_with_indexes_lut(const uint8_t* bytes, int n_bytes,
-                                 const int32_t* indexes, int n,
-                                 const int32_t* cdfs, int cdf_stride,
-                                 const int32_t* cdf_lengths,
-                                 const int32_t* offsets,
-                                 const int16_t* luts, int lut_stride,
-                                 int32_t* out) {
-    RansDecState dec;
-    dec.init(bytes, n_bytes);
-    for (int i = 0; i < n; ++i) {
-        const int32_t idx = indexes[i];
-        const int32_t* cdf = cdfs + static_cast<int64_t>(idx) * cdf_stride;
-        const int16_t* lut = luts + static_cast<int64_t>(idx) * lut_stride;
-        const int32_t max_value = cdf_lengths[idx] - 2;
-        const uint32_t slot = dec.peek();
-        const int s = lut[slot];
-        dec.advance(static_cast<uint32_t>(cdf[s]),
-                    static_cast<uint32_t>(cdf[s + 1] - cdf[s]));
-        int32_t value = (s == max_value)
-            ? read_symbol_escape(dec, max_value) : s;
-        out[i] = value + offsets[idx];
-    }
-    return 0;
-}
-
-}  // extern "C"
 
 // ---------------------------------------------------------------------------
 // Cyclic int16 fast path: symbols arrive in the device's natural NHWC-flat
@@ -433,28 +398,6 @@ int rans_encode_cyclic_i16(const int16_t* symbols, int n, int num_dists,
     return total;
 }
 
-int rans_decode_cyclic_i16_lut(const uint8_t* bytes, int n_bytes, int n,
-                               int num_dists, const int32_t* cdfs,
-                               int cdf_stride, const int32_t* cdf_lengths,
-                               const int32_t* offsets, const int16_t* luts,
-                               int lut_stride, int16_t* out) {
-    RansDecState dec;
-    dec.init(bytes, n_bytes);
-    int idx = 0;
-    for (int i = 0; i < n; ++i) {
-        const int32_t* cdf = cdfs + static_cast<int64_t>(idx) * cdf_stride;
-        const int16_t* lut = luts + static_cast<int64_t>(idx) * lut_stride;
-        const int32_t max_value = cdf_lengths[idx] - 2;
-        const int s = lut[dec.peek()];
-        dec.advance(static_cast<uint32_t>(cdf[s]),
-                    static_cast<uint32_t>(cdf[s + 1] - cdf[s]));
-        int32_t value = (s == max_value) ? read_symbol_escape(dec, max_value)
-                                         : s;
-        out[i] = static_cast<int16_t>(value + offsets[idx]);
-        if (++idx == num_dists) idx = 0;
-    }
-    return 0;
-}
 
 }  // extern "C"
 
@@ -542,39 +485,45 @@ int rans_encode_with_indexes_i16(const int16_t* symbols,
     return total;
 }
 
-int rans_decode_with_indexes_i16_lut(const uint8_t* bytes, int n_bytes,
-                                     const int16_t* indexes, int n,
-                                     const int32_t* cdfs, int cdf_stride,
-                                     const int32_t* cdf_lengths,
-                                     const int32_t* offsets,
-                                     const int16_t* luts, int lut_stride,
-                                     int16_t* out) {
-    RansDecState dec;
-    dec.init(bytes, n_bytes);
-    for (int i = 0; i < n; ++i) {
-        const int32_t idx = indexes[i];
-        const int32_t* cdf = cdfs + static_cast<int64_t>(idx) * cdf_stride;
-        const int16_t* lut = luts + static_cast<int64_t>(idx) * lut_stride;
-        const int32_t max_value = cdf_lengths[idx] - 2;
-        const int s = lut[dec.peek()];
-        dec.advance(static_cast<uint32_t>(cdf[s]),
-                    static_cast<uint32_t>(cdf[s + 1] - cdf[s]));
-        int32_t value = (s == max_value)
-            ? read_symbol_escape(dec, max_value) : s;
-        out[i] = static_cast<int16_t>(value + offsets[idx]);
-    }
-    return 0;
-}
 
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
-// Coarse-LUT cyclic decode: the full 2^16-entry LUT is 128KB per
-// distribution, and cyclic index order touches a different distribution
-// every symbol — the random row hops thrash L2. A 256-entry coarse table
-// (slot >> 8 -> starting symbol) keeps all distributions L1-resident; the
-// exact symbol is found by a short forward scan over the (tiny, hot) CDF.
+// Coarse-LUT decode core: the full 2^16-entry LUT is 128KB per distribution
+// and random row hops (cyclic or per-element index orders) thrash L2. A
+// 256-entry coarse table (slot >> 8 -> starting symbol) keeps every
+// distribution L1-resident; the exact symbol is a short forward scan over
+// the (tiny, hot) CDF. One templated core serves all three index sources.
 // ---------------------------------------------------------------------------
+
+namespace {
+
+template <typename IndexFn, typename OutT>
+inline int coarse_decode_core(const uint8_t* bytes, int n_bytes, int n,
+                              const int32_t* cdfs, int cdf_stride,
+                              const int32_t* cdf_lengths,
+                              const int32_t* offsets, const int16_t* coarse,
+                              int coarse_stride, OutT* out, IndexFn idx_of) {
+    RansDecState dec;
+    dec.init(bytes, n_bytes);
+    for (int i = 0; i < n; ++i) {
+        const int32_t idx = idx_of(i);
+        const int32_t* cdf = cdfs + static_cast<int64_t>(idx) * cdf_stride;
+        const int32_t max_value = cdf_lengths[idx] - 2;
+        const uint32_t slot = dec.peek();
+        int s = coarse[static_cast<int64_t>(idx) * coarse_stride
+                       + (slot >> 8)];
+        while (static_cast<uint32_t>(cdf[s + 1]) <= slot) ++s;
+        dec.advance(static_cast<uint32_t>(cdf[s]),
+                    static_cast<uint32_t>(cdf[s + 1] - cdf[s]));
+        int32_t value = (s == max_value)
+            ? read_symbol_escape(dec, max_value) : s;
+        out[i] = static_cast<OutT>(value + offsets[idx]);
+    }
+    return 0;
+}
+
+}  // namespace
 
 extern "C" {
 
@@ -585,29 +534,11 @@ int rans_decode_cyclic_i16_coarse(const uint8_t* bytes, int n_bytes, int n,
                                   const int32_t* offsets,
                                   const int16_t* coarse, int coarse_stride,
                                   int16_t* out) {
-    RansDecState dec;
-    dec.init(bytes, n_bytes);
-    int idx = 0;
-    for (int i = 0; i < n; ++i) {
-        const int32_t* cdf = cdfs + static_cast<int64_t>(idx) * cdf_stride;
-        const int32_t max_value = cdf_lengths[idx] - 2;
-        const uint32_t slot = dec.peek();
-        int s = coarse[static_cast<int64_t>(idx) * coarse_stride
-                       + (slot >> 8)];
-        while (static_cast<uint32_t>(cdf[s + 1]) <= slot) ++s;
-        dec.advance(static_cast<uint32_t>(cdf[s]),
-                    static_cast<uint32_t>(cdf[s + 1] - cdf[s]));
-        int32_t value = (s == max_value)
-            ? read_symbol_escape(dec, max_value) : s;
-        out[i] = static_cast<int16_t>(value + offsets[idx]);
-        if (++idx == num_dists) idx = 0;
-    }
-    return 0;
+    return coarse_decode_core(
+        bytes, n_bytes, n, cdfs, cdf_stride, cdf_lengths, offsets, coarse,
+        coarse_stride, out,
+        [num_dists](int i) { return static_cast<int32_t>(i % num_dists); });
 }
-
-}  // extern "C"
-
-extern "C" {
 
 int rans_decode_with_indexes_i16_coarse(const uint8_t* bytes, int n_bytes,
                                         const int16_t* indexes, int n,
@@ -616,28 +547,11 @@ int rans_decode_with_indexes_i16_coarse(const uint8_t* bytes, int n_bytes,
                                         const int32_t* offsets,
                                         const int16_t* coarse,
                                         int coarse_stride, int16_t* out) {
-    RansDecState dec;
-    dec.init(bytes, n_bytes);
-    for (int i = 0; i < n; ++i) {
-        const int32_t idx = indexes[i];
-        const int32_t* cdf = cdfs + static_cast<int64_t>(idx) * cdf_stride;
-        const int32_t max_value = cdf_lengths[idx] - 2;
-        const uint32_t slot = dec.peek();
-        int s = coarse[static_cast<int64_t>(idx) * coarse_stride
-                       + (slot >> 8)];
-        while (static_cast<uint32_t>(cdf[s + 1]) <= slot) ++s;
-        dec.advance(static_cast<uint32_t>(cdf[s]),
-                    static_cast<uint32_t>(cdf[s + 1] - cdf[s]));
-        int32_t value = (s == max_value)
-            ? read_symbol_escape(dec, max_value) : s;
-        out[i] = static_cast<int16_t>(value + offsets[idx]);
-    }
-    return 0;
+    return coarse_decode_core(
+        bytes, n_bytes, n, cdfs, cdf_stride, cdf_lengths, offsets, coarse,
+        coarse_stride, out,
+        [indexes](int i) { return static_cast<int32_t>(indexes[i]); });
 }
-
-}  // extern "C"
-
-extern "C" {
 
 int rans_decode_with_indexes_coarse(const uint8_t* bytes, int n_bytes,
                                     const int32_t* indexes, int n,
@@ -646,23 +560,10 @@ int rans_decode_with_indexes_coarse(const uint8_t* bytes, int n_bytes,
                                     const int32_t* offsets,
                                     const int16_t* coarse,
                                     int coarse_stride, int32_t* out) {
-    RansDecState dec;
-    dec.init(bytes, n_bytes);
-    for (int i = 0; i < n; ++i) {
-        const int32_t idx = indexes[i];
-        const int32_t* cdf = cdfs + static_cast<int64_t>(idx) * cdf_stride;
-        const int32_t max_value = cdf_lengths[idx] - 2;
-        const uint32_t slot = dec.peek();
-        int s = coarse[static_cast<int64_t>(idx) * coarse_stride
-                       + (slot >> 8)];
-        while (static_cast<uint32_t>(cdf[s + 1]) <= slot) ++s;
-        dec.advance(static_cast<uint32_t>(cdf[s]),
-                    static_cast<uint32_t>(cdf[s + 1] - cdf[s]));
-        int32_t value = (s == max_value)
-            ? read_symbol_escape(dec, max_value) : s;
-        out[i] = value + offsets[idx];
-    }
-    return 0;
+    return coarse_decode_core(
+        bytes, n_bytes, n, cdfs, cdf_stride, cdf_lengths, offsets, coarse,
+        coarse_stride, out,
+        [indexes](int i) { return indexes[i]; });
 }
 
 }  // extern "C"

@@ -88,31 +88,66 @@ def load_train_state(path, train_state_template):
 
 def save_ckpt_orbax(directory, variables, meta=None, async_save=False):
     """Save a variables pytree into `directory` via Orbax StandardSave.
-    Returns the checkpointer (call .wait_until_finished() for async)."""
+    Writes into a temp sibling and atomically swaps on completion, so an
+    interrupted save never destroys the previous checkpoint. `meta` is
+    stored as a pickle sidecar (`<directory>.meta.pkl`) — independent of
+    the Orbax tree, so restore works with or without it. Returns a handle
+    whose `wait_until_finished()` finalizes the swap (a no-op object for
+    sync saves)."""
+    import shutil
+
     import orbax.checkpoint as ocp
     directory = Path(directory).absolute()
-    if directory.exists():
-        import shutil
-        shutil.rmtree(directory)
+    if directory.exists() and not directory.is_dir():
+        raise ValueError(f'{directory} exists and is not a directory')
+    tmp = directory.with_name(directory.name + '.orbax-tmp')
+    if tmp.exists():
+        shutil.rmtree(tmp)
     ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler()) \
         if async_save else ocp.Checkpointer(ocp.StandardCheckpointHandler())
-    payload = {'variables': jax.device_get(variables)}
+    ckptr.save(tmp, {'variables': jax.device_get(variables)})
     if meta is not None:
-        payload['meta'] = meta
-    ckptr.save(directory, payload)
-    return ckptr
+        Path(str(directory) + _META_SUFFIX).write_bytes(pickle.dumps(meta))
+
+    class _Handle:
+        def __init__(self, ckptr):
+            self._ckptr = ckptr
+            self._done = False
+
+        def wait_until_finished(self):
+            if self._done:
+                return
+            if hasattr(self._ckptr, 'wait_until_finished'):
+                self._ckptr.wait_until_finished()
+            if directory.exists():
+                old = directory.with_name(directory.name + '.orbax-old')
+                if old.exists():
+                    shutil.rmtree(old)
+                directory.rename(old)
+                tmp.rename(directory)
+                shutil.rmtree(old)
+            else:
+                tmp.rename(directory)
+            self._done = True
+
+    handle = _Handle(ckptr)
+    if not async_save:
+        handle.wait_until_finished()
+    return handle
 
 
-def load_ckpt_orbax(directory, variables_template, meta_template=None):
+def load_ckpt_orbax(directory, variables_template):
     """Restore (variables, meta_or_None) saved by `save_ckpt_orbax`.
     Restored arrays adopt the template leaves' shardings when the template
     holds sharded jax.Arrays (multi-host restore)."""
     import orbax.checkpoint as ocp
     directory = Path(directory).absolute()
     ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
-    target = {'variables': variables_template}
-    if meta_template is not None:
-        target['meta'] = meta_template
-    payload = ckptr.restore(directory,
-                            args=ocp.args.StandardRestore(target))
-    return payload['variables'], payload.get('meta')
+    payload = ckptr.restore(
+        directory, args=ocp.args.StandardRestore(
+            {'variables': variables_template}))
+    meta = None
+    mpath = Path(str(directory) + _META_SUFFIX)
+    if mpath.exists():
+        meta = pickle.loads(mpath.read_bytes())
+    return payload['variables'], meta

@@ -45,48 +45,40 @@ def main():
     indexes = np.repeat(np.arange(channels, dtype=np.int32), 56 * 56)
     symbols = np.clip(rng.laplace(0, 2, n), -20, 20).round().astype(np.int32)
 
-    def run(name, enc, dec, reps):
+    def run(name, enc, dec, reps, expect=None):
+        expect = symbols if expect is None else expect
         t0 = time.perf_counter()
         for _ in range(reps):
-            data = enc(symbols, indexes)
+            data = enc()
         te = (time.perf_counter() - t0) / reps
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = dec(data, indexes)
+            out = dec(data)
         td = (time.perf_counter() - t0) / reps
-        assert (out == symbols).all()
+        assert (out == expect).all()
         print(f'{name:>22}: encode {n / te / 1e6:7.1f} Msym/s   '
               f'decode {n / td / 1e6:7.1f} Msym/s   '
               f'({len(data)} bytes/latent)')
         return n / te / 1e6, n / td / 1e6
 
-    cpp = run('C++ single-stream', coder.encode_with_indexes,
-              coder.decode_with_indexes, 20)
+    cpp = run('C++ single-stream',
+              lambda: coder.encode_with_indexes(symbols, indexes),
+              lambda d: coder.decode_with_indexes(d, indexes), 20)
     run('C++ interleaved x8',
-        lambda s, i: coder.encode_interleaved(s, i, 8),
-        coder.decode_interleaved, 20)
+        lambda: coder.encode_interleaved(symbols, indexes, 8),
+        lambda d: coder.decode_interleaved(d, indexes), 20)
     # cyclic int16 wire path (deploy-loop hot path): symbols channels-last,
     # index implicit — no index array, transposes, or int32 widening
     sym_i16 = symbols.reshape(channels, -1).T.reshape(-1).astype(np.int16)
-    data = coder.encode_cyclic_i16(sym_i16, channels)
-    np.testing.assert_array_equal(
-        coder.decode_cyclic_i16(data, n, channels), sym_i16)
-    reps = 20
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        data = coder.encode_cyclic_i16(sym_i16, channels)
-    te = (time.perf_counter() - t0) / reps
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        coder.decode_cyclic_i16(data, n, channels)
-    td = (time.perf_counter() - t0) / reps
-    print(f'{"C++ cyclic int16":>22}: encode {n / te / 1e6:7.1f} Msym/s   '
-          f'decode {n / td / 1e6:7.1f} Msym/s   ({len(data)} bytes/latent)')
+    run('C++ cyclic int16',
+        lambda: coder.encode_cyclic_i16(sym_i16, channels),
+        lambda d: coder.decode_cyclic_i16(d, n, channels), 20,
+        expect=sym_i16)
     py = run('Python oracle',
-             lambda s, i: _py_encode(s, i, coder.cdfs, coder.cdf_lengths,
-                                     coder.offsets),
-             lambda d, i: _py_decode(d, i, coder.cdfs, coder.cdf_lengths,
-                                     coder.offsets), 1)
+             lambda: _py_encode(symbols, indexes, coder.cdfs,
+                                coder.cdf_lengths, coder.offsets),
+             lambda d: _py_decode(d, indexes, coder.cdfs, coder.cdf_lengths,
+                                  coder.offsets), 1)
     print(f'C++ vs python-interpreter class: {cpp[0] / py[0]:.0f}x encode, '
           f'{cpp[1] / py[1]:.0f}x decode')
 
