@@ -112,37 +112,82 @@ class SplitDetectionRuntime(AnalyzerHolder):
             self._jit[name] = jax.jit(fn)
         return self._jit[name]
 
-    def detect(self, batch):
-        """batch: NHWC canvas images. Returns dense detections + records the
-        per-image bottleneck bitstream size."""
-        from .rcnn import postprocess_detections
-        x = jnp.asarray(batch)
-        # int16 wire + cyclic coder: no host transposes/widening (the
-        # detection canvas latent is large — 256ch at stride 4)
+    def _encode_device(self, x):
+        """Dispatch the mobile-side program; int16 wire + cyclic coder so
+        the host never transposes/widens (the detection canvas latent is
+        large — e.g. 200x336x24 at the 800/1333 geometry)."""
         from ..runtime import to_wire
-        ops = self._jitted('enc', lambda v, x, m: to_wire(
+        return self._jitted('enc', lambda v, x, m: to_wire(
             self.module.apply(
                 v, x, m, method=lambda mod, x, med:
                     mod.encode_ops(x, med))))(
             self.variables, x, self._medians_dev)
+
+    def _decode_call(self, decoded, hw):
+        """Server-side program for canvas `hw` (one compiled program per
+        canvas bucket)."""
+        from .rcnn import postprocess_detections
+        key = f'dec_{hw[0]}x{hw[1]}'
+        if key not in self._jit:
+            def dec(v, s, m):
+                def m_fn(mod, s, med):
+                    c2 = mod.decode_ops(s, med)
+                    out = mod.forward_from_bottleneck(c2, tuple(hw))
+                    return postprocess_detections(out)
+                return self.module.apply(v, s, m, method=m_fn)
+            self._jit[key] = jax.jit(dec)
+        return self._jit[key](self.variables, jnp.asarray(decoded),
+                              self._medians_dev)
+
+    def _host_stage(self, ops, hw):
         symbols = np.asarray(ops['symbols'])
         strings = self.codec.compress_wire(symbols)
         self.analyze({'strings': [strings],
                       'shape': tuple(symbols.shape[1:3])})
         decoded = self.codec.decompress_wire(
             strings, symbols.shape[1:3], symbols.shape[-1])
-        hw = x.shape[1:3]
-        key = f'dec_{hw[0]}x{hw[1]}'
-        if key not in self._jit:
-            def dec(v, s, m):
-                def m_fn(mod, s, med):
-                    c2 = mod.decode_ops(s, med)
-                    out = mod.forward_from_bottleneck(c2, hw)
-                    return postprocess_detections(out)
-                return self.module.apply(v, s, m, method=m_fn)
-            self._jit[key] = jax.jit(dec)
-        return self._jit[key](self.variables, jnp.asarray(decoded),
-                              self._medians_dev)
+        return self._decode_call(decoded, hw)
+
+    def detect(self, batch):
+        """batch: NHWC canvas images. Returns dense detections + records the
+        per-image bottleneck bitstream size."""
+        x = jnp.asarray(batch)
+        ops = self._encode_device(x)
+        return self._host_stage(ops, x.shape[1:3])
+
+    def stream_detect(self, batches, depth: int = 4, workers: int = 4):
+        """Software-pipelined deploy over a stream of canvas batches (the
+        COCO eval loop): encodes for upcoming images overlap the host
+        entropy coding of earlier ones, exactly like the classification
+        runtime's `stream_deploy`. Returns per-batch detection dicts in
+        order; byte accounting is per-sample, same as `detect`."""
+        from concurrent.futures import ThreadPoolExecutor
+        batches = list(batches)
+        n = len(batches)
+        if n == 0:
+            return []
+
+        def dispatch(i):
+            x = jnp.asarray(batches[i])
+            ops = self._encode_device(x)
+            for leaf in jax.tree.leaves(ops):
+                try:
+                    leaf.copy_to_host_async()
+                except Exception:
+                    pass
+            return ops, x.shape[1:3]
+
+        with ThreadPoolExecutor(workers) as ex:
+            pending = [dispatch(i) for i in range(min(depth, n))]
+            futures = []
+            for i in range(n):
+                ops, hw = pending.pop(0)
+                if i + depth < n:
+                    pending.append(dispatch(i + depth))
+                futures.append(ex.submit(self._host_stage, ops, hw))
+            results = [f.result() for f in futures]
+        jax.block_until_ready(jax.tree.leaves(results[-1]))
+        return results
 
 
 def get_wrapped_detection_model(wrapper_model_config, **kwargs):

@@ -169,15 +169,8 @@ class DetectionEngine:
             self._eval_fn = jax.jit(fwd)
         meter = MetricLogger()
         import time
-        for images, targets in data_loader:
-            batch, scales, _ = self.transform(list(images))
-            t0 = time.time()
-            if runtime is not None:
-                dets = runtime.detect(batch)
-            else:
-                dets = self._eval_fn(self.student_variables,
-                                     jnp.asarray(batch))
-            meter.update(model_time=time.time() - t0)
+
+        def record(dets, targets, scales):
             for i, target in enumerate(targets):
                 evaluator.add_gt(target)
                 valid = np.asarray(dets['valid'][i])
@@ -186,6 +179,38 @@ class DetectionEngine:
                     / scales[i],
                     'scores': np.asarray(dets['scores'][i])[valid],
                     'labels': np.asarray(dets['labels'][i])[valid]}})
+
+        if runtime is not None:
+            # pipelined deploy: stream 16-batch chunks through the runtime
+            # (encodes overlap host entropy coding; per-sample byte
+            # accounting unchanged)
+            chunk = []
+
+            def drain():
+                if not chunk:
+                    return
+                t0 = time.time()
+                results = runtime.stream_detect([b for b, _, _ in chunk])
+                dt = (time.time() - t0) / len(chunk)
+                for dets, (_, targets, scales) in zip(results, chunk):
+                    meter.update(model_time=dt)
+                    record(dets, targets, scales)
+                chunk.clear()
+
+            for images, targets in data_loader:
+                batch, scales, _ = self.transform(list(images))
+                chunk.append((batch, targets, scales))
+                if len(chunk) == 16:
+                    drain()
+            drain()
+        else:
+            for images, targets in data_loader:
+                batch, scales, _ = self.transform(list(images))
+                t0 = time.time()
+                dets = self._eval_fn(self.student_variables,
+                                     jnp.asarray(batch))
+                meter.update(model_time=time.time() - t0)
+                record(dets, targets, scales)
         evaluator.synchronize_between_processes()
         evaluator.accumulate()
         stats = evaluator.summarize()

@@ -191,6 +191,27 @@ class TestFasterRCNN:
         assert g_head > 0
 
 
+    def test_stream_detect_matches_serial(self, model_and_vars):
+        """Pipelined stream_detect returns identical detections to the
+        serial deploy path, with per-sample byte accounting."""
+        from sc2bench_tpu.models.detection.wrapper import \
+            SplitDetectionRuntime
+        model, variables = model_and_vars
+        rt = SplitDetectionRuntime(model, variables)
+        rt.update()
+        imgs = [jax.random.normal(jax.random.key(30 + i), (1, 64, 64, 3))
+                for i in range(3)]
+        serial = [rt.detect(x) for x in imgs]
+        rt.activate_analysis()
+        streamed = rt.stream_detect(imgs, depth=2, workers=2)
+        rt.deactivate_analysis()
+        for s, p in zip(serial, streamed):
+            for k in ('boxes', 'scores', 'labels', 'valid'):
+                np.testing.assert_array_equal(np.asarray(s[k]),
+                                              np.asarray(p[k]))
+        assert len(rt.analyzers[0].file_size_list) == len(imgs)
+
+
 class TestRetinaNet:
     @pytest.fixture(scope='class')
     def model_and_vars(self):
