@@ -137,13 +137,8 @@ class SplitSegmentationRuntime(AnalyzerHolder):
         self.training = False
         return self
 
-    def __call__(self, x):
+    def _encode_device(self, x):
         import jax
-        x = jnp.asarray(x)
-        if not (self.bottleneck_updated and not self.training):
-            return self.module.apply(
-                self.variables, x, mode='train', train=False,
-                rngs={'noise': jax.random.key(0)})
         if 'enc' not in self._jit:
             # int16 on the wire (device->host): halves the transfer and
             # feeds the cyclic coder without transposes or widening
@@ -153,8 +148,10 @@ class SplitSegmentationRuntime(AnalyzerHolder):
                     self.module.apply(
                         v, x, m, method=lambda mod, x, med:
                             mod.encode_ops(x, med))))
-        medians = self._medians_dev
-        ops = self._jit['enc'](self.variables, x, medians)
+        return self._jit['enc'](self.variables, x, self._medians_dev)
+
+    def _host_stage(self, ops, hw):
+        import jax
         symbols = np.asarray(ops['symbols'])
         strings = self.codec.compress_wire(symbols)
         compressed = {'strings': [strings],
@@ -163,14 +160,57 @@ class SplitSegmentationRuntime(AnalyzerHolder):
         channels = self.codec.tables.medians.shape[0]
         decoded = self.codec.decompress_wire(
             compressed['strings'][0], compressed['shape'], channels)
-        key = f'dec_{x.shape[1]}x{x.shape[2]}'
+        key = f'dec_{hw[0]}x{hw[1]}'
         if key not in self._jit:
-            hw = x.shape[1:3]
             self._jit[key] = jax.jit(
                 lambda v, s, m: self.module.apply(
-                    v, s, m, hw, method=lambda mod, s, med, ihw:
+                    v, s, m, tuple(hw), method=lambda mod, s, med, ihw:
                         mod.decode_ops_to_output(s, med, ihw)))
-        return self._jit[key](self.variables, jnp.asarray(decoded), medians)
+        return self._jit[key](self.variables, jnp.asarray(decoded),
+                              self._medians_dev)
+
+    def __call__(self, x):
+        import jax
+        x = jnp.asarray(x)
+        if not (self.bottleneck_updated and not self.training):
+            return self.module.apply(
+                self.variables, x, mode='train', train=False,
+                rngs={'noise': jax.random.key(0)})
+        ops = self._encode_device(x)
+        return self._host_stage(ops, x.shape[1:3])
+
+    def stream_deploy(self, images, depth: int = 4, workers: int = 4):
+        """Pipelined batch-1 deploy over a stream of images (the VOC eval
+        loop) — encodes overlap host entropy coding, mirroring the
+        classification runtime. Returns per-image outputs in order."""
+        import jax
+        from concurrent.futures import ThreadPoolExecutor
+        images = list(images)
+        n = len(images)
+        if n == 0:
+            return []
+
+        def dispatch(i):
+            x = jnp.asarray(images[i])
+            ops = self._encode_device(x)
+            for leaf in jax.tree.leaves(ops):
+                try:
+                    leaf.copy_to_host_async()
+                except Exception:
+                    pass
+            return ops, x.shape[1:3]
+
+        with ThreadPoolExecutor(workers) as ex:
+            pending = [dispatch(i) for i in range(min(depth, n))]
+            futures = []
+            for i in range(n):
+                ops, hw = pending.pop(0)
+                if i + depth < n:
+                    pending.append(dispatch(i + depth))
+                futures.append(ex.submit(self._host_stage, ops, hw))
+            results = [f.result() for f in futures]
+        jax.block_until_ready(results[-1])
+        return results
 
 
 def get_wrapped_segmentation_model(wrapper_model_config, **kwargs):

@@ -85,10 +85,31 @@ class SegmentationEngine:
         if use_deploy_path:
             self.runtime.variables = self.student_variables
             self.runtime.eval()
-            for x, y in data_loader:
-                out = self.runtime(jnp.asarray(x))
-                pred = np.asarray(jnp.argmax(out, -1))
-                evaluator.update(y, pred)
+            if self.runtime.bottleneck_updated:
+                # pipelined deploy in 16-image chunks (encodes overlap host
+                # entropy coding; per-sample byte accounting unchanged)
+                chunk_x, chunk_y = [], []
+
+                def drain():
+                    if not chunk_x:
+                        return
+                    for out, y in zip(
+                            self.runtime.stream_deploy(chunk_x), chunk_y):
+                        evaluator.update(y, np.asarray(jnp.argmax(out, -1)))
+                    chunk_x.clear()
+                    chunk_y.clear()
+
+                for x, y in data_loader:
+                    chunk_x.append(jnp.asarray(x))
+                    chunk_y.append(y)
+                    if len(chunk_x) == 16:
+                        drain()
+                drain()
+            else:
+                for x, y in data_loader:
+                    out = self.runtime(jnp.asarray(x))
+                    pred = np.asarray(jnp.argmax(out, -1))
+                    evaluator.update(y, pred)
         else:
             key = 'eval'
             if key not in self._eval_fn:
