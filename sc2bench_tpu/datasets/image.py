@@ -73,11 +73,14 @@ class SyntheticClassificationDataset:
 
 
 class DataLoader:
-    """Minimal batched loader with optional shuffle and a one-deep
-    background prefetch thread."""
+    """Minimal batched loader with optional shuffle, a background prefetch
+    thread, and optional threaded item fetch (`num_workers` > 0) — PIL's
+    JPEG decode and file IO release the GIL, so a small pool parallelizes
+    the decode path on multi-core hosts (the reference's dataloader-worker
+    equivalent, `image_classification.py:28`)."""
 
     def __init__(self, dataset, batch_size=1, shuffle=False, drop_last=False,
-                 collate_fn=None, seed=0, prefetch=True):
+                 collate_fn=None, seed=0, prefetch=True, num_workers=0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -85,6 +88,8 @@ class DataLoader:
         self.collate_fn = collate_fn or self._default_collate
         self.seed = seed
         self.prefetch = prefetch
+        self.num_workers = num_workers
+        self._pool = None
         self.epoch = 0
 
     @staticmethod
@@ -105,13 +110,21 @@ class DataLoader:
             rng.shuffle(idx)
         return idx
 
+    def _fetch(self, chunk):
+        if self.num_workers > 0:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._pool = ThreadPoolExecutor(self.num_workers)
+            return list(self._pool.map(
+                lambda i: self.dataset[int(i)], chunk))
+        return [self.dataset[int(i)] for i in chunk]
+
     def _batches(self):
         idx = self._indices()
         bs = self.batch_size
         end = len(idx) - (len(idx) % bs) if self.drop_last else len(idx)
         for start in range(0, end, bs):
-            chunk = idx[start:start + bs]
-            yield self.collate_fn([self.dataset[int(i)] for i in chunk])
+            yield self.collate_fn(self._fetch(idx[start:start + bs]))
         self.epoch += 1
 
     def __iter__(self):

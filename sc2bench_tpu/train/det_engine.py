@@ -149,7 +149,8 @@ class DetectionEngine:
         return DataLoader(dataset,
                           batch_size=split_config.get('batch_size', 1),
                           shuffle=split_config.get('shuffle', False),
-                          collate_fn=coco_collate_fn)
+                          collate_fn=coco_collate_fn,
+                          num_workers=split_config.get('num_workers', 0))
 
     def _prepare_batch(self, images, targets):
         batch, scales, _ = self.transform(list(images))

@@ -137,7 +137,8 @@ class ClassificationEngine:
         return DataLoader(dataset,
                           batch_size=split_config.get('batch_size', 1),
                           shuffle=split_config.get('shuffle', False),
-                          drop_last=split_config.get('drop_last', False))
+                          drop_last=split_config.get('drop_last', False),
+                          num_workers=split_config.get('num_workers', 0))
 
     # ---- evaluation -----------------------------------------------------
     def evaluate(self, data_loader, use_deploy_path=False, log_freq=100):

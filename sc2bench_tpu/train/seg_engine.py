@@ -78,7 +78,8 @@ class SegmentationEngine:
         return DataLoader(dataset,
                           batch_size=split_config.get('batch_size', 1),
                           shuffle=split_config.get('shuffle', False),
-                          collate_fn=lambda b: pascal_seg_collate_fn(b))
+                          collate_fn=lambda b: pascal_seg_collate_fn(b),
+                          num_workers=split_config.get('num_workers', 0))
 
     def evaluate(self, data_loader, use_deploy_path=False):
         evaluator = SegEvaluator(self.num_classes)

@@ -154,3 +154,18 @@ def test_encoder_size_metric_on_flagship():
     assert sizes['encoder'] < sizes['model'] * 0.02
     # flagship encoder ~= 2 convs(5x5) + GDNs + 1 conv(2x2) of 96/48/24 ch
     assert 5e5 < sizes['encoder'] < 2e7  # bits
+
+
+def test_dataloader_num_workers_matches_sequential():
+    """Threaded item fetch returns the same batches as sequential fetch
+    (order preserved by pool.map)."""
+    from sc2bench_tpu.datasets.image import (DataLoader,
+                                             SyntheticClassificationDataset)
+    ds = SyntheticClassificationDataset(num_samples=13,
+                                        image_size=(16, 16))
+    seq = list(DataLoader(ds, batch_size=4, prefetch=False))
+    par = list(DataLoader(ds, batch_size=4, prefetch=False, num_workers=3))
+    assert len(seq) == len(par) == 4
+    for (xs, ys), (xp, yp) in zip(seq, par):
+        np.testing.assert_array_equal(xs, xp)
+        np.testing.assert_array_equal(ys, yp)
