@@ -119,6 +119,18 @@ class DataLoader:
                 lambda i: self.dataset[int(i)], chunk))
         return [self.dataset[int(i)] for i in chunk]
 
+    def close(self):
+        """Release the worker pool (threads otherwise live until exit)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def _batches(self):
         idx = self._indices()
         bs = self.batch_size

@@ -74,7 +74,9 @@ class PairedSegTransforms:
         self.mean = np.asarray(mean, np.float32)
         self.std = np.asarray(std, np.float32)
         self.train = train
-        self.rng = np.random.default_rng(seed)
+        from ..utils.rngtools import ThreadLocalRng
+        self.rng = ThreadLocalRng(seed)  # thread-safe: loaders may fetch
+        # items from a num_workers pool
         # optional JPEG pre-degradation after resize (reference
         # CustomRandomResize, custom/transform.py:49-71)
         self.jpeg_quality = jpeg_quality

@@ -96,6 +96,8 @@ class SplitDetectionRuntime(AnalyzerHolder):
             bottleneck_path='backbone.bottleneck_layer')
         self.bottleneck_updated = False
         self._jit = {}
+        import threading
+        self._jit_lock = threading.Lock()
 
     def update(self):
         from ...ops.entropy.factorized import EntropyBottleneck
@@ -108,8 +110,12 @@ class SplitDetectionRuntime(AnalyzerHolder):
         return True
 
     def _jitted(self, name, fn):
+        # double-checked lock: stream worker threads otherwise race the
+        # first compile and pay it `workers` times over
         if name not in self._jit:
-            self._jit[name] = jax.jit(fn)
+            with self._jit_lock:
+                if name not in self._jit:
+                    self._jit[name] = jax.jit(fn)
         return self._jit[name]
 
     def _encode_device(self, x):
@@ -127,17 +133,14 @@ class SplitDetectionRuntime(AnalyzerHolder):
         """Server-side program for canvas `hw` (one compiled program per
         canvas bucket)."""
         from .rcnn import postprocess_detections
-        key = f'dec_{hw[0]}x{hw[1]}'
-        if key not in self._jit:
-            def dec(v, s, m):
-                def m_fn(mod, s, med):
-                    c2 = mod.decode_ops(s, med)
-                    out = mod.forward_from_bottleneck(c2, tuple(hw))
-                    return postprocess_detections(out)
-                return self.module.apply(v, s, m, method=m_fn)
-            self._jit[key] = jax.jit(dec)
-        return self._jit[key](self.variables, jnp.asarray(decoded),
-                              self._medians_dev)
+        def dec(v, s, m):
+            def m_fn(mod, s, med):
+                c2 = mod.decode_ops(s, med)
+                out = mod.forward_from_bottleneck(c2, tuple(hw))
+                return postprocess_detections(out)
+            return self.module.apply(v, s, m, method=m_fn)
+        return self._jitted(f'dec_{hw[0]}x{hw[1]}', dec)(
+            self.variables, jnp.asarray(decoded), self._medians_dev)
 
     def _host_stage(self, ops, hw):
         symbols = np.asarray(ops['symbols'])
@@ -160,12 +163,12 @@ class SplitDetectionRuntime(AnalyzerHolder):
         COCO eval loop): encodes for upcoming images overlap the host
         entropy coding of earlier ones, exactly like the classification
         runtime's `stream_deploy`. Returns per-batch detection dicts in
-        order; byte accounting is per-sample, same as `detect`."""
-        from concurrent.futures import ThreadPoolExecutor
+        order. Byte accounting follows the reference's per-forward
+        semantics (`FileSizeAnalyzer.analyze` of the whole compressed
+        object): per-sample exactly when the loader batch size is 1 — the
+        benchmark's data-size protocol (reference README.md:99-103)."""
+        from ..runtime import pipeline_stream
         batches = list(batches)
-        n = len(batches)
-        if n == 0:
-            return []
 
         def dispatch(i):
             x = jnp.asarray(batches[i])
@@ -177,16 +180,11 @@ class SplitDetectionRuntime(AnalyzerHolder):
                     pass
             return ops, x.shape[1:3]
 
-        with ThreadPoolExecutor(workers) as ex:
-            pending = [dispatch(i) for i in range(min(depth, n))]
-            futures = []
-            for i in range(n):
-                ops, hw = pending.pop(0)
-                if i + depth < n:
-                    pending.append(dispatch(i + depth))
-                futures.append(ex.submit(self._host_stage, ops, hw))
-            results = [f.result() for f in futures]
-        jax.block_until_ready(jax.tree.leaves(results[-1]))
+        results = list(pipeline_stream(
+            len(batches), dispatch, lambda args: self._host_stage(*args),
+            depth, workers))
+        if results:
+            jax.block_until_ready(jax.tree.leaves(results[-1]))
         return results
 
 

@@ -33,6 +33,29 @@ def _channel_major(symbols: np.ndarray) -> np.ndarray:
     return np.transpose(symbols, (2, 0, 1)).reshape(symbols.shape[-1], -1)
 
 
+def pipeline_stream(n: int, dispatch, host_stage, depth: int = 8,
+                    workers: int = 4):
+    """Shared software-pipelining driver for the deploy runtimes: yields
+    `host_stage(dispatch(i))` results in order, keeping at most `depth`
+    items in flight (device dispatch happens on the caller's thread; host
+    stages run on a small pool whose waits release the GIL). The bound is
+    real: item i+depth is not dispatched until item i's result has been
+    consumed, so device memory holds <= depth encode outputs regardless of
+    stream length."""
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+    if n <= 0:
+        return
+    with ThreadPoolExecutor(workers) as ex:
+        futures = deque()
+        for i in range(n):
+            if len(futures) >= depth:
+                yield futures.popleft().result()
+            futures.append(ex.submit(host_stage, dispatch(i)))
+        while futures:
+            yield futures.popleft().result()
+
+
 def to_wire(ops):
     """Narrow int32 symbol/index tensors to int16 for the device->host hop
     (jit-safe tree map). Lossless for any realistic latent (|round(y -
@@ -192,6 +215,8 @@ class SplitClassifierRuntime(AnalyzerHolder):
             else:
                 self.codec = None
         self._jit_cache = {}
+        import threading
+        self._jit_lock = threading.Lock()
 
     @property
     def variables(self):
@@ -241,8 +266,12 @@ class SplitClassifierRuntime(AnalyzerHolder):
 
     # ---- jitted pure programs ------------------------------------------
     def _jitted(self, name, fn):
+        # double-checked lock: stream worker threads can race the first
+        # compile of a program and pay it `workers` times over
         if name not in self._jit_cache:
-            self._jit_cache[name] = jax.jit(fn)
+            with self._jit_lock:
+                if name not in self._jit_cache:
+                    self._jit_cache[name] = jax.jit(fn)
         return self._jit_cache[name]
 
     def _forward_train_mode(self, x, mode, rng):
@@ -444,7 +473,6 @@ class SplitClassifierRuntime(AnalyzerHolder):
         dispatch. Logits are bit-identical per image to batch-1 for
         BN-in-inference models like this one."""
         import time as _time
-        from concurrent.futures import ThreadPoolExecutor
 
         images = list(images)
         n = len(images)
@@ -508,41 +536,34 @@ class SplitClassifierRuntime(AnalyzerHolder):
                     timings.get('decode_dispatch', 0.0) + t3 - t2
             return out
 
-        with ThreadPoolExecutor(workers) as ex:
-            pending = [dispatch(i) for i in range(min(depth, n))]
-            futures = []
-            for i in range(n):
-                ops = pending.pop(0)
-                if i + depth < n:
-                    pending.append(dispatch(i + depth))
-                futures.append(ex.submit(host_stage, ops))
-            if batched:
-                # micro-batch the server-side program over k images: per-
-                # sample bitstreams and byte accounting are untouched (the
-                # batch-1 *measurement* protocol concerns data size, which
-                # is computed per image above); only decode compute fuses.
-                results, buf = [], []
+        stream = pipeline_stream(n, dispatch, host_stage, depth, workers)
+        if batched:
+            # micro-batch the server-side program over k images: per-
+            # sample bitstreams and byte accounting are untouched (the
+            # batch-1 *measurement* protocol concerns data size, which
+            # is computed per image above); only decode compute fuses.
+            results, buf = [], []
 
-                def flush():
-                    k = len(buf)
-                    if k == 0:
-                        return
-                    stacked = np.concatenate(buf)
-                    if k < decode_batch:  # pad to one static shape
-                        pad = np.zeros((decode_batch - k,) + buf[0].shape[1:],
-                                       buf[0].dtype)
-                        stacked = np.concatenate([stacked, pad])
-                    logits = self._decode_call(jnp.asarray(stacked))
-                    results.extend(logits[i:i + 1] for i in range(k))
-                    buf.clear()
+            def flush():
+                k = len(buf)
+                if k == 0:
+                    return
+                stacked = np.concatenate(buf)
+                if k < decode_batch:  # pad to one static shape
+                    pad = np.zeros((decode_batch - k,) + buf[0].shape[1:],
+                                   buf[0].dtype)
+                    stacked = np.concatenate([stacked, pad])
+                logits = self._decode_call(jnp.asarray(stacked))
+                results.extend(logits[i:i + 1] for i in range(k))
+                buf.clear()
 
-                for f in futures:
-                    buf.append(f.result())
-                    if len(buf) == decode_batch:
-                        flush()
-                flush()
-            else:
-                results = [f.result() for f in futures]
+            for decoded in stream:
+                buf.append(decoded)
+                if len(buf) == decode_batch:
+                    flush()
+            flush()
+        else:
+            results = list(stream)
         jax.block_until_ready(results[-1])
         return results
 

@@ -117,6 +117,8 @@ class SplitSegmentationRuntime(AnalyzerHolder):
         self.bottleneck_updated = False
         self.training = False
         self._jit = {}
+        import threading
+        self._jit_lock = threading.Lock()
 
     def update(self):
         from ...ops.entropy.factorized import EntropyBottleneck
@@ -141,13 +143,17 @@ class SplitSegmentationRuntime(AnalyzerHolder):
         import jax
         if 'enc' not in self._jit:
             # int16 on the wire (device->host): halves the transfer and
-            # feeds the cyclic coder without transposes or widening
+            # feeds the cyclic coder without transposes or widening;
+            # double-checked lock against stream worker threads racing
+            # the first compile
             from ..runtime import to_wire
-            self._jit['enc'] = jax.jit(
-                lambda v, x, m: to_wire(
-                    self.module.apply(
-                        v, x, m, method=lambda mod, x, med:
-                            mod.encode_ops(x, med))))
+            with self._jit_lock:
+                if 'enc' not in self._jit:
+                    self._jit['enc'] = jax.jit(
+                        lambda v, x, m: to_wire(
+                            self.module.apply(
+                                v, x, m, method=lambda mod, x, med:
+                                    mod.encode_ops(x, med))))
         return self._jit['enc'](self.variables, x, self._medians_dev)
 
     def _host_stage(self, ops, hw):
@@ -162,10 +168,13 @@ class SplitSegmentationRuntime(AnalyzerHolder):
             compressed['strings'][0], compressed['shape'], channels)
         key = f'dec_{hw[0]}x{hw[1]}'
         if key not in self._jit:
-            self._jit[key] = jax.jit(
-                lambda v, s, m: self.module.apply(
-                    v, s, m, tuple(hw), method=lambda mod, s, med, ihw:
-                        mod.decode_ops_to_output(s, med, ihw)))
+            with self._jit_lock:
+                if key not in self._jit:
+                    self._jit[key] = jax.jit(
+                        lambda v, s, m: self.module.apply(
+                            v, s, m, tuple(hw),
+                            method=lambda mod, s, med, ihw:
+                                mod.decode_ops_to_output(s, med, ihw)))
         return self._jit[key](self.variables, jnp.asarray(decoded),
                               self._medians_dev)
 
@@ -184,11 +193,8 @@ class SplitSegmentationRuntime(AnalyzerHolder):
         loop) — encodes overlap host entropy coding, mirroring the
         classification runtime. Returns per-image outputs in order."""
         import jax
-        from concurrent.futures import ThreadPoolExecutor
+        from ..runtime import pipeline_stream
         images = list(images)
-        n = len(images)
-        if n == 0:
-            return []
 
         def dispatch(i):
             x = jnp.asarray(images[i])
@@ -200,16 +206,11 @@ class SplitSegmentationRuntime(AnalyzerHolder):
                     pass
             return ops, x.shape[1:3]
 
-        with ThreadPoolExecutor(workers) as ex:
-            pending = [dispatch(i) for i in range(min(depth, n))]
-            futures = []
-            for i in range(n):
-                ops, hw = pending.pop(0)
-                if i + depth < n:
-                    pending.append(dispatch(i + depth))
-                futures.append(ex.submit(self._host_stage, ops, hw))
-            results = [f.result() for f in futures]
-        jax.block_until_ready(results[-1])
+        results = list(pipeline_stream(
+            len(images), dispatch, lambda args: self._host_stage(*args),
+            depth, workers))
+        if results:
+            jax.block_until_ready(results[-1])
         return results
 
 

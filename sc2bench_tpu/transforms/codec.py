@@ -58,7 +58,8 @@ class WrappedRandomResizedCrop:
         self.scale = scale
         self.ratio = ratio
         self.interpolation = INTERPOLATION_MODES[interpolation]
-        self.rng = rng or np.random.default_rng()
+        from ..utils.rngtools import ThreadLocalRng
+        self.rng = rng or ThreadLocalRng()
 
     def __call__(self, img: Image.Image) -> Image.Image:
         w, h = img.size

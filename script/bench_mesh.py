@@ -111,7 +111,15 @@ def main():
                               capture_output=True, text=True, timeout=1200)
         if proc.returncode != 0:
             raise RuntimeError(f'n={n} child failed:\n{proc.stderr[-2000:]}')
-        rows.append(json.loads(proc.stdout.strip().splitlines()[-1]))
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                rows.append(json.loads(line))
+                break
+            except json.JSONDecodeError:
+                continue
+        else:
+            raise RuntimeError(
+                f'n={n} child produced no JSON result:\n{proc.stdout[-2000:]}')
     base = rows[0]
     print(f'# weak scaling, per-device batch {PER_DEVICE_BATCH}, '
           f'{IMAGE}x{IMAGE}, virtual CPU mesh (all devices share this '
