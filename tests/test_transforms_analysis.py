@@ -169,3 +169,37 @@ def test_dataloader_num_workers_matches_sequential():
     for (xs, ys), (xp, yp) in zip(seq, par):
         np.testing.assert_array_equal(xs, xp)
         np.testing.assert_array_equal(ys, yp)
+
+
+def test_pipeline_stream_order_and_depth_bound():
+    """The shared deploy-pipeline driver yields results in order and never
+    holds more than `depth` dispatched-but-unconsumed items in flight."""
+    import threading
+    from sc2bench_tpu.models.runtime import pipeline_stream
+
+    in_flight = 0
+    peak = 0
+    lock = threading.Lock()
+
+    def dispatch(i):
+        nonlocal in_flight, peak
+        with lock:
+            in_flight += 1
+            peak = max(peak, in_flight)
+        return i
+
+    def host_stage(i):
+        import time
+        time.sleep(0.002)
+        return i * 10
+
+    out = []
+    for r in pipeline_stream(40, dispatch, host_stage, depth=3, workers=2):
+        with lock:
+            in_flight -= 1
+        out.append(r)
+    assert out == [i * 10 for i in range(40)]
+    assert peak <= 4  # depth + the one being dispatched
+
+    # empty stream
+    assert list(pipeline_stream(0, dispatch, host_stage)) == []
