@@ -95,8 +95,14 @@ class DataLoader:
     @staticmethod
     def _default_collate(batch):
         xs, ys = zip(*batch)
-        return np.stack([np.asarray(x, np.float32) for x in xs]), \
-            np.asarray(ys, np.int64)
+        arrs = [np.asarray(x) for x in xs]
+        if all(a.dtype == np.uint8 for a in arrs):
+            # preserve uint8: the deploy runtimes normalize on device
+            # (input_norm) and the wire cost is 1/4 of float32
+            x = np.stack(arrs)
+        else:
+            x = np.stack([a.astype(np.float32) for a in arrs])
+        return x, np.asarray(ys, np.int64)
 
     def __len__(self):
         n = len(self.dataset)

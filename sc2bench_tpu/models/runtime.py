@@ -183,7 +183,8 @@ class SplitClassifierRuntime(AnalyzerHolder):
     `bottleneck_updated`, plus the analyzable surface."""
 
     def __init__(self, module, variables, analyzer_configs=None,
-                 analysis_unit='KB', deploy_bf16_tail=False):
+                 analysis_unit='KB', deploy_bf16_tail=False,
+                 input_norm=None):
         if analyzer_configs is None:
             analyzer_configs = [{'key': 'FileSizeAnalyzer',
                                  'kwargs': {'unit': analysis_unit}}]
@@ -192,6 +193,18 @@ class SplitClassifierRuntime(AnalyzerHolder):
         self.variables = variables
         self.bottleneck_updated = False
         self.training = False
+        # Optional device-side input normalization: when set to
+        # (mean, std) (per-channel, in 0-1 scale), uint8 images may be fed
+        # directly to the deploy paths — they cross the host->device
+        # boundary at 1/4 the bytes and are converted to
+        # (x/255 - mean)/std on device. TPU-first placement of the
+        # reference's host-side ToTensor+Normalize (SURVEY §5.6 pipelines).
+        if input_norm is not None:
+            mean, std = input_norm
+            self._norm_mean = jnp.asarray(mean, jnp.float32)
+            self._norm_std = jnp.asarray(std, jnp.float32)
+        else:
+            self._norm_mean = None
         # Optional mixed-precision serving: run the server-side tail
         # (layer2..4 + head) in bfloat16 while the bottleneck decode
         # (dequantize + IGDN deconvs) stays float32 so reconstruction
@@ -274,6 +287,15 @@ class SplitClassifierRuntime(AnalyzerHolder):
                     self._jit_cache[name] = jax.jit(fn)
         return self._jit_cache[name]
 
+    def _prep_input(self, x):
+        """Device-side uint8 -> normalized float (traced into the encode
+        program when `input_norm` is configured); float inputs pass
+        through untouched."""
+        if self._norm_mean is not None and x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 255.0
+            x = (x - self._norm_mean) / self._norm_std
+        return x
+
     def _forward_train_mode(self, x, mode, rng):
         def fn(variables, x, rng):
             return self.module.apply(
@@ -287,7 +309,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
         if isinstance(self.codec, HyperpriorCodec):
             def enc(variables, x, z_medians, scale_table):
                 return self.module.apply(
-                    variables, x, z_medians, scale_table,
+                    variables, self._prep_input(x), z_medians, scale_table,
                     method=lambda m, x, zm, st:
                         m.bottleneck_layer.encode_ops(x, zm, st))
             ops = self._jitted('encode', enc)(
@@ -303,12 +325,12 @@ class SplitClassifierRuntime(AnalyzerHolder):
             if self._module_level_ops:
                 def enc(variables, x, medians):
                     return self.module.apply(
-                        variables, x, medians,
+                        variables, self._prep_input(x), medians,
                         method=lambda m, x, med: m.encode_ops(x, med))
             else:
                 def enc(variables, x, medians):
                     return self.module.apply(
-                        variables, x, medians,
+                        variables, self._prep_input(x), medians,
                         method=lambda m, x, med:
                             m.bottleneck_layer.encode_ops(x, med))
             ops = self._jitted('encode', enc)(
@@ -431,7 +453,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
         if isinstance(self.codec, HyperpriorCodec):
             def enc(variables, x, z_medians, scale_table):
                 return self._to_wire(self.module.apply(
-                    variables, x, z_medians, scale_table,
+                    variables, self._prep_input(x), z_medians, scale_table,
                     method=lambda m, x, zm, st:
                         m.bottleneck_layer.encode_ops(x, zm, st)))
             return self._jitted('encode', enc)(
@@ -439,12 +461,12 @@ class SplitClassifierRuntime(AnalyzerHolder):
         if self._module_level_ops:
             def enc(variables, x, medians):
                 return self._to_wire(self.module.apply(
-                    variables, x, medians,
+                    variables, self._prep_input(x), medians,
                     method=lambda m, x, med: m.encode_ops(x, med)))
         else:
             def enc(variables, x, medians):
                 return self._to_wire(self.module.apply(
-                    variables, x, medians,
+                    variables, self._prep_input(x), medians,
                     method=lambda m, x, med:
                         m.bottleneck_layer.encode_ops(x, med)))
         return self._jitted('encode', enc)(self.variables, x,

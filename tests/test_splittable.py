@@ -218,3 +218,27 @@ def test_hyperprior_stream_deploy_matches_serial():
     for s, p in zip(serial, streamed):
         np.testing.assert_array_equal(s, np.asarray(p))
     assert len(rt.analyzers[0].file_size_list) == len(imgs)
+
+
+def test_uint8_input_device_normalization():
+    """With input_norm configured, uint8 images fed to the deploy paths are
+    normalized on device and produce the same logits as host-normalized
+    float inputs (4x less host->device traffic)."""
+    mean = np.asarray([0.485, 0.456, 0.406], np.float32)
+    std = np.asarray([0.229, 0.224, 0.225], np.float32)
+    model, variables = _build(FPBasedResNetBottleneck(
+        num_bottleneck_channels=8, num_target_channels=256))
+    rt = SplitClassifierRuntime(model, variables, input_norm=(mean, std))
+    rt.update()
+    rt.eval()
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 256, IMG, dtype=np.uint8)
+    f32 = (raw.astype(np.float32) / 255.0 - mean) / std
+
+    out_f32 = np.asarray(rt(jnp.asarray(f32)))
+    out_u8 = np.asarray(rt(jnp.asarray(raw)))
+    np.testing.assert_allclose(out_f32, out_u8, rtol=2e-4, atol=2e-4)
+
+    streamed = rt.stream_deploy([jnp.asarray(raw)] * 2, depth=2, workers=2)
+    np.testing.assert_allclose(out_u8, np.asarray(streamed[0]),
+                               rtol=1e-5, atol=1e-5)
