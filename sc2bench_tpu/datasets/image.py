@@ -80,7 +80,8 @@ class DataLoader:
     equivalent, `image_classification.py:28`)."""
 
     def __init__(self, dataset, batch_size=1, shuffle=False, drop_last=False,
-                 collate_fn=None, seed=0, prefetch=True, num_workers=0):
+                 collate_fn=None, seed=0, prefetch=True, num_workers=0,
+                 num_shards=1, shard_index=0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -89,6 +90,16 @@ class DataLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.num_workers = num_workers
+        # Multi-process data parallelism (the reference's DistributedSampler
+        # contract): every process shuffles the full index set with the SAME
+        # seed+epoch, pads it by wrapping to a multiple of `num_shards`, and
+        # takes the `shard_index`-strided slice — disjoint, equally-sized
+        # per-process shards that together cover the dataset.
+        if not (0 <= shard_index < num_shards):
+            raise ValueError(f'shard_index {shard_index} not in '
+                             f'[0, {num_shards})')
+        self.num_shards = num_shards
+        self.shard_index = shard_index
         self._pool = None
         self.epoch = 0
 
@@ -104,8 +115,12 @@ class DataLoader:
             x = np.stack([a.astype(np.float32) for a in arrs])
         return x, np.asarray(ys, np.int64)
 
+    def _shard_len(self):
+        return -(-len(self.dataset) // self.num_shards) \
+            if self.num_shards > 1 else len(self.dataset)
+
     def __len__(self):
-        n = len(self.dataset)
+        n = self._shard_len()
         return n // self.batch_size if self.drop_last \
             else -(-n // self.batch_size)
 
@@ -114,6 +129,11 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
+        if self.num_shards > 1:
+            total = self._shard_len() * self.num_shards
+            if total > len(idx):  # pad by wrapping (DistributedSampler)
+                idx = np.concatenate([idx, idx[:total - len(idx)]])
+            idx = idx[self.shard_index::self.num_shards]
         return idx
 
     def _fetch(self, chunk):

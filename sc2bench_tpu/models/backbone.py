@@ -73,16 +73,27 @@ class SplittableResNet(nn.Module):
         return self.fc(z)
 
 
+@register_model(name='resnet')
+def resnet_builder(stage_sizes=(3, 4, 6, 3), num_classes=1000, **kwargs):
+    """Config-resolvable plain ResNet (arbitrary stage sizes — lets tiny
+    teachers be declared in YAML for smoke/dryrun configs)."""
+    from .resnet import ResNet
+    return ResNet(stage_sizes=tuple(stage_sizes), num_classes=num_classes)
+
+
 @register_model
 def splittable_resnet(bottleneck_config, resnet_name='resnet50',
                       num_classes=1000, skips_avgpool=False, skips_fc=False,
-                      frozen_bn=False, **kwargs) -> SplittableResNet:
+                      frozen_bn=False, stage_sizes=None,
+                      **kwargs) -> SplittableResNet:
     """Builder (reference `backbone.py:658-698`): bottleneck from the layer
     registry + ResNet tail selected by name; `frozen_bn` mirrors the
-    reference's FrozenBatchNorm2d option for detection backbones."""
-    stage_sizes = {'resnet50': (3, 4, 6, 3), 'resnet101': (3, 4, 23, 3),
-                   'resnet152': (3, 8, 36, 3),
-                   'resnest50d': (3, 4, 6, 3)}[resnet_name]
+    reference's FrozenBatchNorm2d option for detection backbones.
+    `stage_sizes` overrides the name-derived tail depth (tiny configs)."""
+    stage_sizes = tuple(stage_sizes) if stage_sizes else \
+        {'resnet50': (3, 4, 6, 3), 'resnet101': (3, 4, 23, 3),
+         'resnet152': (3, 8, 36, 3),
+         'resnest50d': (3, 4, 6, 3)}[resnet_name]
     bottleneck = get_layer(bottleneck_config['key'],
                            **bottleneck_config.get('kwargs', {}))
     return SplittableResNet(bottleneck_layer=bottleneck,

@@ -290,8 +290,15 @@ class SplitClassifierRuntime(AnalyzerHolder):
     def _prep_input(self, x):
         """Device-side uint8 -> normalized float (traced into the encode
         program when `input_norm` is configured); float inputs pass
-        through untouched."""
-        if self._norm_mean is not None and x.dtype == jnp.uint8:
+        through untouched. uint8 without `input_norm` is rejected: type
+        promotion would silently feed raw 0-255 values to the network."""
+        if x.dtype == jnp.uint8:
+            if self._norm_mean is None:
+                raise ValueError(
+                    'uint8 input requires input_norm=(mean, std) on the '
+                    'runtime — without it raw 0-255 values would reach the '
+                    'network (silent accuracy collapse). Configure '
+                    "input_norm or convert to normalized float32 host-side.")
             x = x.astype(jnp.float32) / 255.0
             x = (x - self._norm_mean) / self._norm_std
         return x
@@ -492,8 +499,10 @@ class SplitClassifierRuntime(AnalyzerHolder):
         (per-sample bitstreams/data sizes are untouched — the reference's
         batch-1 protocol, README.md:99-103, constrains the *measurement*),
         but the decoded latents run the decoder+tail as one (k, h, w, c)
-        dispatch. Logits are bit-identical per image to batch-1 for
-        BN-in-inference models like this one."""
+        dispatch on a dedicated thread that overlaps the next images' host
+        stages. Logits are numerically equivalent to batch-1 up to
+        batched-reduction rounding (asserted to 2e-5 in tests); the fused
+        dispatch is timed into `timings['decode_dispatch']`."""
         import time as _time
 
         images = list(images)
@@ -564,26 +573,39 @@ class SplitClassifierRuntime(AnalyzerHolder):
             # sample bitstreams and byte accounting are untouched (the
             # batch-1 *measurement* protocol concerns data size, which
             # is computed per image above); only decode compute fuses.
-            results, buf = [], []
+            # Flushes run on a dedicated single thread so the consumer
+            # keeps draining the stream while the (k,h,w,c) upload +
+            # dispatch is in flight — a synchronous flush stalls the whole
+            # pipeline every k images.
+            from concurrent.futures import ThreadPoolExecutor
+            flush_futures, buf = [], []
 
-            def flush():
-                k = len(buf)
-                if k == 0:
-                    return
-                stacked = np.concatenate(buf)
+            def run_flush(chunk):
+                k = len(chunk)
+                t0 = _time.perf_counter()
+                stacked = np.concatenate(chunk)
                 if k < decode_batch:  # pad to one static shape
-                    pad = np.zeros((decode_batch - k,) + buf[0].shape[1:],
-                                   buf[0].dtype)
+                    pad = np.zeros(
+                        (decode_batch - k,) + chunk[0].shape[1:],
+                        chunk[0].dtype)
                     stacked = np.concatenate([stacked, pad])
                 logits = self._decode_call(jnp.asarray(stacked))
-                results.extend(logits[i:i + 1] for i in range(k))
-                buf.clear()
+                if timings is not None:
+                    timings['decode_dispatch'] = \
+                        timings.get('decode_dispatch', 0.0) \
+                        + _time.perf_counter() - t0
+                return [logits[i:i + 1] for i in range(k)]
 
-            for decoded in stream:
-                buf.append(decoded)
-                if len(buf) == decode_batch:
-                    flush()
-            flush()
+            with ThreadPoolExecutor(1) as flush_ex:
+                for decoded in stream:
+                    buf.append(decoded)
+                    if len(buf) == decode_batch:
+                        flush_futures.append(
+                            flush_ex.submit(run_flush, buf))
+                        buf = []
+                if buf:
+                    flush_futures.append(flush_ex.submit(run_flush, buf))
+                results = [r for f in flush_futures for r in f.result()]
         else:
             results = list(stream)
         jax.block_until_ready(results[-1])

@@ -92,10 +92,11 @@ class DistillationBox:
     def __init__(self, student_module, student_variables, stage_config,
                  teacher_module=None, teacher_variables=None,
                  steps_per_epoch: int = 1, student_mode: str = 'train',
-                 train_bn: Optional[bool] = None):
+                 train_bn: Optional[bool] = None, mesh=None):
         self.student_module = student_module
         self.teacher_module = teacher_module
         self.teacher_variables = teacher_variables
+        self.mesh = mesh
         self.stage_config = stage_config
         self.student_mode = student_mode
         num_epochs = int(stage_config.get('num_epochs', 1))
@@ -120,6 +121,18 @@ class DistillationBox:
             step=jnp.zeros((), jnp.int32), params=params,
             batch_stats=student_variables.get('batch_stats', {}),
             opt_state=self.tx.init(params))
+        # Data-parallel over a device mesh (the reference's DDP wrap,
+        # config `wrapper: 'DistributedDataParallel'` — SURVEY.md §2.4):
+        # replicate train state + teacher over the mesh; train_step shards
+        # each batch over 'data' and XLA's GSPMD partitioner inserts the
+        # gradient all-reduce over ICI during the jitted update.
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+            repl = replicate(mesh)
+            self.state = jax.device_put(self.state, repl)
+            if self.teacher_variables is not None:
+                self.teacher_variables = jax.device_put(
+                    self.teacher_variables, repl)
         # donate the train state: params/opt-state buffers are reused
         # in-place, halving peak HBM for the update
         self._train_step = jax.jit(self._step, donate_argnums=(0,),
@@ -181,7 +194,20 @@ class DistillationBox:
                           batch_stats=new_bs, opt_state=new_opt), metrics
 
     # ---- public ---------------------------------------------------------
+    def shard_batch(self, x, y):
+        """Place a batch onto the data mesh, sharded over 'data' (no-op
+        without a mesh, or when the batch doesn't divide the mesh — the
+        partial final batch then runs replicated)."""
+        if self.mesh is not None and x.shape[0] % self.mesh.devices.size == 0:
+            from ..parallel.mesh import data_sharding
+            ds = data_sharding(self.mesh)
+            x = jax.device_put(x, ds)
+            if y is not None:
+                y = jax.tree.map(lambda a: jax.device_put(a, ds), y)
+        return x, y
+
     def train_step(self, x, y, rng):
+        x, y = self.shard_batch(x, y)
         self.state, metrics = self._train_step(
             self.state, x, y, rng, student_mode=self.student_mode)
         return metrics

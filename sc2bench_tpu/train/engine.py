@@ -56,6 +56,71 @@ def transfer_matching_subtrees(student_vars, teacher_vars, paths):
     return out
 
 
+def scale_stage_lrs(stages, mesh):
+    """World-size LR scaling (the reference's `-adjust_lr`,
+    `image_classification.py:47-48,152`): multiply every stage's optimizer
+    learning rate by the number of data-parallel replicas (mesh devices).
+    Returns deep-enough copies — the input stage dicts share subtrees with
+    the loaded config and must not be mutated."""
+    world = int(mesh.devices.size) if mesh is not None else 1
+    if world <= 1:
+        return stages
+    out = []
+    for stage_cfg in stages:
+        stage_cfg = dict(stage_cfg)
+        opt = stage_cfg.get('optimizer')
+        if opt and 'lr' in opt.get('kwargs', {}):
+            kwargs = dict(opt['kwargs'])
+            kwargs['lr'] = float(kwargs['lr']) * world
+            stage_cfg['optimizer'] = {**opt, 'kwargs': kwargs}
+            logger.info('adjust_lr: stage %s lr %s -> %s (world=%d)',
+                        stage_cfg.get('name'), opt['kwargs']['lr'],
+                        kwargs['lr'], world)
+        out.append(stage_cfg)
+    return out
+
+
+class MetricAccumulator:
+    """Device-side running sums for the train hot loop: `push` adds the
+    step's (still-on-device) loss/aux scalars without any host transfer;
+    every `interval` steps `drain` syncs ONCE, checks finiteness (NaN/Inf
+    propagates through the sum, so the reference's abort semantics are kept
+    with at-most-`interval`-step delay) and feeds the MetricLogger."""
+
+    def __init__(self, meter, interval: int = 50):
+        self.meter = meter
+        self.interval = max(int(interval), 1)
+        self._loss_sum = None
+        self._aux_sum = None
+        self._pending = 0
+
+    def push(self, loss, aux):
+        self._loss_sum = loss if self._loss_sum is None \
+            else self._loss_sum + loss
+        self._aux_sum = aux if self._aux_sum is None \
+            else self._aux_sum + aux
+        self._pending += 1
+        if self._pending >= self.interval:
+            self.drain()
+
+    def drain(self):
+        if self._pending == 0:
+            return
+        # one transfer for both sums
+        ls, axs = (float(v) for v in np.asarray(
+            jnp.stack([jnp.asarray(self._loss_sum),
+                       jnp.asarray(self._aux_sum)])))
+        n = self._pending
+        self._loss_sum = self._aux_sum = None
+        self._pending = 0
+        if not np.isfinite(ls):
+            raise ValueError(
+                f'loss sum over the last {n} steps is {ls}; aborting '
+                '(reference behavior image_classification.py:87)')
+        self.meter.meters['loss'].update(ls / n, n=n)
+        self.meter.meters['aux'].update(axs / n, n=n)
+
+
 def top_k_accuracy(logits, targets, ks=(1, 5)):
     out = {}
     order = jnp.argsort(logits, axis=-1)[:, ::-1]
@@ -68,10 +133,18 @@ def top_k_accuracy(logits, targets, ks=(1, 5)):
 class ClassificationEngine:
     """Builds models/datasets from a config dict and runs train/test."""
 
-    def __init__(self, config, image_size=(224, 224), seed=42):
+    def __init__(self, config, image_size=(224, 224), seed=42, mesh='auto'):
+        """`mesh='auto'` builds a 1-D data mesh over ALL visible devices
+        when more than one is present — the reference's default DDP wrap
+        (config `wrapper: 'DistributedDataParallel'`, SURVEY.md §2.4).
+        Pass an explicit `jax.sharding.Mesh` or None to override."""
         from ..registry import import_dependencies
         import_dependencies(config.get('dependencies'))
         self.config = config
+        if mesh == 'auto':
+            from ..parallel.mesh import get_mesh
+            mesh = get_mesh() if jax.device_count() > 1 else None
+        self.mesh = mesh
         self.image_size = tuple(image_size)
         self.seed = int(seed)
         models_config = config.get('models', {})
@@ -137,13 +210,21 @@ class ClassificationEngine:
         self._eval_fn = None
 
     # ---- data -----------------------------------------------------------
-    def build_loader(self, split_config):
+    def build_loader(self, split_config, shard_over_processes=False):
+        """`shard_over_processes=True` gives each host process its own
+        disjoint dataset shard (the reference's DistributedSampler; batches
+        are then additionally sharded over this process's devices by the
+        box). Single-process runs are unaffected."""
         dataset = build_dataset(split_config['dataset'])
+        num_shards = jax.process_count() if shard_over_processes else 1
         return DataLoader(dataset,
                           batch_size=split_config.get('batch_size', 1),
                           shuffle=split_config.get('shuffle', False),
                           drop_last=split_config.get('drop_last', False),
-                          num_workers=split_config.get('num_workers', 0))
+                          num_workers=split_config.get('num_workers', 0),
+                          num_shards=num_shards,
+                          shard_index=jax.process_index()
+                          if num_shards > 1 else 0)
 
     # ---- evaluation -----------------------------------------------------
     def evaluate(self, data_loader, use_deploy_path=False, log_freq=100):
@@ -207,10 +288,9 @@ class ClassificationEngine:
                         variables, x, mode='finetune', train=False))
             # shard the eval batch over the data mesh when multiple devices
             # are available (the reference's DP eval, SURVEY.md §2.4)
-            mesh = None
-            if jax.device_count() > 1:
-                from ..parallel.mesh import data_sharding, get_mesh
-                mesh = get_mesh()
+            mesh = self.mesh
+            if mesh is not None:
+                from ..parallel.mesh import data_sharding
             for x, y in data_loader:
                 xb = jnp.asarray(x)
                 if mesh is not None and xb.shape[0] % mesh.devices.size == 0:
@@ -235,15 +315,24 @@ class ClassificationEngine:
                              '(reference protocol)')
         train_config = self.config.get('train', {})
         stages = train_stage_configs(train_config)
+        if self.config.get('adjust_lr'):
+            stages = scale_stage_lrs(stages, self.mesh)
         resume_info = None  # (state_dict payload applied per matching stage)
         train_loader = self.build_loader(train_config.get(
             'train_data_loader', {'dataset': {'key':
                 'SyntheticClassificationDataset', 'kwargs': {}},
-                'batch_size': 8, 'shuffle': True}))
+                'batch_size': 8, 'shuffle': True}),
+            shard_over_processes=True)
         val_loader = self.build_loader(train_config.get(
             'val_data_loader', {'dataset': {'key':
                 'SyntheticClassificationDataset', 'kwargs': {}},
-                'batch_size': 8}))
+                'batch_size': 8}),
+            shard_over_processes=True)
+        # NaN/Inf abort (reference image_classification.py:87-88) is checked
+        # on a device-accumulated loss sum every k steps — NaN propagates
+        # through the sum, so nothing is missed, and the hot loop issues no
+        # per-step blocking host transfer (one sync per k steps/epoch end).
+        nan_check_interval = int(train_config.get('nan_check_interval', 50))
         best_metric = -1.0
         rng = jax.random.key(self.seed)
         for stage_cfg in stages:
@@ -257,7 +346,7 @@ class ClassificationEngine:
                 self.student_module, self.student_variables, stage_cfg,
                 steps_per_epoch=max(len(train_loader), 1),
                 student_mode='finetune' if self.runtime.bottleneck_updated
-                else 'train', **kwargs)
+                else 'train', mesh=self.mesh, **kwargs)
             epoch_to_update = stage_cfg.get('epoch_to_update')
             num_epochs = int(stage_cfg.get('num_epochs', 1))
             start_epoch = 0
@@ -273,17 +362,14 @@ class ClassificationEngine:
                     resume_info = (saved_stage, saved_epoch)
             for epoch in range(start_epoch, num_epochs):
                 meter = MetricLogger()
+                acc = MetricAccumulator(meter, nan_check_interval)
                 for x, y in train_loader:
                     rng, step_rng = jax.random.split(rng)
                     metrics = box.train_step(jnp.asarray(x), jnp.asarray(y),
                                              step_rng)
-                    total = sum(jax.tree.leaves(metrics['loss']))
-                    if not np.isfinite(float(total)):
-                        raise ValueError(
-                            f'loss is {float(total)}; aborting '
-                            '(reference behavior image_classification.py:87)')
-                    meter.update(loss=float(total),
-                                 aux=float(metrics['aux_loss']))
+                    acc.push(sum(jax.tree.leaves(metrics['loss'])),
+                             metrics['aux_loss'])
+                acc.drain()
                 logger.info('stage %s epoch %d: %s', stage_cfg.get('name'),
                             epoch, str(meter))
                 self.student_variables = box.student_variables

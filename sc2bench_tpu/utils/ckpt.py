@@ -106,8 +106,14 @@ def save_ckpt_orbax(directory, variables, meta=None, async_save=False):
     ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler()) \
         if async_save else ocp.Checkpointer(ocp.StandardCheckpointHandler())
     ckptr.save(tmp, {'variables': jax.device_get(variables)})
+    # The meta sidecar is staged to a tmp name and renamed only after the
+    # variables directory swap in wait_until_finished(): writing it eagerly
+    # would pair NEW meta (epoch/best_metric) with the OLD variables if the
+    # process dies (or the caller never finalizes) before the swap.
+    meta_final = Path(str(directory) + _META_SUFFIX)
+    meta_tmp = Path(str(directory) + _META_SUFFIX + '.orbax-tmp')
     if meta is not None:
-        Path(str(directory) + _META_SUFFIX).write_bytes(pickle.dumps(meta))
+        meta_tmp.write_bytes(pickle.dumps(meta))
 
     class _Handle:
         def __init__(self, ckptr):
@@ -128,6 +134,8 @@ def save_ckpt_orbax(directory, variables, meta=None, async_save=False):
                 shutil.rmtree(old)
             else:
                 tmp.rename(directory)
+            if meta is not None:
+                meta_tmp.rename(meta_final)  # atomic, after variables swap
             self._done = True
 
     handle = _Handle(ckptr)

@@ -15,7 +15,12 @@ import numpy as np
 
 class ThreadLocalRng:
     """Duck-types a `np.random.Generator`; each thread lazily gets its own
-    child generator spawned from the seed sequence."""
+    child generator spawned from the seed sequence.
+
+    Reproducibility caveat: children are handed out in first-touch order,
+    so *which* thread gets which child depends on scheduling — draws are
+    valid and independent per thread, but a multi-threaded run is only
+    reproducible as a set, not per item."""
 
     def __init__(self, seed=None):
         self._seq = np.random.SeedSequence(seed)
@@ -32,4 +37,9 @@ class ThreadLocalRng:
         return rng
 
     def __getattr__(self, name):
+        if name.startswith('_'):
+            # never proxy private/dunder lookups: during unpickling or
+            # deepcopy, __setstate__/_local are probed before __dict__ is
+            # restored — proxying would recurse via self._local forever
+            raise AttributeError(name)
         return getattr(self._rng(), name)

@@ -38,6 +38,9 @@ def get_argparser():
                         help='test the student model only')
     parser.add_argument('-resume', action='store_true',
                         help='resume training from dst_ckpt train state')
+    parser.add_argument('-adjust_lr', action='store_true',
+                        help='multiply training lr by the data-parallel '
+                        'world size (reference -adjust_lr)')
     parser.add_argument('--profile_dir',
                         help='capture a jax.profiler trace of the test phase')
     return parser
@@ -53,6 +56,8 @@ def main(args):
         import jax
         jax.distributed.initialize()
     config = load_config(args.config, args.json)
+    if args.adjust_lr:
+        config['adjust_lr'] = True
     import_dependencies(config.get('dependencies'))
     engine = ClassificationEngine(
         config, image_size=config.get('image_size', (224, 224)),
