@@ -95,10 +95,14 @@ class DetectionBox(DistillationBox):
 
 
 class DetectionEngine:
-    def __init__(self, config, canvas_size=512):
+    def __init__(self, config, canvas_size=512, mesh='auto'):
         from ..registry import import_dependencies
         import_dependencies(config.get('dependencies'))
         self.config = config
+        if mesh == 'auto':
+            from ..parallel.mesh import get_mesh
+            mesh = get_mesh() if jax.device_count() > 1 else None
+        self.mesh = mesh
         models_config = config.get('models', {})
         self.transform = RCNNTransform(
             min_size=config.get('min_size', 800),
@@ -143,14 +147,18 @@ class DetectionEngine:
         return {'params': variables['params'],
                 'batch_stats': variables.get('batch_stats', {})}
 
-    def build_loader(self, split_config):
+    def build_loader(self, split_config, shard_over_processes=False):
         from ..transforms.collator import coco_collate_fn
         dataset = build_dataset(split_config['dataset'])
+        num_shards = jax.process_count() if shard_over_processes else 1
         return DataLoader(dataset,
                           batch_size=split_config.get('batch_size', 1),
                           shuffle=split_config.get('shuffle', False),
                           collate_fn=coco_collate_fn,
-                          num_workers=split_config.get('num_workers', 0))
+                          num_workers=split_config.get('num_workers', 0),
+                          num_shards=num_shards,
+                          shard_index=jax.process_index()
+                          if num_shards > 1 else 0)
 
     def _prepare_batch(self, images, targets):
         batch, scales, _ = self.transform(list(images))
@@ -223,10 +231,16 @@ class DetectionEngine:
         if self.wrapper is not None:
             raise ValueError('input-compression detection configs are '
                              'test-only — run with -test_only')
+        from .engine import MetricAccumulator, scale_stage_lrs
         train_config = self.config.get('train', {})
         stages = train_stage_configs(train_config)
-        train_loader = self.build_loader(train_config['train_data_loader'])
-        val_loader = self.build_loader(train_config['val_data_loader'])
+        if self.config.get('adjust_lr'):
+            stages = scale_stage_lrs(stages, self.mesh)
+        train_loader = self.build_loader(train_config['train_data_loader'],
+                                         shard_over_processes=True)
+        val_loader = self.build_loader(train_config['val_data_loader'],
+                                       shard_over_processes=True)
+        nan_check_interval = int(train_config.get('nan_check_interval', 50))
         best = -1.0
         rng = jax.random.key(0)
         for stage_cfg in stages:
@@ -236,7 +250,7 @@ class DetectionEngine:
                 teacher_variables=self.teacher_variables,
                 steps_per_epoch=max(len(train_loader), 1),
                 student_mode='finetune' if self.bottleneck_updated
-                else 'train',
+                else 'train', mesh=self.mesh,
                 detection_loss_weight=float(
                     stage_cfg.get('detection_loss_weight', 0.0)))
             epoch_to_update = stage_cfg.get('epoch_to_update')
@@ -245,14 +259,14 @@ class DetectionEngine:
                 box.student_mode = 'finetune'
             for epoch in range(int(stage_cfg.get('num_epochs', 1))):
                 meter = MetricLogger()
+                acc = MetricAccumulator(meter, nan_check_interval)
                 for images, targets in train_loader:
                     batch, padded, _ = self._prepare_batch(images, targets)
                     rng, srng = jax.random.split(rng)
                     metrics = box.train_step(batch, padded, srng)
-                    total = float(sum(jax.tree.leaves(metrics['loss'])))
-                    if not np.isfinite(total):
-                        raise ValueError(f'loss is {total}')
-                    meter.update(loss=total)
+                    acc.push(sum(jax.tree.leaves(metrics['loss'])),
+                             metrics['aux_loss'])
+                acc.drain()
                 self.student_variables = box.student_variables
                 stats = self.evaluate(val_loader)
                 if stats['AP'] > best:

@@ -26,10 +26,15 @@ logger = logging.getLogger(__name__)
 
 
 class SegmentationEngine:
-    def __init__(self, config, image_size=(512, 512), num_classes=21):
+    def __init__(self, config, image_size=(512, 512), num_classes=21,
+                 mesh='auto'):
         from ..registry import import_dependencies
         import_dependencies(config.get('dependencies'))
         self.config = config
+        if mesh == 'auto':
+            from ..parallel.mesh import get_mesh
+            mesh = get_mesh() if jax.device_count() > 1 else None
+        self.mesh = mesh
         self.image_size = tuple(image_size)
         self.num_classes = num_classes
         models_config = config.get('models', {})
@@ -72,14 +77,18 @@ class SegmentationEngine:
         return {'params': variables['params'],
                 'batch_stats': variables.get('batch_stats', {})}
 
-    def build_loader(self, split_config):
+    def build_loader(self, split_config, shard_over_processes=False):
         from ..transforms.collator import pascal_seg_collate_fn
         dataset = build_dataset(split_config['dataset'])
+        num_shards = jax.process_count() if shard_over_processes else 1
         return DataLoader(dataset,
                           batch_size=split_config.get('batch_size', 1),
                           shuffle=split_config.get('shuffle', False),
                           collate_fn=lambda b: pascal_seg_collate_fn(b),
-                          num_workers=split_config.get('num_workers', 0))
+                          num_workers=split_config.get('num_workers', 0),
+                          num_shards=num_shards,
+                          shard_index=jax.process_index()
+                          if num_shards > 1 else 0)
 
     def evaluate(self, data_loader, use_deploy_path=False):
         evaluator = SegEvaluator(self.num_classes)
@@ -132,10 +141,16 @@ class SegmentationEngine:
         if self.wrapper is not None:
             raise ValueError('input-compression segmentation configs are '
                              'test-only — run with -test_only')
+        from .engine import MetricAccumulator, scale_stage_lrs
         train_config = self.config.get('train', {})
         stages = train_stage_configs(train_config)
-        train_loader = self.build_loader(train_config['train_data_loader'])
-        val_loader = self.build_loader(train_config['val_data_loader'])
+        if self.config.get('adjust_lr'):
+            stages = scale_stage_lrs(stages, self.mesh)
+        train_loader = self.build_loader(train_config['train_data_loader'],
+                                         shard_over_processes=True)
+        val_loader = self.build_loader(train_config['val_data_loader'],
+                                       shard_over_processes=True)
+        nan_check_interval = int(train_config.get('nan_check_interval', 50))
         best = -1.0
         rng = jax.random.key(0)
         for stage_cfg in stages:
@@ -148,7 +163,7 @@ class SegmentationEngine:
                           steps_per_epoch=max(len(train_loader), 1),
                           student_mode='finetune'
                           if self.runtime.bottleneck_updated else 'train',
-                          **kwargs)
+                          mesh=self.mesh, **kwargs)
             epoch_to_update = stage_cfg.get('epoch_to_update')
             if epoch_to_update == 0 and not self.runtime.bottleneck_updated:
                 self.runtime.variables = self.student_variables
@@ -156,14 +171,14 @@ class SegmentationEngine:
                 box.student_mode = 'finetune'
             for epoch in range(int(stage_cfg.get('num_epochs', 1))):
                 meter = MetricLogger()
+                acc = MetricAccumulator(meter, nan_check_interval)
                 for x, y in train_loader:
                     rng, srng = jax.random.split(rng)
                     metrics = box.train_step(jnp.asarray(x), jnp.asarray(y),
                                              srng)
-                    total = float(sum(jax.tree.leaves(metrics['loss'])))
-                    if not np.isfinite(total):
-                        raise ValueError(f'loss is {total}')
-                    meter.update(loss=total)
+                    acc.push(sum(jax.tree.leaves(metrics['loss'])),
+                             metrics['aux_loss'])
+                acc.drain()
                 self.student_variables = box.student_variables
                 if epoch_to_update and epoch + 1 >= int(epoch_to_update) \
                         and not self.runtime.bottleneck_updated:

@@ -1,0 +1,171 @@
+"""Reference-named full torch deploy pipeline for cross-framework parity.
+
+Assembles the COMPLETE torch side of the reference's Entropic Student
+deploy path — SplittableResNet tail + FPBasedResNetBottleneck encoder/
+decoder + CompressAI-replica EntropyBottleneck + C++ rANS
+(`/root/reference/sc2bench/models/backbone.py:225-254`,
+`layer.py:444-550`) — with the reference's exact state-dict key space
+(`bottleneck_layer.encoder.0.weight`, `layer2.0.conv1.weight`, ...), so
+`utils/torch_convert.py` can map its weights into the flax model and
+`tests/test_parity_full_model.py` can assert identical per-image bitstream
+bytes, identical byte accounting, and matching logits end to end: the
+offline stand-in for the reference's `-test_only` checkpoint-reproduction
+protocol (`/root/reference/README.md:61-63,99-103`).
+
+Torch-only on purpose (no jax imports): this is the *other* framework.
+"""
+from __future__ import annotations
+
+import numpy as np
+import torch
+import torch.nn as nn
+
+from .torch_golden import GoldenEntropyBottleneck
+
+_PED = 2.0 ** -18  # CompressAI NonNegativeParametrizer pedestal
+
+
+class TorchGDN1(nn.Module):
+    """CompressAI GDN1 replica (abs-variant; params stored in sqrt space,
+    NonNegativeParametrizer semantics — the reference uses
+    `compressai.layers.GDN1` at `layer.py:478-494`)."""
+
+    def __init__(self, ch, inverse=False):
+        super().__init__()
+        self.inverse = inverse
+        self.beta = nn.Parameter(torch.sqrt(torch.ones(ch) + _PED))
+        self.gamma = nn.Parameter(torch.sqrt(0.1 * torch.eye(ch) + _PED))
+
+    @staticmethod
+    def _reparam(stored, minimum):
+        bound = (minimum + _PED) ** 0.5
+        return torch.clamp(stored, min=bound) ** 2 - _PED
+
+    def forward(self, x):
+        ch = x.shape[1]
+        beta = self._reparam(self.beta, 1e-6)
+        gamma = self._reparam(self.gamma, 0.0).view(ch, ch, 1, 1)
+        norm = nn.functional.conv2d(x.abs(), gamma, beta)
+        return x * norm if self.inverse else x / norm
+
+
+class TorchFPBottleneck(nn.Module):
+    """FPBasedResNetBottleneck structure with the reference's Sequential
+    key names (`layer.py:476-496`)."""
+
+    def __init__(self, bch=24, target=256, in_ch=3):
+        super().__init__()
+        enc = [in_ch, bch * 4, bch * 2, bch]
+        dec = [bch, target * 2, target, target]
+        self.encoder = nn.Sequential(
+            nn.Conv2d(enc[0], enc[1], 5, 2, 2, bias=False),
+            TorchGDN1(enc[1]),
+            nn.Conv2d(enc[1], enc[2], 5, 2, 2, bias=False),
+            TorchGDN1(enc[2]),
+            nn.Conv2d(enc[2], enc[3], 2, 1, 0, bias=False))
+        self.decoder = nn.Sequential(
+            nn.Conv2d(dec[0], dec[1], 2, 1, 1, bias=False),
+            TorchGDN1(dec[1], inverse=True),
+            nn.Conv2d(dec[1], dec[2], 2, 1, 0, bias=False),
+            TorchGDN1(dec[2], inverse=True),
+            nn.Conv2d(dec[2], dec[3], 2, 1, 1, bias=False))
+        self.entropy_bottleneck = GoldenEntropyBottleneck(bch)
+
+
+class TorchBottleneckBlock(nn.Module):
+    """torchvision ResNet v1.5 bottleneck with the reference key names
+    (conv1/bn1/.../downsample.0/1)."""
+
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1):
+        super().__init__()
+        out = planes * self.expansion
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, out, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(out)
+        self.relu = nn.ReLU()
+        self.downsample = None
+        if stride != 1 or inplanes != out:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(inplanes, out, 1, stride, bias=False),
+                nn.BatchNorm2d(out))
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return self.relu(y + idt)
+
+
+def _stage(inplanes, planes, blocks, stride):
+    layers = [TorchBottleneckBlock(inplanes, planes, stride)]
+    layers += [TorchBottleneckBlock(planes * 4, planes)
+               for _ in range(blocks - 1)]
+    return nn.Sequential(*layers)
+
+
+class TorchSplittableResNet(nn.Module):
+    """Full reference student: bottleneck_layer + layer2-4 + fc
+    (`backbone.py:190-276` structure, reference key space)."""
+
+    def __init__(self, bch=24, target=256, stage_sizes=(3, 4, 6, 3),
+                 num_classes=1000):
+        super().__init__()
+        self.bottleneck_layer = TorchFPBottleneck(bch, target)
+        self.layer2 = _stage(target, 128, stage_sizes[1], 2)
+        self.layer3 = _stage(512, 256, stage_sizes[2], 2)
+        self.layer4 = _stage(1024, 512, stage_sizes[3], 2)
+        self.fc = nn.Linear(2048, num_classes)
+
+    def forward_tail(self, feat):
+        z = self.layer4(self.layer3(self.layer2(feat)))
+        z = z.mean(dim=(2, 3))
+        return self.fc(z)
+
+
+def randomize_for_parity(model: TorchSplittableResNet, seed=0):
+    """Non-degenerate weights + running stats (a fresh BatchNorm has
+    mean 0 / var 1 — real checkpoints don't), and quantiles spread so the
+    entropy tables have realistic support."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, (nn.Conv2d, nn.Linear)):
+                nn.init.normal_(m.weight, 0, 0.05, generator=g)
+                if getattr(m, 'bias', None) is not None:
+                    nn.init.normal_(m.bias, 0, 0.02, generator=g)
+            elif isinstance(m, nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.3, generator=g)
+                m.running_var.uniform_(0.7, 1.5, generator=g)
+                m.weight.normal_(1.0, 0.1, generator=g)
+                m.bias.normal_(0, 0.1, generator=g)
+        eb = model.bottleneck_layer.entropy_bottleneck
+        eb.quantiles[:, 0, 0] -= 2.0
+        eb.quantiles[:, 0, 2] += 2.0
+    model.eval()
+    return model
+
+
+@torch.no_grad()
+def torch_deploy_forward(model: TorchSplittableResNet, coder, medians,
+                         img_nchw: np.ndarray):
+    """The reference eval hot loop (SURVEY.md §3.2) in torch at batch 1:
+    encode → round(y − medians) → channel-major rANS → decode →
+    + medians → decoder → tail. Returns (logits (1, K), bitstream bytes)."""
+    med = torch.from_numpy(np.asarray(medians, np.float32)).view(
+        1, -1, 1, 1)
+    y = model.bottleneck_layer.encoder(torch.from_numpy(img_nchw))
+    sym = torch.round(y - med).to(torch.int32).numpy()[0]
+    c, h, w = sym.shape
+    indexes = np.repeat(np.arange(c, dtype=np.int32), h * w)
+    bits = coder.encode_with_indexes(sym.reshape(c, -1).ravel(), indexes)
+    out = coder.decode_with_indexes(bits, indexes)
+    y_hat = torch.from_numpy(
+        out.reshape(1, c, h, w).astype(np.float32)) + med
+    feat = model.bottleneck_layer.decoder(y_hat)
+    return model.forward_tail(feat).numpy(), bits

@@ -1,0 +1,135 @@
+"""Full-model cross-framework parity: torch reference pipeline vs the JAX
+deploy runtime, through encoder → entropy tables → rANS bitstream →
+decoder → tail → logits.
+
+This is the in-repo analogue of the reference's `-test_only`
+checkpoint-reproduction protocol (`/root/reference/README.md:61-63,99-103`):
+a complete torch SplittableResNet (reference key space) is built, its
+weights are converted with `utils/torch_convert.py`, and the two stacks
+must agree on (a) quantized coding tables bit-for-bit, (b) per-image
+bitstream BYTES exactly, (c) byte accounting, and (d) logits to float
+tolerance. Any numeric drift in either framework's deploy path fails here.
+"""
+import pickle
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from sc2bench_tpu.models.backbone import SplittableResNet  # noqa: E402
+from sc2bench_tpu.models.layer import FPBasedResNetBottleneck  # noqa: E402
+from sc2bench_tpu.models.runtime import SplitClassifierRuntime  # noqa: E402
+from sc2bench_tpu.utils.torch_convert import (  # noqa: E402
+    SPLITTABLE_RESNET_RULES, convert_state_dict, merge_into_variables)
+from sc2bench_tpu.utils.torch_ref_model import (  # noqa: E402
+    TorchSplittableResNet, randomize_for_parity, torch_deploy_forward)
+
+BCH, TARGET, STAGES, CLASSES, HW = 8, 64, (1, 1, 1, 1), 10, 64
+
+
+@pytest.fixture(scope='module')
+def pipelines():
+    """(torch model, golden coder+tables, flax runtime w/ converted
+    weights) — built once; the conversions are the object under test."""
+    from sc2bench_tpu.ops.rans.coder import RansCoder
+    tm = randomize_for_parity(
+        TorchSplittableResNet(bch=BCH, target=TARGET, stage_sizes=STAGES,
+                              num_classes=CLASSES), seed=3)
+    cdf, cdf_len, offset, medians = \
+        tm.bottleneck_layer.entropy_bottleneck.update()
+    coder = RansCoder(cdf, cdf_len, offset)
+
+    fm = SplittableResNet(
+        bottleneck_layer=FPBasedResNetBottleneck(
+            num_bottleneck_channels=BCH, num_target_channels=TARGET),
+        stage_sizes=STAGES, num_classes=CLASSES)
+    x0 = jnp.zeros((1, HW, HW, 3))
+    variables = jax.jit(lambda r, x: fm.init(r, x, mode='train'))(
+        {'params': jax.random.key(0), 'noise': jax.random.key(1)}, x0)
+    variables = {'params': variables['params'],
+                 'batch_stats': variables.get('batch_stats', {})}
+    converted = convert_state_dict(tm.state_dict(), SPLITTABLE_RESNET_RULES)
+    variables = merge_into_variables(variables, converted)
+    rt = SplitClassifierRuntime(fm, variables)
+    assert rt.update()
+    return tm, (coder, cdf, cdf_len, offset, medians), rt
+
+
+def _images(n=4):
+    rng = np.random.default_rng(11)
+    return [rng.normal(0, 1, (1, HW, HW, 3)).astype(np.float32)
+            for _ in range(n)]
+
+
+def test_coding_tables_bit_identical(pipelines):
+    """The product runtime's update() must rebuild the torch oracle's
+    quantized CDF tables bit-for-bit from the CONVERTED weights."""
+    _, (_, cdf, cdf_len, offset, medians), rt = pipelines
+    np.testing.assert_array_equal(rt.codec.tables.quantized_cdf, cdf)
+    np.testing.assert_array_equal(rt.codec.tables.cdf_length, cdf_len)
+    np.testing.assert_array_equal(rt.codec.tables.offset, offset)
+    np.testing.assert_allclose(rt.codec.tables.medians, medians,
+                               rtol=0, atol=1e-6)
+
+
+def test_bitstream_bytes_and_logits_match(pipelines):
+    """Per-image: identical bitstream bytes, identical byte count, logits
+    within float tolerance, identical prediction."""
+    tm, (coder, *_, medians), rt = pipelines
+    rt.eval()
+    for img in _images():
+        t_logits, t_bits = torch_deploy_forward(
+            tm, coder, medians, np.transpose(img, (0, 3, 1, 2)).copy())
+        compressed = rt.encode(jnp.asarray(img))
+        f_bits = compressed['strings'][0][0]
+        assert f_bits == t_bits, (
+            f'bitstream mismatch: {len(f_bits)} vs {len(t_bits)} bytes')
+        f_logits = np.asarray(rt.decode(**compressed))
+        np.testing.assert_allclose(f_logits, t_logits, rtol=2e-3, atol=2e-3)
+        assert int(np.argmax(f_logits)) == int(np.argmax(t_logits))
+
+
+def test_stream_deploy_matches_torch(pipelines):
+    """The pipelined serving path (stream_deploy, wire formats) must agree
+    with the serial torch pipeline too — wire-format optimizations may not
+    change a single logit beyond rounding."""
+    tm, (coder, *_, medians), rt = pipelines
+    rt.eval()
+    images = _images(6)
+    results = rt.stream_deploy([jnp.asarray(i) for i in images])
+    for img, f_logits in zip(images, results):
+        t_logits, t_bits = torch_deploy_forward(
+            tm, coder, medians, np.transpose(img, (0, 3, 1, 2)).copy())
+        np.testing.assert_allclose(np.asarray(f_logits), t_logits,
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_byte_accounting_matches(pipelines):
+    """The analyzer's recorded data size must equal the size computed from
+    the TORCH pipeline's bytes under the same pickle-size convention
+    (reference `analysis.py:126-142` semantics) — i.e. both frameworks
+    would report the same 'Bottleneck size [KB]' line."""
+    import sys
+    tm, (coder, *_, medians), rt = pipelines
+    rt.eval()
+    rt.clear_analysis()
+    rt.activate_analysis()
+    images = _images(3)
+    expected = []
+    for img in images:
+        compressed = rt.encode(jnp.asarray(img))
+        rt.analyze(compressed)
+        _, t_bits = torch_deploy_forward(
+            tm, coder, medians, np.transpose(img, (0, 3, 1, 2)).copy())
+        t_obj = {'strings': [[t_bits]],
+                 'shape': compressed['shape']}
+        expected.append(sys.getsizeof(pickle.dumps(t_obj)) / 1024)
+    summary = rt.summarize()[0]
+    assert summary['num_samples'] == len(images)
+    assert summary['mean'] == pytest.approx(float(np.mean(expected)),
+                                            rel=1e-9)
+    rt.deactivate_analysis()
