@@ -19,9 +19,14 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def get_mesh(n_devices: int | None = None, axes=('data',)) -> Mesh:
-    """Build a mesh over the first `n_devices` devices (default: all)."""
-    devices = jax.devices()
+def get_mesh(n_devices: int | None = None, axes=('data',),
+             local: bool = False) -> Mesh:
+    """Build a mesh over the first `n_devices` devices (default: all).
+    `local=True` restricts to this process's addressable devices — the
+    right mesh for eval in a multi-process job, where each process scores
+    its own dataset shard and cross-process reduction happens in the
+    metric sync (the reference's DDP eval contract, SURVEY.md §2.4)."""
+    devices = jax.local_devices() if local else jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     if len(axes) == 1:

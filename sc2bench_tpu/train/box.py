@@ -197,9 +197,27 @@ class DistillationBox:
     def shard_batch(self, x, y):
         """Place a batch onto the data mesh, sharded over 'data' (no-op
         without a mesh, or when the batch doesn't divide the mesh — the
-        partial final batch then runs replicated)."""
-        if self.mesh is not None and x.shape[0] % self.mesh.devices.size == 0:
-            from ..parallel.mesh import data_sharding
+        partial final batch then runs replicated).
+
+        Multi-process: each process holds only ITS loader shard of the
+        global batch; the shards are assembled into one global array over
+        the global mesh (`jax.make_array_from_process_local_data`) — the
+        gradient all-reduce then spans all hosts, exactly the reference's
+        multi-node DDP (`init_distributed_mode`, SURVEY.md §5.8)."""
+        if self.mesh is None:
+            return x, y
+        from ..parallel.mesh import data_sharding
+        n = self.mesh.devices.size
+        if jax.process_count() > 1:
+            ds = data_sharding(self.mesh)
+            global_rows = x.shape[0] * jax.process_count()
+            if global_rows % n == 0:
+                x = jax.make_array_from_process_local_data(ds, np.asarray(x))
+                if y is not None:
+                    y = jax.tree.map(
+                        lambda a: jax.make_array_from_process_local_data(
+                            ds, np.asarray(a)), y)
+        elif x.shape[0] % n == 0:
             ds = data_sharding(self.mesh)
             x = jax.device_put(x, ds)
             if y is not None:

@@ -24,6 +24,7 @@ from ..utils.ckpt import load_ckpt, save_ckpt
 from ..utils.coco_eval import CocoEvaluator
 from ..utils.metrics import MetricLogger
 from .box import DistillationBox
+from .engine import localized
 
 logger = logging.getLogger(__name__)
 
@@ -95,7 +96,7 @@ class DetectionBox(DistillationBox):
 
 
 class DetectionEngine:
-    def __init__(self, config, canvas_size=512, mesh='auto'):
+    def __init__(self, config, canvas_size=None, mesh='auto'):
         from ..registry import import_dependencies
         import_dependencies(config.get('dependencies'))
         self.config = config
@@ -104,10 +105,21 @@ class DetectionEngine:
             mesh = get_mesh() if jax.device_count() > 1 else None
         self.mesh = mesh
         models_config = config.get('models', {})
+        # Default eval geometry = the reference's min/max 800/1333
+        # (torchvision defaults via `/root/reference/sc2bench/models/
+        # detection/rcnn.py:113-166`), with the landscape/portrait/square
+        # canvas buckets so the number of compiled program shapes is
+        # bounded at 3 instead of padding every image to the square
+        # worst case. Tiny test configs override via canvas_size/min_size.
+        if canvas_size is None:
+            canvas_size = int(config.get('canvas_size', 1333))
+        min_size = int(config.get('min_size', 800))
+        buckets = config.get('canvas_buckets')
+        if buckets is None and canvas_size > min_size:
+            buckets = True
         self.transform = RCNNTransform(
-            min_size=config.get('min_size', 800),
-            max_size=canvas_size, size_divisible=32,
-            canvas_buckets=config.get('canvas_buckets'))
+            min_size=min_size, max_size=canvas_size, size_divisible=32,
+            canvas_buckets=buckets)
         self.canvas = self.transform.canvas_hw()
         self.wrapper = None
         if 'wrapper' in models_config:
@@ -216,7 +228,7 @@ class DetectionEngine:
             for images, targets in data_loader:
                 batch, scales, _ = self.transform(list(images))
                 t0 = time.time()
-                dets = self._eval_fn(self.student_variables,
+                dets = self._eval_fn(localized(self.student_variables),
                                      jnp.asarray(batch))
                 meter.update(model_time=time.time() - t0)
                 record(dets, targets, scales)
@@ -308,8 +320,8 @@ class DetectionEngine:
         runtime = None
         try:
             from ..models.detection.wrapper import SplitDetectionRuntime
-            runtime = SplitDetectionRuntime(self.student_module,
-                                            self.student_variables)
+            runtime = SplitDetectionRuntime(
+                self.student_module, localized(self.student_variables))
             runtime.update()
             runtime.activate_analysis()
         except (KeyError, AttributeError, TypeError):

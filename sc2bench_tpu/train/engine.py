@@ -56,6 +56,14 @@ def transfer_matching_subtrees(student_vars, teacher_vars, paths):
     return out
 
 
+def localized(variables):
+    """Host copy of a (possibly multi-process-global) variables tree, safe
+    to feed a process-local jit (deploy runtimes, per-shard eval). No-op
+    in single-process runs."""
+    return jax.device_get(variables) if jax.process_count() > 1 \
+        else variables
+
+
 def scale_stage_lrs(stages, mesh):
     """World-size LR scaling (the reference's `-adjust_lr`,
     `image_classification.py:47-48,152`): multiply every stage's optimizer
@@ -233,7 +241,7 @@ class ClassificationEngine:
         `image_classification.py:106-145`)."""
         meter = MetricLogger()
         if use_deploy_path:
-            self.runtime.variables = self.student_variables
+            self.runtime.variables = localized(self.student_variables)
             self.runtime.eval()
             # software-pipelined batch-1 stream (runtime.stream_deploy):
             # encodes overlap host entropy coding across images; per-sample
@@ -287,15 +295,24 @@ class ClassificationEngine:
                     lambda variables, x: self.student_module.apply(
                         variables, x, mode='finetune', train=False))
             # shard the eval batch over the data mesh when multiple devices
-            # are available (the reference's DP eval, SURVEY.md §2.4)
+            # are available (the reference's DP eval, SURVEY.md §2.4).
+            # Multi-process: shard only over THIS process's devices — each
+            # process scores its own loader shard and the metric sync does
+            # the cross-process reduction (reference DDP eval). Variables
+            # are localized (host copy) so globally-committed train state
+            # doesn't pin the eval jit to the unreachable global mesh.
             mesh = self.mesh
+            variables = self.student_variables
             if mesh is not None:
-                from ..parallel.mesh import data_sharding
+                from ..parallel.mesh import data_sharding, get_mesh
+                if jax.process_count() > 1:
+                    mesh = get_mesh(local=True)
+                    variables = jax.device_get(variables)
             for x, y in data_loader:
                 xb = jnp.asarray(x)
                 if mesh is not None and xb.shape[0] % mesh.devices.size == 0:
                     xb = jax.device_put(xb, data_sharding(mesh))
-                logits = self._eval_fn(self.student_variables, xb)
+                logits = self._eval_fn(variables, xb)
                 accs = top_k_accuracy(logits, jnp.asarray(y))
                 meter.update(**{k: float(v) for k, v in accs.items()})
         meter.synchronize_between_processes()
@@ -405,7 +422,7 @@ class ClassificationEngine:
                 'batch_size': 1}))
         if self.wrapper is not None:
             return self._test_wrapper(loader)
-        self.runtime.variables = self.student_variables
+        self.runtime.variables = localized(self.student_variables)
         if not self.runtime.bottleneck_updated and self.runtime.codec:
             self.runtime.update()
         self.runtime.activate_analysis()

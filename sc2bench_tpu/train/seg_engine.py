@@ -21,6 +21,7 @@ from ..utils.ckpt import load_ckpt, save_ckpt
 from ..utils.metrics import MetricLogger
 from ..utils.seg_eval import SegEvaluator
 from .box import DistillationBox, TrainingBox
+from .engine import localized
 
 logger = logging.getLogger(__name__)
 
@@ -93,7 +94,7 @@ class SegmentationEngine:
     def evaluate(self, data_loader, use_deploy_path=False):
         evaluator = SegEvaluator(self.num_classes)
         if use_deploy_path:
-            self.runtime.variables = self.student_variables
+            self.runtime.variables = localized(self.student_variables)
             self.runtime.eval()
             if self.runtime.bottleneck_updated:
                 # pipelined deploy in 16-image chunks (encodes overlap host
@@ -127,7 +128,7 @@ class SegmentationEngine:
                     lambda v, x: self.student_module.apply(
                         v, x, mode='finetune', train=False))
             for x, y in data_loader:
-                out = self._eval_fn[key](self.student_variables,
+                out = self._eval_fn[key](localized(self.student_variables),
                                          jnp.asarray(x))
                 pred = np.asarray(jnp.argmax(out['out'], -1))
                 evaluator.update(y, pred)

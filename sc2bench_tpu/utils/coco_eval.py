@@ -180,23 +180,32 @@ class CocoEvaluator:
             self.preds[img_id] = entry
 
     def synchronize_between_processes(self):
+        """Gather predictions AND ground truths across processes (keyed by
+        image_id, so overlapping shards dedup). The reference gathers only
+        predictions (`coco/eval.py:161-200`) because every process holds
+        the full COCO GT API; here loaders may be process-sharded, so each
+        process contributes the gts it evaluated."""
         import jax
         if jax.process_count() == 1:
             return
         import pickle
         from jax.experimental import multihost_utils
-        payload = pickle.dumps(self.preds)
-        arr = np.frombuffer(payload, np.uint8)
-        # pad to common length then allgather
-        n = np.asarray([len(arr)])
-        max_n = int(multihost_utils.process_allgather(n).max())
-        padded = np.zeros(max_n, np.uint8)
-        padded[:len(arr)] = arr
-        gathered = multihost_utils.process_allgather(padded)
-        lengths = multihost_utils.process_allgather(n)
-        for row, ln in zip(np.asarray(gathered), np.asarray(lengths)):
-            other = pickle.loads(row[:int(ln)].tobytes())
-            self.preds.update(other)
+
+        def allgather_dict(d):
+            payload = pickle.dumps(d)
+            arr = np.frombuffer(payload, np.uint8)
+            # pad to common length then allgather
+            n = np.asarray([len(arr)])
+            max_n = int(multihost_utils.process_allgather(n).max())
+            padded = np.zeros(max_n, np.uint8)
+            padded[:len(arr)] = arr
+            gathered = multihost_utils.process_allgather(padded)
+            lengths = multihost_utils.process_allgather(n)
+            for row, ln in zip(np.asarray(gathered), np.asarray(lengths)):
+                d.update(pickle.loads(row[:int(ln)].tobytes()))
+
+        allgather_dict(self.preds)
+        allgather_dict(self.gts)
 
     # ---- the COCO protocol ---------------------------------------------
     def _evaluate_img(self, dt, gt, iou_thrs, area_rng, max_det):

@@ -40,8 +40,9 @@ def main(args):
         import jax
         jax.distributed.initialize()
     config = load_config(args.config, args.json)
-    engine = DetectionEngine(config,
-                             canvas_size=config.get('canvas_size', 512))
+    # default geometry: reference 800/1333 with bucketed canvases
+    # (engine resolves config canvas_size/min_size/canvas_buckets)
+    engine = DetectionEngine(config)
     if not args.test_only:
         best = engine.train(dst_ckpt=args.dst_ckpt)
         logger.info('best val mAP: %s', best)

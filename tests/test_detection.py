@@ -354,3 +354,111 @@ def test_rcnn_transform_canvas_buckets():
     t0 = RCNNTransform(min_size=64, max_size=128, size_divisible=32)
     _, s0, _ = t0([wide])
     np.testing.assert_allclose(s_wide, s0)
+
+
+def test_engine_default_geometry_buckets_bound_recompiles():
+    """The engine's DEFAULT eval geometry is the reference's min/max
+    800/1333 with bucketed canvases (here scaled to 64/128 for test
+    speed): a multi-aspect-ratio eval set must compile at most
+    len(buckets)=3 program shapes (VERDICT r2 item 6)."""
+    from sc2bench_tpu.train.det_engine import DetectionEngine
+    config = {
+        'dependencies': ['sc2bench_tpu.models'],
+        'min_size': 64, 'canvas_size': 128, 'max_boxes': 8,
+        'models': {'model': {
+            'key': 'faster_rcnn_model',
+            'kwargs': {'num_classes': 5,
+                       'backbone_config': {
+                           'resnet_name': 'resnet50',
+                           'bottleneck_config': {
+                               'key': 'FPBasedResNetBottleneck',
+                               'kwargs': {'num_bottleneck_channels': 8,
+                                          'num_target_channels': 256}}}}}},
+    }
+    engine = DetectionEngine(config)  # no explicit canvas: config default
+    assert engine.transform.canvas_buckets == [(64, 128), (128, 64),
+                                               (128, 128)]
+    rng = np.random.default_rng(0)
+
+    def batch(h, w, image_id):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        target = {'boxes': np.asarray([[4.0, 4.0, 30.0, 30.0]], np.float32),
+                  'labels': np.asarray([1], np.int32),
+                  'area': np.asarray([676.0], np.float32),
+                  'iscrowd': np.asarray([0], np.int32),
+                  'image_id': image_id}
+        return [img], [target]
+
+    shapes = [(50, 100), (100, 50), (80, 80), (60, 120), (120, 60), (90, 90)]
+    loader = [batch(h, w, i) for i, (h, w) in enumerate(shapes)]
+    stats = engine.evaluate(loader)
+    assert 'AP' in stats
+    assert engine._eval_fn._cache_size() <= 3, (
+        f'recompiles not bounded: {engine._eval_fn._cache_size()} traces')
+
+
+def test_pre_nms_cap_map_delta_on_dense_scene():
+    """Quantifies the documented pre_nms_cap deviation (PARITY.md): on a
+    dense synthetic scene whose candidate set (R*(C-1) = 5120) exceeds the
+    4096 cap, mAP with the cap must stay within 0.01 of uncapped NMS —
+    the cap drops only the lowest-score candidates (VERDICT r2 item 7)."""
+    from sc2bench_tpu.models.detection.rcnn import postprocess_detections
+    from sc2bench_tpu.utils.coco_eval import CocoEvaluator
+
+    rng = np.random.default_rng(0)
+    hw, r, c = 256, 1024, 6  # 1024*(6-1) = 5120 candidates > cap 4096
+    # dense ground truth: 15x15 grid of 12px boxes, labels cycling 1..5
+    centers = np.linspace(10, hw - 10, 15)
+    gt_boxes, gt_labels = [], []
+    for i, cy in enumerate(centers):
+        for j, cx in enumerate(centers):
+            gt_boxes.append([cx - 6, cy - 6, cx + 6, cy + 6])
+            gt_labels.append(1 + (i * 15 + j) % (c - 1))
+    gt_boxes = np.asarray(gt_boxes, np.float32)
+    gt_labels = np.asarray(gt_labels, np.int32)
+    n_gt = len(gt_boxes)  # 225
+
+    # proposals: every gt box (+jitter), then random clutter
+    props = np.concatenate([
+        gt_boxes + rng.normal(0, 0.5, gt_boxes.shape).astype(np.float32),
+        gt_boxes + rng.normal(0, 2.0, gt_boxes.shape).astype(np.float32),
+        np.sort(rng.uniform(0, hw, (r - 2 * n_gt, 2, 2)), axis=1)
+        .transpose(0, 2, 1).reshape(-1, 4).astype(np.float32)], 0)[:r]
+    # logits: true class strong on the first gt copies, weak-but-above-
+    # threshold scores everywhere else (floods the candidate set)
+    logits = rng.uniform(-1.2, -0.8, (1, r, c)).astype(np.float32)
+    for k in range(n_gt):
+        logits[0, k, gt_labels[k]] = rng.uniform(2.0, 4.0)
+        logits[0, n_gt + k, gt_labels[k]] = rng.uniform(0.5, 1.5)
+    outputs = {
+        'class_logits': jnp.asarray(logits),
+        'box_regression': jnp.zeros((1, r, c, 4), jnp.float32),
+        'proposals': jnp.asarray(props)[None],
+        'proposal_valid': jnp.ones((1, r), bool),
+        'image_hw': (hw, hw),
+    }
+
+    def eval_map(cap):
+        dets = jax.jit(lambda o: postprocess_detections(
+            o, pre_nms_cap=cap, detections_per_img=300))(outputs)
+        ev = CocoEvaluator()
+        target = {'image_id': 0, 'boxes': gt_boxes, 'labels': gt_labels,
+                  'area': ((gt_boxes[:, 2] - gt_boxes[:, 0])
+                           * (gt_boxes[:, 3] - gt_boxes[:, 1])),
+                  'iscrowd': np.zeros(n_gt, np.int32)}
+        ev.add_gt(target)
+        valid = np.asarray(dets['valid'][0])
+        ev.update({0: {'boxes': np.asarray(dets['boxes'][0])[valid],
+                       'scores': np.asarray(dets['scores'][0])[valid],
+                       'labels': np.asarray(dets['labels'][0])[valid]}})
+        ev.accumulate()
+        return ev.summarize()['AP']
+
+    n_cand = int(np.sum(jax.nn.softmax(logits, -1)[0, :, 1:] > 0.05))
+    assert n_cand > 4096, f'scene not dense enough ({n_cand} candidates)'
+    ap_capped = eval_map(4096)
+    ap_uncapped = eval_map(None)
+    assert ap_uncapped > 0.3  # the scene is actually detectable
+    delta = abs(ap_capped - ap_uncapped)
+    # measured delta recorded in PARITY.md (pre_nms_cap deviation)
+    assert delta <= 0.01, (ap_capped, ap_uncapped)
