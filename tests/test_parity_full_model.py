@@ -17,6 +17,8 @@ import pytest
 
 torch = pytest.importorskip('torch')
 
+pytestmark = pytest.mark.slow  # full-pipeline compiles (torch + 2 jit programs)
+
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 

@@ -54,6 +54,7 @@ def test_splittable_resnest_is_split_attention():
     assert out.shape == (1, 10)
 
 
+@pytest.mark.slow
 def test_frozen_batchnorm_stats_and_grads_frozen():
     from sc2bench_tpu.models.resnet import ResNetStage
     stage = ResNetStage(8, 1, strides=1, frozen_bn=True)

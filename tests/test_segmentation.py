@@ -57,10 +57,13 @@ def test_dilated_backbone_output_stride():
     backbone = SegmentationBackboneFeatures(
         bottleneck_layer=None, stage_sizes=(1, 1, 1, 1), return_aux=True)
     x = jnp.zeros((1, 64, 64, 3))
-    variables = backbone.init({'params': jax.random.key(0)}, x)
-    feats = backbone.apply(
-        {'params': variables['params'],
-         'batch_stats': variables.get('batch_stats', {})}, x)
+    # shapes only — eval_shape traces without compiling (fast tier)
+    variables = jax.eval_shape(
+        lambda: backbone.init({'params': jax.random.key(0)}, x))
+    feats = jax.eval_shape(
+        lambda v: backbone.apply(
+            {'params': v['params'],
+             'batch_stats': v.get('batch_stats', {})}, x), variables)
     assert feats['out'].shape[1:3] == (8, 8)   # 64/8
     assert feats['aux'].shape[1:3] == (8, 8)
     assert feats['out'].shape[-1] == 2048

@@ -20,19 +20,31 @@ def _build(bneck, stage_sizes=(1, 1, 1, 1)):
                              stage_sizes=stage_sizes,
                              num_classes=NUM_CLASSES)
     x = jnp.zeros(IMG)
-    variables = model.init(
-        {'params': jax.random.key(0), 'noise': jax.random.key(1)},
-        x, mode='train')
+    # jitted init: eager init dispatches op-by-op (~10x slower on CPU)
+    variables = jax.jit(
+        lambda rngs, x: model.init(rngs, x, mode='train'))(
+        {'params': jax.random.key(0), 'noise': jax.random.key(1)}, x)
     return model, {'params': variables['params'],
                    'batch_stats': variables.get('batch_stats', {})}
+
+
+_FP_CACHE = {}
+
+
+def _build_fp():
+    """Shared FP flagship-mini (module-level cache: tests only read the
+    variables, so one init serves every FP test in this file)."""
+    if 'fp' not in _FP_CACHE:
+        _FP_CACHE['fp'] = _build(FPBasedResNetBottleneck(
+            num_bottleneck_channels=8, num_target_channels=256))
+    return _FP_CACHE['fp']
 
 
 @pytest.mark.slow
 class TestFPSplittable:
     @pytest.fixture(scope='class')
     def rt(self):
-        model, variables = _build(FPBasedResNetBottleneck(
-            num_bottleneck_channels=8, num_target_channels=256))
+        model, variables = _build_fp()
         return SplitClassifierRuntime(model, variables)
 
     def test_train_forward_and_entropy_capture(self, rt):
@@ -117,13 +129,13 @@ def test_builder_registry():
     assert isinstance(m, SplittableResNet)
 
 
+@pytest.mark.slow
 def test_stream_deploy_matches_serial_and_bf16_tail():
     """The pipelined wire-format stream deploy produces bit-identical logits
     to the serial reference-API path (the cyclic int16 bitstream is lossless
     by construction), byte accounting matches, and the opt-in bf16 tail
     agrees on top-1."""
-    model, variables = _build(FPBasedResNetBottleneck(
-        num_bottleneck_channels=8, num_target_channels=256))
+    model, variables = _build_fp()
     rt = SplitClassifierRuntime(model, variables)
     rt.update()
     rt.eval()
@@ -138,16 +150,16 @@ def test_stream_deploy_matches_serial_and_bf16_tail():
     # per-sample byte accounting ran for every streamed image
     assert len(rt.analyzers[0].file_size_list) == len(imgs)
 
-    # micro-batched decode (production serving mode): same per-image logits
-    rt2 = SplitClassifierRuntime(model, variables)
-    rt2.update()
-    rt2.eval()
-    rt2.activate_analysis()
-    batched = rt2.stream_deploy(imgs, depth=2, workers=2, decode_batch=3)
+    # micro-batched decode (production serving mode): same per-image
+    # logits; reuses the compiled encode/decode programs (fresh analysis)
+    rt.clear_analysis()
+    rt.activate_analysis()
+    batched = rt.stream_deploy(imgs, depth=2, workers=2, decode_batch=3)
+    rt.deactivate_analysis()
     assert len(batched) == len(imgs)
     for s, p in zip(serial, batched):
         np.testing.assert_allclose(s, np.asarray(p), rtol=2e-5, atol=2e-5)
-    assert len(rt2.analyzers[0].file_size_list) == len(imgs)
+    assert len(rt.analyzers[0].file_size_list) == len(imgs)
 
     rt_bf = SplitClassifierRuntime(model, variables, deploy_bf16_tail=True)
     rt_bf.update()
@@ -159,17 +171,15 @@ def test_stream_deploy_matches_serial_and_bf16_tail():
         assert int(np.argmax(s)) == int(np.argmax(b))
 
 
+@pytest.mark.slow
 def test_bf16_tail_cache_invalidated_on_variables_swap():
     """Reassigning runtime.variables (checkpoint reload) must refresh the
     cached bf16 tail copy — a stale cast would mix two checkpoints."""
-    model, v1 = _build(FPBasedResNetBottleneck(
-        num_bottleneck_channels=8, num_target_channels=256))
-    _, v2 = _build(FPBasedResNetBottleneck(
-        num_bottleneck_channels=8, num_target_channels=256))
-    # different init seeds -> different params
+    model, v1 = _build_fp()
+    # different init seed -> different params
     x = jnp.zeros(IMG)
-    v2 = model.init({'params': jax.random.key(7), 'noise': jax.random.key(8)},
-                    x, mode='train')
+    v2 = jax.jit(lambda r, x: model.init(r, x, mode='train'))(
+        {'params': jax.random.key(7), 'noise': jax.random.key(8)}, x)
     v2 = {'params': v2['params'],
           'batch_stats': v2.get('batch_stats', {})}
     img = jax.random.normal(jax.random.key(9), IMG)
@@ -189,15 +199,16 @@ def test_bf16_tail_cache_invalidated_on_variables_swap():
 
 
 def test_decode_batch_rejected_for_hyperprior():
-    model, variables = _build(SHPBasedResNetBottleneck(
-        num_bottleneck_channels=8, num_target_channels=256,
-        num_latent_channels=8))
-    rt = SplitClassifierRuntime(model, variables)
-    rt.update()
-    rt.eval()
-    img = jax.random.normal(jax.random.key(1), IMG)
+    # the guard fires before any program compiles or runs, so the module
+    # never needs init/update — keeps the fast tier fast
+    model = SplittableResNet(
+        bottleneck_layer=SHPBasedResNetBottleneck(
+            num_bottleneck_channels=8, num_target_channels=256,
+            num_latent_channels=8),
+        stage_sizes=(1, 1, 1, 1), num_classes=NUM_CLASSES)
+    rt = SplitClassifierRuntime(model, {'params': {}})
     with pytest.raises(ValueError, match='decode_batch'):
-        rt.stream_deploy([img], decode_batch=4)
+        rt.stream_deploy([jnp.zeros(IMG)], decode_batch=4)
 
 
 @pytest.mark.slow
@@ -226,8 +237,7 @@ def test_uint8_input_device_normalization():
     float inputs (4x less host->device traffic)."""
     mean = np.asarray([0.485, 0.456, 0.406], np.float32)
     std = np.asarray([0.229, 0.224, 0.225], np.float32)
-    model, variables = _build(FPBasedResNetBottleneck(
-        num_bottleneck_channels=8, num_target_channels=256))
+    model, variables = _build_fp()
     rt = SplitClassifierRuntime(model, variables, input_norm=(mean, std))
     rt.update()
     rt.eval()
