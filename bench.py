@@ -171,7 +171,7 @@ def bench_device_programs(rt, image):
     }
 
 
-def bench_train(batch=32, image=224, steps=8):
+def bench_train(batch=128, image=224, steps=8):
     """Flagship stage-1 distillation step, bf16 tails, with cost-analysis
     FLOPs -> train MFU."""
     import sys

@@ -233,8 +233,14 @@ class FPBasedResNetBottleneck(nn.Module):
     num_target_channels: int = 256
     encoder_channel_sizes: Optional[Sequence[int]] = None
     decoder_channel_sizes: Optional[Sequence[int]] = None
+    # Conv compute dtype (bfloat16 -> MXU-rate matmuls for TRAINING
+    # throughput; the entropy model always evaluates in float32 and
+    # deploy symbol rounding casts back to f32, so coding semantics are
+    # dtype-independent). Default float32 = reference numerics exactly.
+    dtype: Any = jnp.float32
 
     def setup(self):
+        d = self.dtype
         enc = list(self.encoder_channel_sizes or [
             self.num_input_channels, self.num_bottleneck_channels * 4,
             self.num_bottleneck_channels * 2, self.num_bottleneck_channels])
@@ -244,29 +250,29 @@ class FPBasedResNetBottleneck(nn.Module):
         self._enc_sizes, self._dec_sizes = enc, dec
         self.encoder = nn.Sequential([
             nn.Conv(enc[1], (5, 5), (2, 2), ((2, 2), (2, 2)), use_bias=False,
-                    name='enc_conv0'),
+                    dtype=d, name='enc_conv0'),
             GDN1(enc[1], name='enc_gdn0'),
             nn.Conv(enc[2], (5, 5), (2, 2), ((2, 2), (2, 2)), use_bias=False,
-                    name='enc_conv1'),
+                    dtype=d, name='enc_conv1'),
             GDN1(enc[2], name='enc_gdn1'),
             nn.Conv(enc[3], (2, 2), (1, 1), ((0, 0), (0, 0)), use_bias=False,
-                    name='enc_conv2'),
+                    dtype=d, name='enc_conv2'),
         ])
         self.decoder = nn.Sequential([
             nn.Conv(dec[1], (2, 2), (1, 1), ((1, 1), (1, 1)), use_bias=False,
-                    name='dec_conv0'),
+                    dtype=d, name='dec_conv0'),
             GDN1(dec[1], inverse=True, name='dec_igdn0'),
             nn.Conv(dec[2], (2, 2), (1, 1), ((0, 0), (0, 0)), use_bias=False,
-                    name='dec_conv1'),
+                    dtype=d, name='dec_conv1'),
             GDN1(dec[2], inverse=True, name='dec_igdn1'),
             nn.Conv(dec[3], (2, 2), (1, 1), ((1, 1), (1, 1)), use_bias=False,
-                    name='dec_conv2'),
+                    dtype=d, name='dec_conv2'),
         ])
         self.entropy_bottleneck = EntropyBottleneck(
             channels=self.num_bottleneck_channels)
 
     def __call__(self, x, mode: str = 'train', train: bool = False):
-        y = self.encoder(x)
+        y = self.encoder(x).astype(jnp.float32)  # entropy math is f32
         if mode == 'train':
             y_hat, likelihoods = self.entropy_bottleneck(y, mode='noise')
             self.sow('entropy', 'eb_out', (y_hat, likelihoods))
@@ -280,7 +286,7 @@ class FPBasedResNetBottleneck(nn.Module):
     # -- deploy path (device side of encode/decode; bytes made on host) ---
     def encode_ops(self, x, medians):
         """Latent integer symbols (round(y - median)) + latent shape."""
-        y = self.encoder(x)
+        y = self.encoder(x).astype(jnp.float32)
         symbols = jnp.round(y - medians).astype(jnp.int32)
         return {'symbols': symbols}
 
@@ -300,6 +306,9 @@ class SHPBasedResNetBottleneck(nn.Module):
     num_target_channels: int = 256
     g_a_channel_sizes: Optional[Sequence[int]] = None
     g_s_channel_sizes: Optional[Sequence[int]] = None
+    # conv compute dtype (see FPBasedResNetBottleneck.dtype): bf16 for
+    # training throughput; entropy math and deploy rounding stay f32
+    dtype: Any = jnp.float32
 
     def setup(self):
         g_a = list(self.g_a_channel_sizes or [
@@ -312,23 +321,23 @@ class SHPBasedResNetBottleneck(nn.Module):
         lch = self.num_latent_channels
         self.g_a = nn.Sequential([
             nn.Conv(g_a[1], (5, 5), (2, 2), ((2, 2), (2, 2)), use_bias=False,
-                    name='g_a_conv0'),
+                    dtype=self.dtype, name='g_a_conv0'),
             GDN1(g_a[1], name='g_a_gdn0'),
             nn.Conv(g_a[2], (5, 5), (2, 2), ((2, 2), (2, 2)), use_bias=False,
-                    name='g_a_conv1'),
+                    dtype=self.dtype, name='g_a_conv1'),
             GDN1(g_a[2], name='g_a_gdn1'),
             nn.Conv(g_a[3], (2, 2), (1, 1), ((0, 0), (0, 0)), use_bias=False,
-                    name='g_a_conv2'),
+                    dtype=self.dtype, name='g_a_conv2'),
         ])
         self.g_s = nn.Sequential([
             nn.Conv(g_s[1], (2, 2), (1, 1), ((1, 1), (1, 1)), use_bias=False,
-                    name='g_s_conv0'),
+                    dtype=self.dtype, name='g_s_conv0'),
             GDN1(g_s[1], inverse=True, name='g_s_igdn0'),
             nn.Conv(g_s[2], (2, 2), (1, 1), ((0, 0), (0, 0)), use_bias=False,
-                    name='g_s_conv1'),
+                    dtype=self.dtype, name='g_s_conv1'),
             GDN1(g_s[2], inverse=True, name='g_s_igdn1'),
             nn.Conv(g_s[3], (2, 2), (1, 1), ((1, 1), (1, 1)), use_bias=False,
-                    name='g_s_conv2'),
+                    dtype=self.dtype, name='g_s_conv2'),
         ])
         self.h_a = self.make_h_a(bch, lch)
         self.h_s = self.make_h_s(bch, lch)
@@ -365,8 +374,8 @@ class SHPBasedResNetBottleneck(nn.Module):
         return h_s_out, None
 
     def __call__(self, x, mode: str = 'train', train: bool = False):
-        y = self.g_a(x)
-        z = self.h_a(self.hyper_input(y))
+        y = self.g_a(x).astype(jnp.float32)  # entropy math is f32
+        z = self.h_a(self.hyper_input(y)).astype(jnp.float32)
         if mode == 'train':
             z_hat, z_lik = self.entropy_bottleneck(z, mode='noise')
             scales, means = self.gaussian_params(self.h_s(z_hat))
@@ -390,8 +399,8 @@ class SHPBasedResNetBottleneck(nn.Module):
         """Device-side half of compress: z symbols (factorized) and y
         symbols+indexes (gaussian). z_hat is reconstructed exactly as the
         decoder will (round with medians) so scales match bit-for-bit."""
-        y = self.g_a(x)
-        z = self.h_a(self.hyper_input(y))
+        y = self.g_a(x).astype(jnp.float32)
+        z = self.h_a(self.hyper_input(y)).astype(jnp.float32)
         z_symbols = jnp.round(z - z_medians).astype(jnp.int32)
         z_hat = z_symbols.astype(jnp.float32) + z_medians
         scales, means = self.gaussian_params(self.h_s(z_hat))

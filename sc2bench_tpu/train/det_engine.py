@@ -147,8 +147,21 @@ class DetectionEngine:
             except FileNotFoundError:
                 pass
         self.max_boxes = int(config.get('max_boxes', 64))
+        # Evaluation IoU types: config/CLI override, else model-derived
+        # like the reference's `get_iou_types`
+        # (`object_detection.py:98-115`): Mask R-CNN adds 'segm',
+        # Keypoint R-CNN adds 'keypoints'.
+        from ..models.detection.rcnn import KeypointRCNN, MaskRCNN
+        if 'iou_types' in config:
+            self.iou_types = [str(t) for t in config['iou_types']]
+        else:
+            self.iou_types = ['bbox']
+            if isinstance(self.student_module, MaskRCNN):
+                self.iou_types.append('segm')
+            if isinstance(self.student_module, KeypointRCNN):
+                self.iou_types.append('keypoints')
         self.bottleneck_updated = False
-        self._eval_fn = None
+        self._eval_fn = {}
 
     def _init(self, module, seed):
         x = jnp.zeros((1, *self.canvas, 3))
@@ -178,28 +191,72 @@ class DetectionEngine:
         padded['boxes'] = padded['boxes'] * scales[:, None, None]
         return jnp.asarray(batch), jax.tree.map(jnp.asarray, padded), scales
 
-    def evaluate(self, data_loader, runtime=None):
+    def evaluate(self, data_loader, runtime=None, use_teacher=False):
         """runtime: a SplitDetectionRuntime for the deploy path (real
-        bitstream + data-size analysis); None = plain jitted forward."""
-        evaluator = CocoEvaluator()
-        if runtime is None and self._eval_fn is None:
+        bitstream + data-size analysis; bbox only — the reference\'s
+        entropic students are Faster R-CNN); None = plain jitted forward
+        scoring every configured iou_type (bbox / segm via the mask head
+        + paste_masks_in_image / keypoints via OKS heatmap decoding, the
+        reference `object_detection.py:118-175` protocol).
+        `use_teacher=True` scores the teacher anchor instead (reference
+        tests it too unless -student_only)."""
+        from ..models.detection.rcnn import KeypointRCNN, MaskRCNN
+        from ..utils.coco_eval import keypoints_from_heatmaps, paste_mask
+        module = self.teacher_module if use_teacher else self.student_module
+        model_variables = self.teacher_variables if use_teacher \
+            else self.student_variables
+        iou_types = self.iou_types if runtime is None else ['bbox']
+        evaluators = {t: CocoEvaluator(iou_type=t) for t in iou_types}
+        want_masks = 'segm' in iou_types and isinstance(module, MaskRCNN)
+        want_kps = 'keypoints' in iou_types and \
+            isinstance(module, KeypointRCNN)
+        fn_key = 'teacher' if use_teacher else 'student'
+        if runtime is None and self._eval_fn.get(fn_key) is None:
             def fwd(variables, x):
-                out = self.student_module.apply(
+                out = module.apply(
                     variables, x, mode='finetune', train=False)
-                return postprocess_detections(out)
-            self._eval_fn = jax.jit(fwd)
+                dets = postprocess_detections(out)
+                extras = {}
+                feats = [f for f in out['features'][:4]]
+                if want_masks:
+                    extras['mask_probs'] = jax.vmap(
+                        lambda fi, bi, li: module.apply(
+                            variables, fi, bi, li,
+                            method=lambda m, f, b, lb: m.predict_masks(
+                                f, b, lb, out['image_hw'])))(
+                        feats, dets['boxes'], dets['labels'])
+                if want_kps:
+                    extras['kp_heatmaps'] = jax.vmap(
+                        lambda fi, bi: module.apply(
+                            variables, fi, bi,
+                            method=lambda m, f, b: m.predict_keypoints(
+                                f, b, out['image_hw'])))(
+                        feats, dets['boxes'])
+                return dets, extras
+            self._eval_fn[fn_key] = jax.jit(fwd)
         meter = MetricLogger()
         import time
 
-        def record(dets, targets, scales):
+        def record(dets, targets, scales, origs=None, extras=None):
             for i, target in enumerate(targets):
-                evaluator.add_gt(target)
+                for ev in evaluators.values():
+                    ev.add_gt(target)
                 valid = np.asarray(dets['valid'][i])
-                evaluator.update({target['image_id']: {
-                    'boxes': np.asarray(dets['boxes'][i])[valid]
-                    / scales[i],
+                boxes = np.asarray(dets['boxes'][i])[valid] / scales[i]
+                pred = {
+                    'boxes': boxes,
                     'scores': np.asarray(dets['scores'][i])[valid],
-                    'labels': np.asarray(dets['labels'][i])[valid]}})
+                    'labels': np.asarray(dets['labels'][i])[valid]}
+                if extras and 'mask_probs' in extras:
+                    oh, ow = origs[i]
+                    probs = np.asarray(extras['mask_probs'][i])[valid]
+                    pred['masks'] = [paste_mask(p, b, oh, ow)
+                                     for p, b in zip(probs, boxes)]
+                if extras and 'kp_heatmaps' in extras:
+                    hm = np.asarray(extras['kp_heatmaps'][i])[valid]
+                    pred['keypoints'] = keypoints_from_heatmaps(hm, boxes)
+                for ev in evaluators.values():
+                    ev.update({target['image_id']: pred})
 
         if runtime is not None:
             # pipelined deploy: stream 16-batch chunks through the runtime
@@ -226,15 +283,20 @@ class DetectionEngine:
             drain()
         else:
             for images, targets in data_loader:
-                batch, scales, _ = self.transform(list(images))
+                batch, scales, origs = self.transform(list(images))
                 t0 = time.time()
-                dets = self._eval_fn(localized(self.student_variables),
-                                     jnp.asarray(batch))
+                dets, extras = self._eval_fn[fn_key](
+                    localized(model_variables), jnp.asarray(batch))
                 meter.update(model_time=time.time() - t0)
-                record(dets, targets, scales)
-        evaluator.synchronize_between_processes()
-        evaluator.accumulate()
-        stats = evaluator.summarize()
+                record(dets, targets, scales, origs, extras)
+        for ev in evaluators.values():
+            ev.synchronize_between_processes()
+            ev.accumulate()
+        primary = 'bbox' if 'bbox' in evaluators else iou_types[0]
+        stats = evaluators[primary].summarize()
+        for t, ev in evaluators.items():
+            if t != primary:
+                stats[t] = ev.summarize()
         logger.info('detection eval: mAP %.4f AP50 %.4f', stats['AP'],
                     stats['AP50'])
         return stats

@@ -216,6 +216,7 @@ class ClassificationEngine:
             self.student_module, self.student_variables,
             input_norm=tuple(input_norm) if input_norm else None)
         self._eval_fn = None
+        self._teacher_eval_fn = None
 
     # ---- data -----------------------------------------------------------
     def build_loader(self, split_config, shard_over_processes=False):
@@ -318,6 +319,27 @@ class ClassificationEngine:
         meter.synchronize_between_processes()
         result = {k: m.global_avg for k, m in meter.meters.items()}
         logger.info('eval: %s', result)
+        return result
+
+    def evaluate_teacher(self, data_loader):
+        """Score the teacher anchor (reference tests the teacher too
+        unless `-student_only`, `image_classification.py:240-242`).
+        Returns None when no teacher is configured."""
+        if self.teacher_module is None:
+            return None
+        if self._teacher_eval_fn is None:
+            self._teacher_eval_fn = jax.jit(
+                lambda variables, x: self.teacher_module.apply(
+                    variables, x, train=False))
+        meter = MetricLogger()
+        variables = localized(self.teacher_variables)
+        for x, y in data_loader:
+            logits = self._teacher_eval_fn(variables, jnp.asarray(x))
+            accs = top_k_accuracy(logits, jnp.asarray(y))
+            meter.update(**{k: float(v) for k, v in accs.items()})
+        meter.synchronize_between_processes()
+        result = {k: m.global_avg for k, m in meter.meters.items()}
+        logger.info('teacher eval: %s', result)
         return result
 
     # ---- training -------------------------------------------------------

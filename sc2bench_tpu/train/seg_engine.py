@@ -91,8 +91,15 @@ class SegmentationEngine:
                           shard_index=jax.process_index()
                           if num_shards > 1 else 0)
 
-    def evaluate(self, data_loader, use_deploy_path=False):
+    def evaluate(self, data_loader, use_deploy_path=False,
+                 use_teacher=False):
+        """`use_teacher=True` scores the teacher anchor via the plain
+        jitted path (reference tests it too unless -student_only)."""
         evaluator = SegEvaluator(self.num_classes)
+        if use_teacher:
+            assert not use_deploy_path, 'teacher eval is plain-forward'
+            if self.teacher_module is None:
+                return None
         if use_deploy_path:
             self.runtime.variables = localized(self.student_variables)
             self.runtime.eval()
@@ -122,14 +129,17 @@ class SegmentationEngine:
                     pred = np.asarray(jnp.argmax(out, -1))
                     evaluator.update(y, pred)
         else:
-            key = 'eval'
+            key = 'teacher' if use_teacher else 'eval'
+            module = self.teacher_module if use_teacher \
+                else self.student_module
+            variables = localized(self.teacher_variables if use_teacher
+                                  else self.student_variables)
             if key not in self._eval_fn:
                 self._eval_fn[key] = jax.jit(
-                    lambda v, x: self.student_module.apply(
+                    lambda v, x: module.apply(
                         v, x, mode='finetune', train=False))
             for x, y in data_loader:
-                out = self._eval_fn[key](localized(self.student_variables),
-                                         jnp.asarray(x))
+                out = self._eval_fn[key](variables, jnp.asarray(x))
                 pred = np.asarray(jnp.argmax(out['out'], -1))
                 evaluator.update(y, pred)
         evaluator.reduce_from_all_processes()

@@ -32,7 +32,6 @@ def child(n_devices: int) -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from sc2bench_tpu.models.backbone import SplittableResNet
     from sc2bench_tpu.models.layer import FPBasedResNetBottleneck
@@ -72,17 +71,14 @@ def child(n_devices: int) -> None:
                 'reduction': 'batchmean'}}, 'weight': 0.08},
         }}},
     }
+    # product path: the box replicates state and shards batches itself
+    # (the same code ClassificationEngine.train runs)
     box = DistillationBox(student, s_vars, stage_config,
                           teacher_module=teacher, teacher_variables=t_vars,
-                          steps_per_epoch=1)
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P('data'))
-    box.state = jax.device_put(box.state, repl)
-    box.teacher_variables = jax.device_put(box.teacher_variables, repl)
+                          steps_per_epoch=1, mesh=mesh)
     rng = np.random.default_rng(0)
-    xb = jax.device_put(
-        rng.normal(0, 1, img).astype(np.float32), data)
-    yb = jax.device_put(np.zeros((batch,), np.int32), data)
+    xb = jnp.asarray(rng.normal(0, 1, img).astype(np.float32))
+    yb = jnp.zeros((batch,), jnp.int32)
 
     metrics = box.train_step(xb, yb, jax.random.key(3))   # compile
     jax.block_until_ready(metrics)

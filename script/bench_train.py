@@ -28,7 +28,8 @@ def build(dtype, batch, image=160):
     from sc2bench_tpu.train.box import DistillationBox
     teacher = ResNet(stage_sizes=(3, 4, 6, 3), num_classes=1000, dtype=dtype)
     student = SplittableResNet(
-        bottleneck_layer=FPBasedResNetBottleneck(num_bottleneck_channels=24),
+        bottleneck_layer=FPBasedResNetBottleneck(
+            num_bottleneck_channels=24, dtype=dtype),
         stage_sizes=(3, 4, 6, 3), num_classes=1000, dtype=dtype)
     x = jnp.zeros((batch, image, image, 3))
     t_vars = jax.jit(lambda r, x: teacher.init(r, x, train=False))(

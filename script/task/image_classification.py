@@ -74,6 +74,13 @@ def main(args):
     logger.info('test result: %s', result)
     for s in summaries:
         logger.info('analysis: %s', s)
+    if not args.student_only \
+            and getattr(engine, 'teacher_module', None) is not None:
+        # reference also scores the teacher anchor unless -student_only
+        # (`image_classification.py:240-242`)
+        test_cfg = config.get('test', {}).get('test_data_loader')
+        if test_cfg:
+            engine.evaluate_teacher(engine.build_loader(test_cfg))
     return result
 
 

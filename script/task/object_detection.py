@@ -24,9 +24,16 @@ def get_argparser():
     parser.add_argument('--run_log')
     parser.add_argument('--seed', type=int, default=42)
     parser.add_argument('--dst_ckpt')
-    parser.add_argument('--iou_types', nargs='+', default=['bbox'])
+    parser.add_argument('--iou_types', nargs='+', default=None,
+                        help='bbox/segm/keypoints; default = model-derived'
+                        ' (reference get_iou_types)')
     parser.add_argument('--world_size', type=int, default=1)
     parser.add_argument('-test_only', action='store_true')
+    parser.add_argument('-student_only', action='store_true',
+                        help='skip the teacher-anchor eval')
+    parser.add_argument('-adjust_lr', action='store_true',
+                        help='multiply training lr by the data-parallel '
+                        'world size (reference -adjust_lr)')
     return parser
 
 
@@ -40,6 +47,10 @@ def main(args):
         import jax
         jax.distributed.initialize()
     config = load_config(args.config, args.json)
+    if args.iou_types:
+        config['iou_types'] = args.iou_types
+    if args.adjust_lr:
+        config['adjust_lr'] = True
     # default geometry: reference 800/1333 with bucketed canvases
     # (engine resolves config canvas_size/min_size/canvas_buckets)
     engine = DetectionEngine(config)
@@ -48,6 +59,13 @@ def main(args):
         logger.info('best val mAP: %s', best)
     stats = engine.test()
     logger.info('test mAP stats: %s', stats)
+    if not args.student_only and engine.wrapper is None \
+            and engine.teacher_module is not None:
+        loader_cfg = config.get('test', {}).get('test_data_loader')
+        if loader_cfg:
+            t_stats = engine.evaluate(engine.build_loader(loader_cfg),
+                                      use_teacher=True)
+            logger.info('teacher mAP stats: %s', t_stats)
     return stats
 
 

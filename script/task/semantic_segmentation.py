@@ -26,6 +26,11 @@ def get_argparser():
     parser.add_argument('--dst_ckpt')
     parser.add_argument('--world_size', type=int, default=1)
     parser.add_argument('-test_only', action='store_true')
+    parser.add_argument('-student_only', action='store_true',
+                        help='skip the teacher-anchor eval')
+    parser.add_argument('-adjust_lr', action='store_true',
+                        help='multiply training lr by the data-parallel '
+                        'world size (reference -adjust_lr)')
     return parser
 
 
@@ -39,6 +44,8 @@ def main(args):
         import jax
         jax.distributed.initialize()
     config = load_config(args.config, args.json)
+    if args.adjust_lr:
+        config['adjust_lr'] = True
     engine = SegmentationEngine(
         config, image_size=config.get('image_size', (512, 512)),
         num_classes=config.get('num_classes', 21))
@@ -49,6 +56,13 @@ def main(args):
     logger.info('test result: %s', result)
     for s in summaries:
         logger.info('analysis: %s', s)
+    if not args.student_only and engine.wrapper is None \
+            and engine.teacher_module is not None:
+        loader_cfg = config.get('test', {}).get('test_data_loader')
+        if loader_cfg:
+            t_result = engine.evaluate(engine.build_loader(loader_cfg),
+                                       use_teacher=True)
+            logger.info('teacher result: %s', t_result)
     return result
 
 

@@ -462,3 +462,78 @@ def test_pre_nms_cap_map_delta_on_dense_scene():
     delta = abs(ap_capped - ap_uncapped)
     # measured delta recorded in PARITY.md (pre_nms_cap deviation)
     assert delta <= 0.01, (ap_capped, ap_uncapped)
+
+
+def _engine_eval_batch(h, w, image_id, with_mask=False, with_kps=False):
+    rng = np.random.default_rng(image_id)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    target = {'boxes': np.asarray([[8.0, 8.0, 40.0, 40.0]], np.float32),
+              'labels': np.asarray([1], np.int32),
+              'area': np.asarray([1024.0], np.float32),
+              'iscrowd': np.asarray([0], np.int32),
+              'image_id': image_id}
+    if with_mask:
+        m = np.zeros((h, w), bool)
+        m[8:40, 8:40] = True
+        target['masks'] = [m]
+    if with_kps:
+        kps = np.zeros((17, 3), np.float32)
+        kps[:, 0] = np.linspace(10, 38, 17)
+        kps[:, 1] = np.linspace(10, 38, 17)
+        kps[:, 2] = 2  # labeled+visible
+        target['keypoints'] = [kps]
+    return [img], [target]
+
+
+def test_engine_mask_rcnn_segm_eval():
+    """iou_types derive from the model (reference get_iou_types,
+    `object_detection.py:98-115`): Mask R-CNN scores bbox AND segm via
+    the mask head + paste_masks_in_image through the engine eval path."""
+    from sc2bench_tpu.train.det_engine import DetectionEngine
+    config = {
+        'dependencies': ['sc2bench_tpu.models'],
+        'min_size': 64, 'canvas_size': 64, 'max_boxes': 8,
+        'models': {'model': {
+            'key': 'mask_rcnn_model',
+            'kwargs': {'num_classes': 5,
+                       'backbone_config': {
+                           'resnet_name': 'resnet50',
+                           'bottleneck_config': {
+                               'key': 'FPBasedResNetBottleneck',
+                               'kwargs': {'num_bottleneck_channels': 8,
+                                          'num_target_channels': 256}}}}}},
+    }
+    engine = DetectionEngine(config)
+    assert engine.iou_types == ['bbox', 'segm']
+    loader = [_engine_eval_batch(64, 64, i, with_mask=True)
+              for i in range(2)]
+    stats = engine.evaluate(loader)
+    assert np.isfinite(stats['AP'])
+    assert 'segm' in stats and np.isfinite(stats['segm']['AP'])
+
+
+def test_engine_keypoint_rcnn_oks_eval():
+    """Keypoint R-CNN scores bbox AND keypoints (OKS via heatmap
+    decoding) through the engine eval path."""
+    from sc2bench_tpu.train.det_engine import DetectionEngine
+    config = {
+        'dependencies': ['sc2bench_tpu.models'],
+        'min_size': 64, 'canvas_size': 64, 'max_boxes': 8,
+        'iou_types': ['bbox', 'keypoints'],  # CLI --iou_types override
+        'models': {'model': {
+            'key': 'keypoint_rcnn_model',
+            'kwargs': {'num_classes': 2,
+                       'backbone_config': {
+                           'resnet_name': 'resnet50',
+                           'bottleneck_config': {
+                               'key': 'FPBasedResNetBottleneck',
+                               'kwargs': {'num_bottleneck_channels': 8,
+                                          'num_target_channels': 256}}}}}},
+    }
+    engine = DetectionEngine(config)
+    assert engine.iou_types == ['bbox', 'keypoints']
+    loader = [_engine_eval_batch(64, 64, i, with_kps=True)
+              for i in range(2)]
+    stats = engine.evaluate(loader)
+    assert np.isfinite(stats['AP'])
+    assert 'keypoints' in stats and np.isfinite(stats['keypoints']['AP'])

@@ -252,3 +252,31 @@ def test_uint8_input_device_normalization():
     streamed = rt.stream_deploy([jnp.asarray(raw)] * 2, depth=2, workers=2)
     np.testing.assert_allclose(out_u8, np.asarray(streamed[0]),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_fp_bottleneck_bf16_dtype_optin():
+    """Opt-in bf16 conv dtype: encoder output is bf16 (MXU-rate training),
+    but entropy math and deploy symbol rounding stay f32 — deploy symbols
+    from the bf16 model agree with the f32 model within rounding."""
+    mf32, v = _build_fp()
+    mbf = SplittableResNet(
+        bottleneck_layer=FPBasedResNetBottleneck(
+            num_bottleneck_channels=8, num_target_channels=256,
+            dtype=jnp.bfloat16),
+        stage_sizes=(1, 1, 1, 1), num_classes=NUM_CLASSES)
+    x = jax.random.normal(jax.random.key(0), IMG)
+    lat = mbf.apply(v, x, method=lambda m, x: m.bottleneck_layer.encoder(x))
+    assert lat.dtype == jnp.bfloat16
+    med = jnp.zeros((8,), jnp.float32)
+    sym_bf = mbf.apply(v, x, med, method=lambda m, x, md:
+                       m.bottleneck_layer.encode_ops(x, md))['symbols']
+    sym_f32 = mf32.apply(v, x, med, method=lambda m, x, md:
+                         m.bottleneck_layer.encode_ops(x, md))['symbols']
+    assert sym_bf.dtype == jnp.int32
+    # bf16 conv rounding can flip symbols sitting near .5 boundaries only
+    frac_diff = float(jnp.mean((sym_bf != sym_f32).astype(jnp.float32)))
+    assert frac_diff < 0.2, frac_diff
+    out = mbf.apply(v, x, mode='train', train=False,
+                    rngs={'noise': jax.random.key(1)})
+    assert bool(jnp.all(jnp.isfinite(out)))
