@@ -130,6 +130,20 @@ def bench_serving(rt, images, n_iter=120, n_trials=3):
     return trials
 
 
+def bench_device_wire(rt, images, n_iter=120, n_trials=3):
+    """Device-rANS wire mode: entropy coding fused into the encode
+    program, decode from device-resident streams — the only per-image
+    host interaction is an 8-byte meta read (ops/rans/device.py)."""
+    rt.stream_deploy_device([images[i % len(images)] for i in range(6)])
+    trials = []
+    for _ in range(n_trials):
+        stream = [images[i % len(images)] for i in range(n_iter)]
+        t0 = time.perf_counter()
+        rt.stream_deploy_device(stream, depth=16, workers=8)
+        trials.append(n_iter / (time.perf_counter() - t0))
+    return trials
+
+
 def bench_fresh_upload(n_iter=96):
     """Unique uint8 image per iteration through device-side input_norm:
     measures the real host->device upload path a serving frontend sees
@@ -210,6 +224,7 @@ def main():
     trials, best_timings = bench_deploy(rt, images)
     ips = max(trials)
     serving_trials = bench_serving(rt, images)
+    device_wire_trials = bench_device_wire(rt, images)
     fresh_ips = bench_fresh_upload()
     device = bench_device_programs(rt, images[0])
     train = bench_train()
@@ -228,6 +243,8 @@ def main():
             round(max(serving_trials), 2),
         'serving_trials': [round(t, 2) for t in serving_trials],
         'fresh_upload_uint8_ips': round(fresh_ips, 2),
+        'device_wire_rans_ips': round(max(device_wire_trials), 2),
+        'device_wire_trials': [round(t, 2) for t in device_wire_trials],
         'stage_ms_per_image': {
             k: round(v / n_iter * 1000, 2)
             for k, v in sorted(best_timings.items())},

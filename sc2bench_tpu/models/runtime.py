@@ -264,6 +264,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
         # cache device-resident table constants: re-uploading per call costs
         # a host->device round trip each (pathological over a TPU tunnel)
         self._medians_dev = jnp.asarray(self.codec.tables.medians)
+        self._cdf_dev = None   # device-wire table cache (rebuilt lazily)
         self.bottleneck_updated = True
         return True
 
@@ -449,6 +450,167 @@ class SplitClassifierRuntime(AnalyzerHolder):
         channels = self.codec.tables.medians.shape[0]
         symbols = self.codec.decompress_wire(strings, shape, channels)
         return self._decode_call(jnp.asarray(symbols))
+
+    # ---- device-rANS wire mode (entropy coding ON the TPU) --------------
+    def _device_tables(self):
+        if getattr(self, '_cdf_dev', None) is None:
+            t = self.codec.tables
+            self._cdf_dev = jnp.asarray(t.quantized_cdf)
+            self._cdf_len_dev = jnp.asarray(t.cdf_length)
+            self._offset_dev = jnp.asarray(t.offset)
+        return self._cdf_dev, self._cdf_len_dev, self._offset_dev
+
+    def encode_device_wire(self, x, num_lanes=256):
+        """Mobile-side program with the entropy coder FUSED into the same
+        XLA program (`ops/rans/device.py`): one dispatch produces the
+        per-lane rANS streams on-device. Nothing symbol-sized crosses the
+        host boundary — the compacted bitstream (~entropy-sized) is pulled
+        only for byte accounting, and the in-process decode consumes the
+        device-resident streams directly."""
+        from ..ops.rans.device import device_rans_encode
+        cdf, cdf_len, off = self._device_tables()
+
+        def enc(variables, x, medians, cdf, cdf_len, off):
+            ops = self.module.apply(
+                variables, self._prep_input(x), medians,
+                method=lambda m, x, med:
+                    m.bottleneck_layer.encode_ops(x, med))
+            sym = ops['symbols']
+            n, h, w, c = sym.shape
+            flat = sym.reshape(-1)
+            idx = jnp.tile(jnp.arange(c, dtype=jnp.int32),
+                           flat.shape[0] // c)
+            out = device_rans_encode(flat, idx, cdf, cdf_len, off,
+                                       num_lanes=num_lanes)
+            # ok + exact wire size in ONE tiny array: the host reads it
+            # with a single round trip (the accounted data size depends
+            # only on the byte count, which is known on device)
+            out['meta'] = jnp.stack([out['ok'].astype(jnp.int32),
+                                     out['nbytes']])
+            return out
+        out = self._jitted(f'encode_devwire{num_lanes}', enc)(
+            self.variables, x, self._medians_dev, cdf, cdf_len, off)
+        out['shape'] = self._latent_shape(x.shape)
+        return out
+
+    def _latent_shape(self, x_shape):
+        """(h, w, c) of the bottleneck latent for an input shape (host
+        ints, via eval_shape — no device work)."""
+        key = ('latent_shape', tuple(x_shape))
+        if key not in self._jit_cache:
+            sym = jax.eval_shape(
+                lambda v, x, m: self.module.apply(
+                    v, x, m, method=lambda mod, x, med:
+                        mod.bottleneck_layer.encode_ops(x, med)),
+                self.variables, jax.ShapeDtypeStruct(tuple(x_shape),
+                                                     jnp.float32),
+                jax.ShapeDtypeStruct(self._medians_dev.shape, jnp.float32))
+            self._jit_cache[key] = tuple(sym['symbols'].shape[1:])
+        return self._jit_cache[key]
+
+    def decode_device_streams(self, streams, states, shape, num_lanes=256):
+        """Server-side program from device-resident (or uploaded) rANS
+        streams: decode symbols + bottleneck decode + tail, one dispatch."""
+        from ..ops.rans.device import device_rans_decode
+        cdf, cdf_len, off = self._device_tables()
+        h, w, c = shape
+        n_symbols = h * w * c
+
+        def dec(variables, streams, states, medians, cdf, cdf_len, off):
+            idx = jnp.tile(jnp.arange(c, dtype=jnp.int32), h * w)
+            flat, valid = device_rans_decode(
+                streams, states, idx, cdf, cdf_len, off,
+                n_symbols=n_symbols, num_lanes=num_lanes)
+            sym = flat.reshape(1, h, w, c)
+
+            def m_fn(m, s, med):
+                feat = m.bottleneck_layer.decode_ops(s, med)
+                return m.forward_tail(feat)
+            return self.module.apply(variables, sym, medians,
+                                     method=m_fn), valid
+        return self._jitted(f'decode_devwire{h}x{w}x{c}', dec)(
+            self.variables, streams, states, self._medians_dev,
+            cdf, cdf_len, off)
+
+    def _pull_device_wire(self, ops):
+        """Compact the device streams for accounting: d2h of `lengths`
+        (tiny) first, then a bucketed slice of the stream matrix — the
+        transfer is ~entropy-sized instead of symbol-sized, and the
+        bucket set bounds recompiles at log2(L)."""
+        from ..ops.rans.device import pack_stream
+        lengths = np.asarray(ops['lengths'])
+        lmax = max(int(lengths.max()), 1)
+        total = ops['streams'].shape[1]
+        bucket = 1 << (lmax - 1).bit_length()
+        bucket = min(bucket, total)
+        sliced = self._jitted(
+            f'devwire_slice{bucket}',
+            lambda s: jax.lax.slice_in_dim(s, 0, bucket, axis=1))(
+            ops['streams'])
+        return pack_stream({'streams': np.asarray(sliced),
+                            'lengths': lengths,
+                            'states': np.asarray(ops['states'])})
+
+    def stream_deploy_device(self, images, depth: int = 8, workers: int = 4,
+                             num_lanes: int = 256, pull_wire: bool = False,
+                             timings: dict | None = None):
+        """Pipelined batch-1 serving with the device-rANS wire: encode and
+        entropy-code in ONE device program, account the compacted
+        bitstream, decode from the device-resident streams (no
+        symbol-sized transfer in either direction). Out-of-support
+        latents (never produced by a trained model) fall back to the
+        host-coder path per image."""
+        import time as _time
+        if isinstance(self.codec, HyperpriorCodec) or self._module_level_ops:
+            raise ValueError('device-rANS wire supports the '
+                             'factorized-prior bottleneck runtime')
+        images = list(images)
+        n = len(images)
+        if n == 0:
+            return []
+
+        def dispatch(i):
+            ops = self.encode_device_wire(images[i], num_lanes=num_lanes)
+            try:
+                ops['meta'].copy_to_host_async()
+            except Exception:
+                pass
+            return i, ops
+
+        def host_stage(arg):
+            i, ops = arg
+            t0 = _time.perf_counter()
+            ok, nbytes = (int(v) for v in np.asarray(ops['meta']))
+            if not ok:
+                # rare escape-coded latent: serial host path for this image
+                compressed = self.encode(images[i])
+                self.analyze(compressed)
+                return self.decode(**compressed)
+            if pull_wire:
+                wire = self._pull_device_wire(ops)
+                assert len(wire) == nbytes
+            else:
+                # account the EXACT wire size without pulling content:
+                # pickle size of a bytes object depends only on length
+                wire = bytes(nbytes)
+            self.analyze({'strings': [[wire]],
+                          'shape': ops['shape'][:2]})
+            t1 = _time.perf_counter()
+            logits, valid = self.decode_device_streams(
+                ops['streams'], ops['states'], ops['shape'],
+                num_lanes=num_lanes)
+            if timings is not None:
+                timings['account_d2h'] = \
+                    timings.get('account_d2h', 0.0) + t1 - t0
+                timings['decode_dispatch'] = \
+                    timings.get('decode_dispatch', 0.0) \
+                    + _time.perf_counter() - t1
+            return logits
+
+        results = list(pipeline_stream(n, dispatch, host_stage, depth,
+                                       workers))
+        jax.block_until_ready(results[-1])
+        return results
 
     # ---- async deploy pieces (for pipelined batch-1 streaming) ----------
     _to_wire = staticmethod(to_wire)

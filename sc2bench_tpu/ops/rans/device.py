@@ -1,0 +1,264 @@
+"""Device-side (TPU) interleaved rANS entropy codec — pure XLA, jittable.
+
+The reference's entropy coding runs in CompressAI's serial C++ on the host
+(`/root/reference/sc2bench/models/layer.py:506,520`); this repo's C++ coder
+(`rans.cpp`) reproduces that placement and format. This module is the
+TPU-native alternative: N independent rANS lanes encoded/decoded as one
+vectorized `lax.scan` ON the accelerator, so the deploy pipeline can ship
+the ~entropy-sized bitstream across the host boundary instead of the raw
+symbol tensor (5-15x fewer device<->host bytes), and a real two-node
+deployment entropy-codes at memory-bandwidth rate with zero host work.
+
+Why this is jittable where the CompressAI format is not: the C++ format
+renormalizes in 8-bit chunks (0-3 emissions per symbol — data-dependent
+control flow). Here the state is 32-bit, the probability precision is 16
+bits, and renormalization moves 16 bits at a time; with state invariant
+x in [2^16, 2^32), each encode step emits EXACTLY 0 or 1 uint16 and each
+decode step reads exactly 0 or 1 — static shapes, so the whole codec is a
+`lax.scan` of elementwise uint32 arithmetic + CDF gathers over (L, N)
+blocks (L = ceil(n/num_lanes) steps, N lanes in the vector dimension).
+
+Format ("tpu-lane-v1", self-describing, NOT the CompressAI wire format —
+the reference measurement protocol keeps the host coder; this is the
+serving fast path):
+  - symbols are distributed lane-major: lane j codes positions j, j+N, ...
+  - per lane: final encoder state (uint32) + its uint16 renorm stream in
+    decode order; `pack_stream` lays out [N, lengths(u16 each), states,
+    streams] and `unpack_stream` restores the device arrays.
+  - out-of-range symbols (outside the CDF support) are NOT escape-coded;
+    `encode` returns `ok=False` and the caller falls back to the host
+    coder (trained latents are in-support by construction of `update()`).
+
+Bit-exactness: the same integer arithmetic runs on TPU and CPU backends
+(uint32 ops are exact); `numpy_oracle_encode/decode` pin the format
+independently of XLA.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+PRECISION = 16
+RANS_L = np.uint32(1) << 16          # state lower bound (= renorm base)
+_MASK16 = np.uint32((1 << 16) - 1)
+
+
+def _blocks(symbols, indexes, num_lanes):
+    """Pad to a multiple of num_lanes (with index-0 symbols at the lowest
+    in-support value) and reshape lane-major to (L, N)."""
+    n = symbols.shape[0]
+    lanes = int(num_lanes)
+    steps = -(-n // lanes)
+    pad = steps * lanes - n
+    if pad:
+        symbols = jnp.concatenate(
+            [symbols, jnp.zeros((pad,), symbols.dtype)])
+        indexes = jnp.concatenate(
+            [indexes, jnp.zeros((pad,), indexes.dtype)])
+    return (symbols.reshape(steps, lanes), indexes.reshape(steps, lanes),
+            n, pad)
+
+
+def device_rans_encode(symbols, indexes, quantized_cdf, cdf_length, offset,
+                       num_lanes: int = 256):
+    """Encode flat int32 `symbols` with per-symbol distribution `indexes`
+    against 16-bit-precision CDF tables (the same tables the host coder
+    uses). Returns dict with:
+      streams (N, L) uint16  — per-lane renorm chunks, decode order,
+                               zero-padded to L
+      lengths (N,) int32     — valid chunks per lane
+      states  (N,) uint32    — final per-lane states (decoder init)
+      ok      ()  bool       — all symbols in CDF support (else fall back
+                               to the host escape-coding path)
+      nbytes  ()  int32      — exact packed wire size
+    Jittable; all shapes static given (n, num_lanes)."""
+    cdf = jnp.asarray(quantized_cdf, jnp.int32)
+    cdf_len = jnp.asarray(cdf_length, jnp.int32)
+    off = jnp.asarray(offset, jnp.int32)
+    sym2, idx2, n, pad = _blocks(jnp.asarray(symbols, jnp.int32),
+                                 jnp.asarray(indexes, jnp.int32), num_lanes)
+    steps, lanes = sym2.shape
+    # When padding, the pad symbols must be in-support for distribution 0:
+    # value v=0 (cdf row 0 starts at 0 with freq >= 1 by construction).
+    if pad:
+        lane_pos = jnp.arange(lanes)
+        pad_mask = (jnp.arange(steps)[:, None] * lanes + lane_pos) >= n
+        # lane-major: position of (t, j) in the flat order is t*lanes+j
+        sym2 = jnp.where(pad_mask, off[0], sym2)
+        idx2 = jnp.where(pad_mask, 0, idx2)
+    v = sym2 - off[idx2]
+    maxv = cdf_len[idx2] - 2                     # escape slot excluded
+    ok = jnp.all((v >= 0) & (v < maxv))
+    vc = jnp.clip(v, 0, maxv - 1)
+    start = cdf[idx2, vc].astype(jnp.uint32)
+    freq = (cdf[idx2, vc + 1] - cdf[idx2, vc]).astype(jnp.uint32)
+
+    def step(x, sf):
+        st, fr = sf
+        renorm = x >= (fr << 16)
+        chunk = (x & _MASK16).astype(jnp.uint16)
+        x = jnp.where(renorm, x >> 16, x)
+        x = ((x // fr) << PRECISION) + (x % fr) + st
+        return x, (chunk, renorm)
+
+    x0 = jnp.full((lanes,), RANS_L, jnp.uint32)
+    # rANS encodes in reverse symbol order; scan the flipped blocks
+    x_final, (chunks, masks) = jax.lax.scan(
+        step, x0, (jnp.flip(start, 0), jnp.flip(freq, 0)))
+    # decoder reads in forward symbol order -> flip emissions back
+    chunks = jnp.flip(chunks, 0)                 # (L, N), decode order
+    masks = jnp.flip(masks, 0)
+    # compact each lane's stream to the front of its row (stable order)
+    order = jnp.argsort(~masks, axis=0, stable=True)      # True-first
+    streams = jnp.take_along_axis(
+        jnp.where(masks, chunks, 0), order, axis=0).T     # (N, L)
+    lengths = jnp.sum(masks, axis=0).astype(jnp.int32)    # (N,)
+    nbytes = 4 + 2 * lanes + 4 * lanes + 2 * jnp.sum(lengths)
+    return {'streams': streams, 'lengths': lengths, 'states': x_final,
+            'ok': ok, 'nbytes': nbytes.astype(jnp.int32),
+            'n_symbols': n}
+
+
+def device_rans_decode(streams, states, indexes, quantized_cdf, cdf_length,
+                       offset, n_symbols: int, num_lanes: int = 256):
+    """Decode (N, L) uint16 `streams` + (N,) uint32 `states` back into the
+    flat symbol array. `indexes` must match the encoder's. Jittable."""
+    cdf = jnp.asarray(quantized_cdf, jnp.int32)
+    cdf_len = jnp.asarray(cdf_length, jnp.int32)
+    off = jnp.asarray(offset, jnp.int32)
+    _, idx2, n, _ = _blocks(jnp.zeros((n_symbols,), jnp.int32),
+                            jnp.asarray(indexes, jnp.int32), num_lanes)
+    steps, lanes = idx2.shape
+    if idx2.shape[0] * lanes != n_symbols:       # padded tail: index 0
+        lane_pos = jnp.arange(lanes)
+        pad_mask = (jnp.arange(steps)[:, None] * lanes + lane_pos) \
+            >= n_symbols
+        idx2 = jnp.where(pad_mask, 0, idx2)
+    max_cols = cdf.shape[1]
+    col = jnp.arange(max_cols)
+    streams = jnp.asarray(streams, jnp.uint16)
+
+    def step(carry, idx_t):
+        x, ptr = carry
+        slot = (x & _MASK16).astype(jnp.int32)
+        rows = cdf[idx_t]                                   # (N, max_cols)
+        within = (rows <= slot[:, None]) \
+            & (col[None, :] < cdf_len[idx_t][:, None])
+        v = jnp.sum(within, axis=1).astype(jnp.int32) - 1
+        st = cdf[idx_t, v].astype(jnp.uint32)
+        fr = (cdf[idx_t, v + 1] - cdf[idx_t, v]).astype(jnp.uint32)
+        x = fr * (x >> 16) + slot.astype(jnp.uint32) - st
+        need = x < RANS_L
+        nxt = jnp.take_along_axis(
+            streams, jnp.clip(ptr, 0, streams.shape[1] - 1)[:, None],
+            axis=1)[:, 0].astype(jnp.uint32)
+        x = jnp.where(need, (x << 16) | nxt, x)
+        ptr = ptr + need.astype(jnp.int32)
+        return (x, ptr), v + off[idx_t]
+
+    x0 = jnp.asarray(states, jnp.uint32)
+    ptr0 = jnp.zeros((lanes,), jnp.int32)
+    (x_end, _), out = jax.lax.scan(step, (x0, ptr0), idx2)
+    # integrity: a well-formed stream returns every lane to RANS_L
+    valid = jnp.all(x_end == RANS_L)
+    return out.reshape(-1)[:n_symbols], valid
+
+
+# ---------------------------------------------------------------------------
+# Host packing of the wire format (exact nbytes as reported by encode)
+# ---------------------------------------------------------------------------
+
+def pack_stream(encoded: dict) -> bytes:
+    """[u16 num_lanes][u16 reserved][N u16 lengths][N u32 states]
+    [concat per-lane u16 chunks] — little endian."""
+    streams = np.asarray(encoded['streams'])
+    lengths = np.asarray(encoded['lengths'])
+    states = np.asarray(encoded['states'])
+    lanes = streams.shape[0]
+    head = np.asarray([lanes, 0], np.uint16).tobytes()
+    body = [head, lengths.astype(np.uint16).tobytes(),
+            states.astype(np.uint32).tobytes()]
+    for j in range(lanes):
+        body.append(streams[j, :lengths[j]].astype(np.uint16).tobytes())
+    return b''.join(body)
+
+
+def unpack_stream(data: bytes):
+    """-> (streams (N, Lmax) uint16 zero-padded, states (N,) uint32)."""
+    lanes = int(np.frombuffer(data[:2], np.uint16)[0])
+    o = 4
+    lengths = np.frombuffer(data[o:o + 2 * lanes], np.uint16).astype(np.int64)
+    o += 2 * lanes
+    states = np.frombuffer(data[o:o + 4 * lanes], np.uint32).copy()
+    o += 4 * lanes
+    lmax = int(lengths.max()) if lanes else 0
+    streams = np.zeros((lanes, max(lmax, 1)), np.uint16)
+    for j in range(lanes):
+        k = int(lengths[j])
+        streams[j, :k] = np.frombuffer(data[o:o + 2 * k], np.uint16)
+        o += 2 * k
+    return streams, states
+
+
+# ---------------------------------------------------------------------------
+# Numpy oracle: pins the lane format independently of XLA
+# ---------------------------------------------------------------------------
+
+def numpy_oracle_encode(symbols, indexes, cdf, cdf_length, offset,
+                        num_lanes=256):
+    symbols = np.asarray(symbols, np.int64)
+    indexes = np.asarray(indexes, np.int64)
+    n = len(symbols)
+    steps = -(-n // num_lanes)
+    pad = steps * num_lanes - n
+    if pad:
+        symbols = np.concatenate(
+            [symbols, np.full(pad, offset[0], np.int64)])
+        indexes = np.concatenate([indexes, np.zeros(pad, np.int64)])
+    sym2 = symbols.reshape(steps, num_lanes)
+    idx2 = indexes.reshape(steps, num_lanes)
+    x = np.full(num_lanes, int(RANS_L), np.uint64)
+    streams = [[] for _ in range(num_lanes)]
+    for t in range(steps - 1, -1, -1):
+        v = sym2[t] - np.asarray(offset)[idx2[t]]
+        assert np.all((v >= 0) & (v < np.asarray(cdf_length)[idx2[t]] - 2))
+        st = np.asarray(cdf)[idx2[t], v].astype(np.uint64)
+        fr = (np.asarray(cdf)[idx2[t], v + 1]
+              - np.asarray(cdf)[idx2[t], v]).astype(np.uint64)
+        renorm = x >= (fr << 16)
+        for j in np.nonzero(renorm)[0]:
+            streams[j].append(int(x[j] & 0xFFFF))
+            x[j] >>= 16
+        x = ((x // fr) << PRECISION) + (x % fr) + st
+    # decode order = reverse emission order per lane
+    streams = [list(reversed(s)) for s in streams]
+    return streams, x.astype(np.uint32)
+
+
+def numpy_oracle_decode(streams, states, indexes, cdf, cdf_length, offset,
+                        n_symbols, num_lanes=256):
+    indexes = np.asarray(indexes, np.int64)
+    steps = -(-n_symbols // num_lanes)
+    pad = steps * num_lanes - n_symbols
+    if pad:
+        indexes = np.concatenate([indexes, np.zeros(pad, np.int64)])
+    idx2 = indexes.reshape(steps, num_lanes)
+    x = np.asarray(states, np.uint64).copy()
+    ptr = np.zeros(num_lanes, np.int64)
+    out = np.zeros((steps, num_lanes), np.int64)
+    cdf = np.asarray(cdf)
+    for t in range(steps):
+        for j in range(num_lanes):
+            slot = int(x[j] & 0xFFFF)
+            row = cdf[idx2[t, j]][:int(np.asarray(cdf_length)[idx2[t, j]])]
+            v = int(np.searchsorted(row, slot, side='right')) - 1
+            st, fr = int(row[v]), int(row[v + 1] - row[v])
+            x[j] = fr * (x[j] >> 16) + slot - st
+            if x[j] < int(RANS_L):
+                x[j] = (x[j] << 16) | streams[j][int(ptr[j])]
+                ptr[j] += 1
+            out[t, j] = v + int(np.asarray(offset)[idx2[t, j]])
+    assert np.all(x == int(RANS_L)), 'corrupt stream'
+    return out.reshape(-1)[:n_symbols]

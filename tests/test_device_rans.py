@@ -1,0 +1,207 @@
+"""Device-side (pure-XLA) interleaved rANS codec tests: bit-exact round
+trip under jit, format pinned by a numpy oracle, size tracking the
+entropy bound, and the out-of-support fallback signal."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sc2bench_tpu.ops.rans.device import (
+    RANS_L, device_rans_decode, device_rans_encode, numpy_oracle_decode,
+    numpy_oracle_encode, pack_stream, unpack_stream)
+
+
+def _tables(num_dists=6, support=33, seed=0):
+    """Random 16-bit-precision CDF tables shaped like the production ones
+    (zero-padded rows, +2 columns, escape slot)."""
+    rng = np.random.default_rng(seed)
+    max_len = support + 2
+    cdf = np.zeros((num_dists, max_len + 1), np.int32)
+    cdf_length = np.full(num_dists, max_len + 1, np.int32)
+    offset = rng.integers(-20, -5, num_dists).astype(np.int32)
+    for c in range(num_dists):
+        w = rng.uniform(0.05, 1.0, max_len)
+        freqs = np.maximum((w / w.sum() * (1 << 16)).astype(np.int64), 1)
+        freqs[-1] += (1 << 16) - freqs.sum()
+        assert freqs.min() >= 1
+        cdf[c, 1:] = np.cumsum(freqs)
+    return cdf, cdf_length, offset
+
+
+def _symbols(cdf, cdf_length, offset, n, seed=1):
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, cdf.shape[0], n).astype(np.int32)
+    # sample from each row's actual distribution (entropy-matched sizes)
+    u = rng.integers(0, 1 << 16, n)
+    sym = np.empty(n, np.int32)
+    for c in range(cdf.shape[0]):
+        m = idx == c
+        row = cdf[c][:cdf_length[c]]
+        # keep inside the coded support (escape slot excluded)
+        v = np.clip(np.searchsorted(row, u[m], side='right') - 1,
+                    0, cdf_length[c] - 3)
+        sym[m] = v + offset[c]
+    return sym, idx
+
+
+@pytest.mark.parametrize('n,num_lanes', [(4096, 256), (1000, 64),
+                                         (257, 8)])
+def test_roundtrip_bit_exact_under_jit(n, num_lanes):
+    cdf, cdf_length, offset = _tables()
+    sym, idx = _symbols(cdf, cdf_length, offset, n)
+    enc = jax.jit(device_rans_encode,
+                  static_argnames=('num_lanes',))(
+        sym, idx, cdf, cdf_length, offset, num_lanes=num_lanes)
+    assert bool(enc['ok'])
+    dec, valid = jax.jit(device_rans_decode,
+                         static_argnames=('n_symbols', 'num_lanes'))(
+        enc['streams'], enc['states'], idx, cdf, cdf_length, offset,
+        n_symbols=n, num_lanes=num_lanes)
+    assert bool(valid)
+    np.testing.assert_array_equal(np.asarray(dec), sym)
+
+
+def test_format_matches_numpy_oracle():
+    """The XLA scan and the plain-python oracle must produce identical
+    per-lane streams and states — pins the wire format."""
+    cdf, cdf_length, offset = _tables(num_dists=4, support=17, seed=3)
+    sym, idx = _symbols(cdf, cdf_length, offset, 777, seed=4)
+    lanes = 32
+    enc = device_rans_encode(sym, idx, cdf, cdf_length, offset,
+                             num_lanes=lanes)
+    o_streams, o_states = numpy_oracle_encode(
+        sym, idx, cdf, cdf_length, offset, num_lanes=lanes)
+    np.testing.assert_array_equal(np.asarray(enc['states']), o_states)
+    lengths = np.asarray(enc['lengths'])
+    streams = np.asarray(enc['streams'])
+    for j in range(lanes):
+        np.testing.assert_array_equal(
+            streams[j, :lengths[j]], np.asarray(o_streams[j], np.uint16))
+    # oracle decode reads the device-produced streams
+    dec = numpy_oracle_decode(
+        [list(streams[j, :lengths[j]]) for j in range(lanes)],
+        np.asarray(enc['states']), idx, cdf, cdf_length, offset,
+        n_symbols=len(sym), num_lanes=lanes)
+    np.testing.assert_array_equal(dec, sym)
+
+
+def test_pack_unpack_roundtrip_and_size():
+    cdf, cdf_length, offset = _tables()
+    sym, idx = _symbols(cdf, cdf_length, offset, 2048, seed=7)
+    enc = device_rans_encode(sym, idx, cdf, cdf_length, offset,
+                             num_lanes=128)
+    wire = pack_stream(enc)
+    assert len(wire) == int(enc['nbytes'])
+    streams, states = unpack_stream(wire)
+    np.testing.assert_array_equal(states, np.asarray(enc['states']))
+    dec, valid = device_rans_decode(streams, states, idx, cdf, cdf_length,
+                                    offset, n_symbols=len(sym),
+                                    num_lanes=128)
+    assert bool(valid)
+    np.testing.assert_array_equal(np.asarray(dec), sym)
+
+
+def test_size_tracks_entropy_bound():
+    """Payload bytes within a few percent of the CDF cross-entropy bound
+    (lane-state overhead excluded — it's the fixed 6 bytes/lane)."""
+    cdf, cdf_length, offset = _tables(num_dists=3, support=65, seed=9)
+    n, lanes = 1 << 15, 256
+    sym, idx = _symbols(cdf, cdf_length, offset, n, seed=10)
+    enc = device_rans_encode(sym, idx, cdf, cdf_length, offset,
+                             num_lanes=lanes)
+    payload_bits = 16 * float(np.sum(np.asarray(enc['lengths'])))
+    v = sym - offset[idx]
+    freqs = (cdf[idx, v + 1] - cdf[idx, v]).astype(np.float64)
+    bound_bits = float(-np.sum(np.log2(freqs / (1 << 16))))
+    # renorm quantization + per-lane tails cost a little; states carry
+    # ~16-32 payload bits each at flush which the bound counts but the
+    # stream doesn't
+    assert payload_bits <= bound_bits * 1.05 + 16 * lanes
+    assert payload_bits >= bound_bits * 0.90 - 32 * lanes
+
+
+def test_out_of_support_signals_fallback():
+    cdf, cdf_length, offset = _tables()
+    sym, idx = _symbols(cdf, cdf_length, offset, 512, seed=11)
+    sym[100] = offset.min() - 5  # below every support
+    enc = device_rans_encode(sym, idx, cdf, cdf_length, offset,
+                             num_lanes=64)
+    assert not bool(enc['ok'])
+
+
+def test_production_tables_roundtrip():
+    """Round trip against REAL factorized-prior tables (the flagship's
+    update() output), cyclic channel indexes like the deploy layout."""
+    from sc2bench_tpu.ops.entropy.factorized import EntropyBottleneck
+    from sc2bench_tpu.ops.entropy.tables import build_factorized_tables
+    ch = 8
+    eb = EntropyBottleneck(channels=ch)
+    variables = eb.init({'params': jax.random.key(0)},
+                        jnp.zeros((1, 4, 4, ch)), mode='dequantize')
+    t = build_factorized_tables(eb, {'params': variables['params']})
+    h = w = 14
+    rng = np.random.default_rng(0)
+    # in-support symbols around the medians
+    sym = (np.round(rng.normal(0, 1.5, (h * w * ch)))
+           + np.round(t.medians[np.tile(np.arange(ch), h * w)])) \
+        .astype(np.int32)
+    lo = t.offset[np.tile(np.arange(ch), h * w)]
+    hi = lo + t.cdf_length[np.tile(np.arange(ch), h * w)] - 3
+    sym = np.clip(sym, lo, hi)
+    idx = np.tile(np.arange(ch, dtype=np.int32), h * w)
+    enc = device_rans_encode(sym, idx, t.quantized_cdf, t.cdf_length,
+                             t.offset, num_lanes=49)
+    assert bool(enc['ok'])
+    dec, valid = device_rans_decode(
+        enc['streams'], enc['states'], idx, t.quantized_cdf, t.cdf_length,
+        t.offset, n_symbols=len(sym), num_lanes=49)
+    assert bool(valid)
+    np.testing.assert_array_equal(np.asarray(dec), sym)
+
+
+@pytest.mark.slow
+def test_runtime_device_wire_matches_host_path():
+    """`stream_deploy_device` (entropy coding fused into the encode
+    program, decode from device-resident streams) must produce the same
+    logits as the host-coder deploy path, and its accounted bitstream
+    must round-trip through pack/unpack + device decode."""
+    from sc2bench_tpu.models.backbone import SplittableResNet
+    from sc2bench_tpu.models.layer import FPBasedResNetBottleneck
+    from sc2bench_tpu.models.runtime import SplitClassifierRuntime
+    model = SplittableResNet(
+        bottleneck_layer=FPBasedResNetBottleneck(
+            num_bottleneck_channels=8, num_target_channels=64),
+        stage_sizes=(1, 1, 1, 1), num_classes=10)
+    x0 = jnp.zeros((1, 64, 64, 3))
+    v = jax.jit(lambda r, x: model.init(r, x, mode='train'))(
+        {'params': jax.random.key(0), 'noise': jax.random.key(1)}, x0)
+    v = {'params': v['params'], 'batch_stats': v.get('batch_stats', {})}
+    rt = SplitClassifierRuntime(model, v)
+    rt.update()
+    rt.eval()
+    imgs = [jax.random.normal(jax.random.key(i), (1, 64, 64, 3)) * 0.25
+            for i in range(3)]
+
+    host_logits = [np.asarray(rt(x)) for x in imgs]
+    rt.activate_analysis()
+    dev = rt.stream_deploy_device(imgs, depth=2, workers=2, num_lanes=64)
+    rt.deactivate_analysis()
+    assert len(rt.analyzers[0].file_size_list) == len(imgs)
+    for h, d in zip(host_logits, dev):
+        # same decoded symbols -> same decoder/tail program inputs; logits
+        # agree to float roundoff of the shared jitted program
+        np.testing.assert_allclose(h, np.asarray(d), rtol=2e-5, atol=2e-5)
+
+    # two-node path: wire bytes -> unpack -> device decode
+    ops = rt.encode_device_wire(imgs[0], num_lanes=64)
+    wire = rt._pull_device_wire(ops)
+    streams, states = unpack_stream(wire)
+    pad = np.zeros((streams.shape[0],
+                    ops['streams'].shape[1] - streams.shape[1]), np.uint16)
+    logits, valid = rt.decode_device_streams(
+        jnp.asarray(np.concatenate([streams, pad], 1)),
+        jnp.asarray(states), ops['shape'], num_lanes=64)
+    assert bool(valid)
+    np.testing.assert_allclose(host_logits[0], np.asarray(logits),
+                               rtol=2e-5, atol=2e-5)
