@@ -106,6 +106,7 @@ class SplitDetectionRuntime(AnalyzerHolder):
         eb = EntropyBottleneck(channels=eb_channels)
         self.codec.update(self.module, self.variables, eb)
         self._medians_dev = jnp.asarray(self.codec.tables.medians)
+        self._cdf_dev = None  # device-wire table cache (rebuilt lazily)
         self.bottleneck_updated = True
         return True
 
@@ -157,6 +158,127 @@ class SplitDetectionRuntime(AnalyzerHolder):
         x = jnp.asarray(batch)
         ops = self._encode_device(x)
         return self._host_stage(ops, x.shape[1:3])
+
+    # ---- device-rANS wire (entropy coding ON the TPU) -------------------
+    # The detection latent is the big one (e.g. 200x336x24 = 1.6M symbols
+    # at the 800/1333 geometry — two ~3 MB host hops per image on the
+    # symbol wire). Fusing the interleaved rANS codec (ops/rans/device.py)
+    # into the encode/decode programs removes both: only an 8-byte
+    # [ok, nbytes] meta crosses per image for byte accounting.
+
+    def _device_tables(self):
+        if getattr(self, '_cdf_dev', None) is None:
+            t = self.codec.tables
+            self._cdf_dev = (jnp.asarray(t.quantized_cdf),
+                             jnp.asarray(t.cdf_length),
+                             jnp.asarray(t.offset))
+        return self._cdf_dev
+
+    def _latent_shape(self, x_shape):
+        key = ('latent_shape', tuple(x_shape))
+        if key not in self._jit:
+            sym = jax.eval_shape(
+                lambda v, x, m: self.module.apply(
+                    v, x, m, method=lambda mod, x, med:
+                        mod.encode_ops(x, med)),
+                self.variables,
+                jax.ShapeDtypeStruct(tuple(x_shape), jnp.float32),
+                jax.ShapeDtypeStruct(self._medians_dev.shape, jnp.float32))
+            self._jit[key] = tuple(sym['symbols'].shape[1:])
+        return self._jit[key]
+
+    def encode_device_wire(self, x, num_lanes=4096):
+        from ...ops.rans.device import device_rans_encode
+        cdf, cdf_len, off = self._device_tables()
+
+        def enc(v, x, m, cdf, cdf_len, off):
+            ops = self.module.apply(
+                v, x, m, method=lambda mod, x, med:
+                    mod.encode_ops(x, med))
+            flat = ops['symbols'].reshape(-1)
+            c = ops['symbols'].shape[-1]
+            idx = jnp.tile(jnp.arange(c, dtype=jnp.int32),
+                           flat.shape[0] // c)
+            out = device_rans_encode(flat, idx, cdf, cdf_len, off,
+                                     num_lanes=num_lanes)
+            out['meta'] = jnp.stack([out['ok'].astype(jnp.int32),
+                                     out['nbytes']])
+            return out
+        out = self._jitted(f'enc_devwire{num_lanes}_{x.shape[1:3]}', enc)(
+            self.variables, x, self._medians_dev, cdf, cdf_len, off)
+        out['lat_shape'] = self._latent_shape(x.shape)
+        return out
+
+    def decode_device_streams(self, streams, states, lat_shape, hw,
+                              num_lanes=4096):
+        from ...ops.rans.device import device_rans_decode
+        from .rcnn import postprocess_detections
+        cdf, cdf_len, off = self._device_tables()
+        h, w, c = lat_shape
+
+        def dec(v, streams, states, m, cdf, cdf_len, off):
+            idx = jnp.tile(jnp.arange(c, dtype=jnp.int32), h * w)
+            flat, valid = device_rans_decode(
+                streams, states, idx, cdf, cdf_len, off,
+                n_symbols=h * w * c, num_lanes=num_lanes)
+
+            def m_fn(mod, s, med):
+                c2 = mod.decode_ops(s, med)
+                out = mod.forward_from_bottleneck(c2, tuple(hw))
+                return postprocess_detections(out)
+            return self.module.apply(v, flat.reshape(1, h, w, c), m,
+                                     method=m_fn), valid
+        return self._jitted(f'dec_devwire{hw[0]}x{hw[1]}', dec)(
+            self.variables, streams, states, self._medians_dev,
+            cdf, cdf_len, off)
+
+    def stream_detect_device(self, batches, depth: int = 8,
+                             workers: int = 4, num_lanes: int = 4096,
+                             timings: dict | None = None):
+        """Pipelined deploy with the device-rANS wire: per image, one
+        fused encode+entropy-code dispatch, one fused entropy-decode+
+        detect dispatch, and one 8-byte meta read (exact byte
+        accounting). Out-of-support latents fall back to the host coder
+        per image."""
+        import time as _time
+        from ..runtime import pipeline_stream
+        batches = [jnp.asarray(b) for b in batches]
+
+        def dispatch(i):
+            x = batches[i]
+            ops = self.encode_device_wire(x, num_lanes=num_lanes)
+            try:
+                ops['meta'].copy_to_host_async()
+            except Exception:
+                pass
+            return i, ops, x.shape[1:3]
+
+        def host_stage(arg):
+            i, ops, hw = arg
+            t0 = _time.perf_counter()
+            ok, nbytes = (int(v) for v in np.asarray(ops['meta']))
+            if not ok:
+                sym_ops = self._encode_device(batches[i])
+                return self._host_stage(sym_ops, hw)
+            self.analyze({'strings': [[bytes(nbytes)]],
+                          'shape': ops['lat_shape'][:2]})
+            t1 = _time.perf_counter()
+            dets, _valid = self.decode_device_streams(
+                ops['streams'], ops['states'], ops['lat_shape'], hw,
+                num_lanes=num_lanes)
+            if timings is not None:
+                timings['account_d2h'] = \
+                    timings.get('account_d2h', 0.0) + t1 - t0
+                timings['decode_dispatch'] = \
+                    timings.get('decode_dispatch', 0.0) \
+                    + _time.perf_counter() - t1
+            return dets
+
+        results = list(pipeline_stream(len(batches), dispatch, host_stage,
+                                       depth, workers))
+        if results:
+            jax.block_until_ready(jax.tree.leaves(results[-1]))
+        return results
 
     def stream_detect(self, batches, depth: int = 4, workers: int = 4):
         """Software-pipelined deploy over a stream of canvas batches (the

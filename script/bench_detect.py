@@ -81,6 +81,16 @@ def main(n_iter=20):
     print(f'serial: {serial_ms:.0f} ms/img   '
           f'pipelined: {stream_ms:.0f} ms/img   '
           f'({1000 / stream_ms:.1f} img/s)')
+
+    # device-rANS wire (entropy coding fused on-device; 8-byte meta/img)
+    t0 = time.perf_counter()
+    rt.stream_detect_device(batches[:2])
+    print(f'device-wire compile+warm: {time.perf_counter() - t0:.1f}s',
+          flush=True)
+    t0 = time.perf_counter()
+    rt.stream_detect_device(stream, depth=8, workers=4)
+    dev_ms = (time.perf_counter() - t0) / n_iter * 1000
+    print(f'device-wire: {dev_ms:.0f} ms/img ({1000 / dev_ms:.1f} img/s)')
     summary = rt.summarize()[0]
     print(f'data size: {summary["mean"]:.1f} {summary["unit"]}/image')
 

@@ -205,3 +205,43 @@ def test_runtime_device_wire_matches_host_path():
     assert bool(valid)
     np.testing.assert_allclose(host_logits[0], np.asarray(logits),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_detection_runtime_device_wire_matches_host():
+    """Detection device-rANS wire: fused encode+code and code+detect
+    programs must reproduce the host-coder deploy detections exactly
+    (same decoded symbols -> same detector program)."""
+    from sc2bench_tpu.models.detection.wrapper import SplitDetectionRuntime
+    from sc2bench_tpu.registry import get as registry_get
+    import sc2bench_tpu.models  # noqa: F401
+    model = registry_get('model', 'faster_rcnn_model')(
+        num_classes=5,
+        backbone_config={
+            'resnet_name': 'resnet50',
+            'bottleneck_config': {
+                'key': 'FPBasedResNetBottleneck',
+                'kwargs': {'num_bottleneck_channels': 8,
+                           'num_target_channels': 256}}})
+    x0 = jnp.zeros((1, 64, 64, 3))
+    v = jax.jit(lambda r, x: model.init(r, x, mode='train'))(
+        {'params': jax.random.key(0), 'noise': jax.random.key(1)}, x0)
+    v = {'params': v['params'], 'batch_stats': v.get('batch_stats', {})}
+    rt = SplitDetectionRuntime(model, v)
+    rt.update()
+    rt.activate_analysis()
+    batches = [jax.random.normal(jax.random.key(i), (1, 64, 64, 3)) * 0.25
+               for i in range(2)]
+    host = rt.stream_detect(batches)
+    n_host = len(rt.analyzers[0].file_size_list)
+    dev = rt.stream_detect_device(batches, depth=2, workers=2,
+                                  num_lanes=64)
+    assert len(rt.analyzers[0].file_size_list) == n_host + len(batches)
+    for h, d in zip(host, dev):
+        np.testing.assert_allclose(np.asarray(h['boxes']),
+                                   np.asarray(d['boxes']),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(h['labels']),
+                                      np.asarray(d['labels']))
+        np.testing.assert_array_equal(np.asarray(h['valid']),
+                                      np.asarray(d['valid']))
