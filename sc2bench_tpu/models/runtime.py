@@ -264,7 +264,8 @@ class SplitClassifierRuntime(AnalyzerHolder):
         # cache device-resident table constants: re-uploading per call costs
         # a host->device round trip each (pathological over a TPU tunnel)
         self._medians_dev = jnp.asarray(self.codec.tables.medians)
-        self._cdf_dev = None   # device-wire table cache (rebuilt lazily)
+        self._cdf_dev = None   # device-wire table caches (rebuilt lazily)
+        self._gcdf_dev = None
         self.bottleneck_updated = True
         return True
 
@@ -460,6 +461,104 @@ class SplitClassifierRuntime(AnalyzerHolder):
             self._offset_dev = jnp.asarray(t.offset)
         return self._cdf_dev, self._cdf_len_dev, self._offset_dev
 
+    def _device_gaussian_tables(self):
+        if getattr(self, '_gcdf_dev', None) is None:
+            t = self.codec.g_tables
+            self._gcdf_dev = (jnp.asarray(t.quantized_cdf),
+                              jnp.asarray(t.cdf_length),
+                              jnp.asarray(t.offset))
+        return self._gcdf_dev
+
+    def _hyper_latent_shapes(self, x_shape):
+        """((hy, wy, cy), (hz, wz, cz)) via eval_shape (host ints)."""
+        key = ('hyper_latent_shapes', tuple(x_shape))
+        if key not in self._jit_cache:
+            shp = jax.eval_shape(
+                lambda v, x, zm, st: self.module.apply(
+                    v, x, zm, st, method=lambda m, x, zm, st:
+                        m.bottleneck_layer.encode_ops(x, zm, st)),
+                self.variables,
+                jax.ShapeDtypeStruct(tuple(x_shape), jnp.float32),
+                jax.ShapeDtypeStruct(self._medians_dev.shape, jnp.float32),
+                jax.ShapeDtypeStruct(self._scale_table_dev.shape,
+                                     jnp.float32))
+            self._jit_cache[key] = (tuple(shp['y_symbols'].shape[1:]),
+                                    tuple(shp['z_symbols'].shape[1:]))
+        return self._jit_cache[key]
+
+    def encode_device_wire_hyper(self, x, num_lanes=256, z_lanes=64):
+        """SHP/MSHP mobile-side program with BOTH entropy coders fused:
+        z (factorized tables, cyclic channel indexes) and y (gaussian
+        tables, per-element scale indexes computed on device)."""
+        from ..ops.rans.device import device_rans_encode
+        cdf, cdf_len, off = self._device_tables()
+        g_cdf, g_len, g_off = self._device_gaussian_tables()
+
+        def enc(variables, x, z_med, st, cdf, cdf_len, off,
+                g_cdf, g_len, g_off):
+            ops = self.module.apply(
+                variables, self._prep_input(x), z_med, st,
+                method=lambda m, x, zm, stt:
+                    m.bottleneck_layer.encode_ops(x, zm, stt))
+            z = ops['z_symbols']
+            cz = z.shape[-1]
+            z_idx = jnp.tile(jnp.arange(cz, dtype=jnp.int32),
+                             z.size // cz)
+            z_out = device_rans_encode(z.reshape(-1), z_idx, cdf,
+                                       cdf_len, off, num_lanes=z_lanes)
+            y_out = device_rans_encode(
+                ops['y_symbols'].reshape(-1),
+                ops['y_indexes'].reshape(-1).astype(jnp.int32),
+                g_cdf, g_len, g_off, num_lanes=num_lanes)
+            meta = jnp.stack([
+                (z_out['ok'] & y_out['ok']).astype(jnp.int32),
+                z_out['nbytes'] + y_out['nbytes']])
+            return {'z': z_out, 'y': y_out, 'meta': meta}
+        out = self._jitted(f'enc_devwire_hyper{num_lanes}_{z_lanes}', enc)(
+            self.variables, x, self._medians_dev, self._scale_table_dev,
+            cdf, cdf_len, off, g_cdf, g_len, g_off)
+        out['shapes'] = self._hyper_latent_shapes(x.shape)
+        return out
+
+    def decode_device_streams_hyper(self, ops, num_lanes=256, z_lanes=64):
+        """Server-side program: decode z (factorized) -> recompute the
+        gaussian indexes from z_hat (same deterministic ops as the
+        encoder) -> decode y (gaussian) -> decoder + tail, one dispatch
+        from the device-resident streams."""
+        from ..ops.rans.device import device_rans_decode
+        cdf, cdf_len, off = self._device_tables()
+        g_cdf, g_len, g_off = self._device_gaussian_tables()
+        (hy, wy, cy), (hz, wz, cz) = ops['shapes']
+
+        def dec(variables, z_streams, z_states, y_streams, y_states,
+                z_med, st, cdf, cdf_len, off, g_cdf, g_len, g_off):
+            z_idx = jnp.tile(jnp.arange(cz, dtype=jnp.int32), hz * wz)
+            z_flat, z_valid = device_rans_decode(
+                z_streams, z_states, z_idx, cdf, cdf_len, off,
+                n_symbols=hz * wz * cz, num_lanes=z_lanes)
+            z_sym = z_flat.reshape(1, hz, wz, cz)
+            y_idx, _means = self.module.apply(
+                variables, z_sym, z_med, st,
+                method=lambda m, zs, zm, stt:
+                    m.bottleneck_layer.decode_scales(zs, zm, stt))
+            y_flat, y_valid = device_rans_decode(
+                y_streams, y_states, y_idx.reshape(-1).astype(jnp.int32),
+                g_cdf, g_len, g_off, n_symbols=hy * wy * cy,
+                num_lanes=num_lanes)
+            y_sym = y_flat.reshape(1, hy, wy, cy)
+
+            def m_fn(m, ys, zs, zm):
+                feat = m.bottleneck_layer.decode_ops(ys, zs, zm)
+                return m.forward_tail(feat)
+            logits = self.module.apply(variables, y_sym, z_sym, z_med,
+                                       method=m_fn)
+            return logits, z_valid & y_valid
+        return self._jitted(
+            f'dec_devwire_hyper{hy}x{wy}x{cy}_{num_lanes}_{z_lanes}', dec)(
+            self.variables, ops['z']['streams'], ops['z']['states'],
+            ops['y']['streams'], ops['y']['states'], self._medians_dev,
+            self._scale_table_dev, cdf, cdf_len, off, g_cdf, g_len, g_off)
+
     def encode_device_wire(self, x, num_lanes=256):
         """Mobile-side program with the entropy coder FUSED into the same
         XLA program (`ops/rans/device.py`): one dispatch produces the
@@ -561,16 +660,22 @@ class SplitClassifierRuntime(AnalyzerHolder):
         latents (never produced by a trained model) fall back to the
         host-coder path per image."""
         import time as _time
-        if isinstance(self.codec, HyperpriorCodec) or self._module_level_ops:
-            raise ValueError('device-rANS wire supports the '
-                             'factorized-prior bottleneck runtime')
+        if self._module_level_ops:
+            raise ValueError('device-rANS wire supports the splittable '
+                             'bottleneck runtimes')
+        hyper = isinstance(self.codec, HyperpriorCodec)
         images = list(images)
         n = len(images)
         if n == 0:
             return []
 
         def dispatch(i):
-            ops = self.encode_device_wire(images[i], num_lanes=num_lanes)
+            if hyper:
+                ops = self.encode_device_wire_hyper(images[i],
+                                                    num_lanes=num_lanes)
+            else:
+                ops = self.encode_device_wire(images[i],
+                                              num_lanes=num_lanes)
             try:
                 ops['meta'].copy_to_host_async()
             except Exception:
@@ -586,7 +691,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
                 compressed = self.encode(images[i])
                 self.analyze(compressed)
                 return self.decode(**compressed)
-            if pull_wire:
+            if pull_wire and not hyper:
                 wire = self._pull_device_wire(ops)
                 assert len(wire) == nbytes
             else:
@@ -594,11 +699,16 @@ class SplitClassifierRuntime(AnalyzerHolder):
                 # pickle size of a bytes object depends only on length
                 wire = bytes(nbytes)
             self.analyze({'strings': [[wire]],
-                          'shape': ops['shape'][:2]})
+                          'shape': (ops['shapes'][1][:2] if hyper
+                                    else ops['shape'][:2])})
             t1 = _time.perf_counter()
-            logits, valid = self.decode_device_streams(
-                ops['streams'], ops['states'], ops['shape'],
-                num_lanes=num_lanes)
+            if hyper:
+                logits, valid = self.decode_device_streams_hyper(
+                    ops, num_lanes=num_lanes)
+            else:
+                logits, valid = self.decode_device_streams(
+                    ops['streams'], ops['states'], ops['shape'],
+                    num_lanes=num_lanes)
             if timings is not None:
                 timings['account_d2h'] = \
                     timings.get('account_d2h', 0.0) + t1 - t0

@@ -245,3 +245,34 @@ def test_detection_runtime_device_wire_matches_host():
                                       np.asarray(d['labels']))
         np.testing.assert_array_equal(np.asarray(h['valid']),
                                       np.asarray(d['valid']))
+
+
+@pytest.mark.slow
+def test_hyperprior_runtime_device_wire_matches_host():
+    """SHP device-rANS wire: z (factorized) + y (gaussian, per-element
+    device indexes) fused on-device must reproduce the host-coder
+    deploy logits."""
+    from sc2bench_tpu.models.backbone import SplittableResNet
+    from sc2bench_tpu.models.layer import SHPBasedResNetBottleneck
+    from sc2bench_tpu.models.runtime import SplitClassifierRuntime
+    model = SplittableResNet(
+        bottleneck_layer=SHPBasedResNetBottleneck(
+            num_bottleneck_channels=8, num_target_channels=64,
+            num_latent_channels=4),
+        stage_sizes=(1, 1, 1, 1), num_classes=10)
+    x0 = jnp.zeros((1, 64, 64, 3))
+    v = jax.jit(lambda r, x: model.init(r, x, mode='train'))(
+        {'params': jax.random.key(0), 'noise': jax.random.key(1)}, x0)
+    v = {'params': v['params'], 'batch_stats': v.get('batch_stats', {})}
+    rt = SplitClassifierRuntime(model, v)
+    rt.update()
+    rt.eval()
+    imgs = [jax.random.normal(jax.random.key(i), (1, 64, 64, 3)) * 0.25
+            for i in range(3)]
+    host_logits = [np.asarray(rt(x)) for x in imgs]
+    rt.activate_analysis()
+    dev = rt.stream_deploy_device(imgs, depth=2, workers=2, num_lanes=64)
+    rt.deactivate_analysis()
+    assert len(rt.analyzers[0].file_size_list) == len(imgs)
+    for h, d in zip(host_logits, dev):
+        np.testing.assert_allclose(h, np.asarray(d), rtol=2e-5, atol=2e-5)
