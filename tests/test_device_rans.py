@@ -276,3 +276,34 @@ def test_hyperprior_runtime_device_wire_matches_host():
     assert len(rt.analyzers[0].file_size_list) == len(imgs)
     for h, d in zip(host_logits, dev):
         np.testing.assert_allclose(h, np.asarray(d), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_segmentation_runtime_device_wire_matches_host():
+    """Segmentation device-rANS wire must reproduce the host-coder deploy
+    outputs (same decoded symbols -> same head program)."""
+    from sc2bench_tpu.models.segmentation.wrapper import \
+        SplitSegmentationRuntime
+    from sc2bench_tpu.registry import get as registry_get
+    import sc2bench_tpu.models  # noqa: F401
+    model = registry_get('model', 'deeplabv3_model')(
+        backbone_name='resnet50', num_classes=5, uses_aux=False,
+        bottleneck_config={'key': 'FPBasedResNetBottleneck',
+                           'kwargs': {'num_bottleneck_channels': 8,
+                                      'num_target_channels': 256}})
+    x0 = jnp.zeros((1, 64, 64, 3))
+    v = jax.jit(lambda r, x: model.init(r, x, mode='train'))(
+        {'params': jax.random.key(0), 'noise': jax.random.key(1)}, x0)
+    v = {'params': v['params'], 'batch_stats': v.get('batch_stats', {})}
+    rt = SplitSegmentationRuntime(model, v)
+    assert rt.update()
+    rt.eval()
+    rt.activate_analysis()
+    imgs = [jax.random.normal(jax.random.key(i), (1, 64, 64, 3)) * 0.25
+            for i in range(2)]
+    host = [np.asarray(rt(x)) for x in imgs]
+    n_host = len(rt.analyzers[0].file_size_list)
+    dev = rt.stream_deploy_device(imgs, depth=2, workers=2, num_lanes=64)
+    assert len(rt.analyzers[0].file_size_list) == n_host + len(imgs)
+    for h, d in zip(host, dev):
+        np.testing.assert_allclose(h, np.asarray(d), rtol=2e-5, atol=2e-5)
