@@ -233,7 +233,7 @@ class SplitDetectionRuntime(AnalyzerHolder):
             cdf, cdf_len, off)
 
     def stream_detect_device(self, batches, depth: int = 8,
-                             workers: int = 4, num_lanes: int = 4096,
+                             workers: int = 4, num_lanes: int | None = None,
                              timings: dict | None = None):
         """Pipelined deploy with the device-rANS wire: per image, one
         fused encode+entropy-code dispatch, one fused entropy-decode+
@@ -243,6 +243,10 @@ class SplitDetectionRuntime(AnalyzerHolder):
         import time as _time
         from ..runtime import pipeline_stream
         batches = [jnp.asarray(b) for b in batches]
+        if num_lanes is None:
+            from ...ops.rans.device import auto_lanes
+            num_lanes = auto_lanes(int(np.prod(
+                self._latent_shape(batches[0].shape))))
 
         def dispatch(i):
             x = batches[i]

@@ -651,7 +651,8 @@ class SplitClassifierRuntime(AnalyzerHolder):
                             'states': np.asarray(ops['states'])})
 
     def stream_deploy_device(self, images, depth: int = 8, workers: int = 4,
-                             num_lanes: int = 256, pull_wire: bool = False,
+                             num_lanes: int | None = None,
+                             pull_wire: bool = False,
                              timings: dict | None = None):
         """Pipelined batch-1 serving with the device-rANS wire: encode and
         entropy-code in ONE device program, account the compacted
@@ -668,6 +669,11 @@ class SplitClassifierRuntime(AnalyzerHolder):
         n = len(images)
         if n == 0:
             return []
+        if num_lanes is None:
+            from ..ops.rans.device import auto_lanes
+            shape = (self._hyper_latent_shapes(images[0].shape)[0] if hyper
+                     else self._latent_shape(images[0].shape))
+            num_lanes = auto_lanes(int(np.prod(shape)))
 
         def dispatch(i):
             if hyper:

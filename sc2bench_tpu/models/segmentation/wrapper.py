@@ -211,7 +211,7 @@ class SplitSegmentationRuntime(AnalyzerHolder):
         return self._jit[key]
 
     def stream_deploy_device(self, images, depth: int = 8,
-                             workers: int = 4, num_lanes: int = 1024,
+                             workers: int = 4, num_lanes: int | None = None,
                              timings: dict | None = None):
         """Pipelined deploy with the interleaved device-rANS codec fused
         into the encode and decode programs (`ops/rans/device.py`): the
@@ -225,6 +225,10 @@ class SplitSegmentationRuntime(AnalyzerHolder):
         from ..runtime import pipeline_stream
         cdf, cdf_len, off = self._device_tables()
         images = [jnp.asarray(x) for x in images]
+        if num_lanes is None:
+            from ...ops.rans.device import auto_lanes
+            num_lanes = auto_lanes(int(np.prod(
+                self._latent_shape(images[0].shape))))
 
         def enc_fn(v, x, m, cdf, cdf_len, off):
             ops = self.module.apply(

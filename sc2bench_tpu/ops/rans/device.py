@@ -45,6 +45,16 @@ RANS_L = np.uint32(1) << 16          # state lower bound (= renorm base)
 _MASK16 = np.uint32((1 << 16) - 1)
 
 
+def auto_lanes(n_symbols: int, target_steps: int = 256, lo: int = 16,
+               hi: int = 4096) -> int:
+    """Power-of-two lane count aiming at ~target_steps scan iterations:
+    big latents get wide vectorization, tiny ones avoid paying the 6-byte
+    per-lane state/length overhead."""
+    want = max(n_symbols // target_steps, 1)
+    lanes = 1 << (want - 1).bit_length()
+    return max(lo, min(hi, lanes))
+
+
 def _blocks(symbols, indexes, num_lanes):
     """Pad to a multiple of num_lanes (with index-0 symbols at the lowest
     in-support value) and reshape lane-major to (L, N)."""

@@ -264,11 +264,18 @@ class DetectionEngine:
             # accounting unchanged)
             chunk = []
 
+            use_device_wire = self.config.get('deploy_wire') == 'device'
+
             def drain():
                 if not chunk:
                     return
                 t0 = time.time()
-                results = runtime.stream_detect([b for b, _, _ in chunk])
+                if use_device_wire:
+                    results = runtime.stream_detect_device(
+                        [b for b, _, _ in chunk])
+                else:
+                    results = runtime.stream_detect(
+                        [b for b, _, _ in chunk])
                 dt = (time.time() - t0) / len(chunk)
                 for dets, (_, targets, scales) in zip(results, chunk):
                     meter.update(model_time=dt)

@@ -249,12 +249,20 @@ class ClassificationEngine:
             # byte accounting identical to the serial loop
             chunk_x, chunk_y = [], []
 
+            use_device_wire = self.config.get('deploy_wire') == 'device'
+
             def drain():
                 if not chunk_x:
                     return
                 k = len(chunk_x)
                 t0 = time.time()
-                logits_list = self.runtime.stream_deploy(chunk_x)
+                if use_device_wire:
+                    # TPU-side entropy coding (ops/rans/device.py): no
+                    # symbol-sized host transfer; byte accounting exact
+                    logits_list = self.runtime.stream_deploy_device(
+                        chunk_x)
+                else:
+                    logits_list = self.runtime.stream_deploy(chunk_x)
                 # accuracy over the whole chunk in ONE device computation:
                 # a per-image np.asarray(logits) would pay one host sync
                 # (a full tunnel round trip) per image

@@ -108,11 +108,16 @@ class SegmentationEngine:
                 # entropy coding; per-sample byte accounting unchanged)
                 chunk_x, chunk_y = [], []
 
+                use_device_wire = \
+                    self.config.get('deploy_wire') == 'device'
+
                 def drain():
                     if not chunk_x:
                         return
-                    for out, y in zip(
-                            self.runtime.stream_deploy(chunk_x), chunk_y):
+                    stream = self.runtime.stream_deploy_device(chunk_x) \
+                        if use_device_wire \
+                        else self.runtime.stream_deploy(chunk_x)
+                    for out, y in zip(stream, chunk_y):
                         evaluator.update(y, np.asarray(jnp.argmax(out, -1)))
                     chunk_x.clear()
                     chunk_y.clear()
