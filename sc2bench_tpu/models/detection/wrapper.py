@@ -228,7 +228,8 @@ class SplitDetectionRuntime(AnalyzerHolder):
                 return postprocess_detections(out)
             return self.module.apply(v, flat.reshape(1, h, w, c), m,
                                      method=m_fn), valid
-        return self._jitted(f'dec_devwire{hw[0]}x{hw[1]}', dec)(
+        return self._jitted(f'dec_devwire{hw[0]}x{hw[1]}_l{num_lanes}',
+                            dec)(
             self.variables, streams, states, self._medians_dev,
             cdf, cdf_len, off)
 

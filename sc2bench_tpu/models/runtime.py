@@ -627,7 +627,8 @@ class SplitClassifierRuntime(AnalyzerHolder):
                 return m.forward_tail(feat)
             return self.module.apply(variables, sym, medians,
                                      method=m_fn), valid
-        return self._jitted(f'decode_devwire{h}x{w}x{c}', dec)(
+        return self._jitted(f'decode_devwire{h}x{w}x{c}_l{num_lanes}',
+                            dec)(
             self.variables, streams, states, self._medians_dev,
             cdf, cdf_len, off)
 

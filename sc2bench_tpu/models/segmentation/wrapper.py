@@ -277,7 +277,8 @@ class SplitSegmentationRuntime(AnalyzerHolder):
                     v, flat.reshape(1, h, w, c), m, tuple(hw),
                     method=lambda mod, s, med, ihw:
                         mod.decode_ops_to_output(s, med, ihw))
-            out = self._jitted(f'dec_devwire{hw[0]}x{hw[1]}', dec_fn)(
+            out = self._jitted(
+                f'dec_devwire{hw[0]}x{hw[1]}_l{num_lanes}', dec_fn)(
                 self.variables, ops['streams'], ops['states'],
                 self._medians_dev, cdf, cdf_len, off)
             if timings is not None:
