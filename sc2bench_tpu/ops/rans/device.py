@@ -110,7 +110,19 @@ def device_rans_encode(symbols, indexes, quantized_cdf, cdf_length, offset,
         renorm = x >= (fr << 16)
         chunk = (x & _MASK16).astype(jnp.uint16)
         x = jnp.where(renorm, x >> 16, x)
-        x = ((x // fr) << PRECISION) + (x % fr) + st
+        # exact x // fr without integer division (TPU int div is slow):
+        # f32 quotient has absolute error << 1 here (q < 2^16, 24-bit
+        # mantissa), so one +-1 integer correction makes it exact.
+        q = (x.astype(jnp.float32) / fr.astype(jnp.float32)) \
+            .astype(jnp.uint32)
+        r = x - q * fr
+        too_big = r >= fr            # unsigned wrap when q overshoots
+        q = jnp.where(too_big, q - 1, q)
+        r = jnp.where(too_big, r + fr, r)
+        still_big = r >= fr
+        q = jnp.where(still_big, q + 2, q)   # undershoot by one
+        r = jnp.where(still_big, r - 2 * fr, r)
+        x = (q << PRECISION) + r + st
         return x, (chunk, renorm)
 
     x0 = jnp.full((lanes,), RANS_L, jnp.uint32)
