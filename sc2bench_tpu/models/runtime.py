@@ -505,7 +505,8 @@ class SplitClassifierRuntime(AnalyzerHolder):
             z_idx = jnp.tile(jnp.arange(cz, dtype=jnp.int32),
                              z.size // cz)
             z_out = device_rans_encode(z.reshape(-1), z_idx, cdf,
-                                       cdf_len, off, num_lanes=z_lanes)
+                                       cdf_len, off, num_lanes=z_lanes,
+                                       cyclic_channels=cz)
             y_out = device_rans_encode(
                 ops['y_symbols'].reshape(-1),
                 ops['y_indexes'].reshape(-1).astype(jnp.int32),
@@ -535,7 +536,8 @@ class SplitClassifierRuntime(AnalyzerHolder):
             z_idx = jnp.tile(jnp.arange(cz, dtype=jnp.int32), hz * wz)
             z_flat, z_valid = device_rans_decode(
                 z_streams, z_states, z_idx, cdf, cdf_len, off,
-                n_symbols=hz * wz * cz, num_lanes=z_lanes)
+                n_symbols=hz * wz * cz, num_lanes=z_lanes,
+                cyclic_channels=cz)
             z_sym = z_flat.reshape(1, hz, wz, cz)
             y_idx, _means = self.module.apply(
                 variables, z_sym, z_med, st,
@@ -580,7 +582,8 @@ class SplitClassifierRuntime(AnalyzerHolder):
             idx = jnp.tile(jnp.arange(c, dtype=jnp.int32),
                            flat.shape[0] // c)
             out = device_rans_encode(flat, idx, cdf, cdf_len, off,
-                                       num_lanes=num_lanes)
+                                       num_lanes=num_lanes,
+                                       cyclic_channels=c)
             # ok + exact wire size in ONE tiny array: the host reads it
             # with a single round trip (the accounted data size depends
             # only on the byte count, which is known on device)
@@ -619,7 +622,8 @@ class SplitClassifierRuntime(AnalyzerHolder):
             idx = jnp.tile(jnp.arange(c, dtype=jnp.int32), h * w)
             flat, valid = device_rans_decode(
                 streams, states, idx, cdf, cdf_len, off,
-                n_symbols=n_symbols, num_lanes=num_lanes)
+                n_symbols=n_symbols, num_lanes=num_lanes,
+                cyclic_channels=c)
             sym = flat.reshape(1, h, w, c)
 
             def m_fn(m, s, med):
@@ -674,7 +678,9 @@ class SplitClassifierRuntime(AnalyzerHolder):
             from ..ops.rans.device import auto_lanes
             shape = (self._hyper_latent_shapes(images[0].shape)[0] if hyper
                      else self._latent_shape(images[0].shape))
-            num_lanes = auto_lanes(int(np.prod(shape)))
+            num_lanes = auto_lanes(int(np.prod(shape)),
+                                   cyclic_channels=None if hyper
+                                   else int(shape[-1]))
 
         def dispatch(i):
             if hyper:

@@ -46,11 +46,20 @@ _MASK16 = np.uint32((1 << 16) - 1)
 
 
 def auto_lanes(n_symbols: int, target_steps: int = 256, lo: int = 16,
-               hi: int = 4096) -> int:
-    """Power-of-two lane count aiming at ~target_steps scan iterations:
-    big latents get wide vectorization, tiny ones avoid paying the 6-byte
-    per-lane state/length overhead."""
+               hi: int = 4096, cyclic_channels: int | None = None) -> int:
+    """Lane count aiming at ~target_steps scan iterations: big latents
+    get wide vectorization, tiny ones avoid paying the 6-byte per-lane
+    state/length overhead. With `cyclic_channels=C` the count is C * 2^k
+    (so every lane holds ONE fixed channel — enables the gather-free
+    fixed-lane-CDF fast path), else a power of two."""
     want = max(n_symbols // target_steps, 1)
+    if cyclic_channels:
+        c = int(cyclic_channels)
+        k = max((want // c), 1)
+        lanes = c * (1 << max((k - 1).bit_length(), 0))
+        while lanes > hi and lanes > c:
+            lanes //= 2
+        return max(min(lanes, hi if hi >= c else lanes), min(lo, lanes))
     lanes = 1 << (want - 1).bit_length()
     return max(lo, min(hi, lanes))
 
@@ -72,7 +81,8 @@ def _blocks(symbols, indexes, num_lanes):
 
 
 def device_rans_encode(symbols, indexes, quantized_cdf, cdf_length, offset,
-                       num_lanes: int = 256):
+                       num_lanes: int = 256,
+                       cyclic_channels: int | None = None):
     """Encode flat int32 `symbols` with per-symbol distribution `indexes`
     against 16-bit-precision CDF tables (the same tables the host coder
     uses). Returns dict with:
@@ -90,20 +100,49 @@ def device_rans_encode(symbols, indexes, quantized_cdf, cdf_length, offset,
     sym2, idx2, n, pad = _blocks(jnp.asarray(symbols, jnp.int32),
                                  jnp.asarray(indexes, jnp.int32), num_lanes)
     steps, lanes = sym2.shape
-    # When padding, the pad symbols must be in-support for distribution 0:
-    # value v=0 (cdf row 0 starts at 0 with freq >= 1 by construction).
+    cyc = int(cyclic_channels) if cyclic_channels else 0
+    if cyc and lanes % cyc != 0:
+        cyc = 0   # lane channel not fixed; use the general gather path
+    if cyc:
+        # lane j always holds channel j % C: per-lane CDF rows replace
+        # every per-symbol table gather (gathers are the TPU bottleneck)
+        lane_ch = jnp.arange(lanes, dtype=jnp.int32) % cyc
+        cdf_lane = cdf[lane_ch]                  # (N, cols), built once
+        off_lane = off[lane_ch]
+        maxv_lane = cdf_len[lane_ch] - 2
+    # When padding, the pad symbols must be in-support (v=0: every cdf
+    # row starts at 0 with freq >= 1 by construction).
     if pad:
         lane_pos = jnp.arange(lanes)
         pad_mask = (jnp.arange(steps)[:, None] * lanes + lane_pos) >= n
         # lane-major: position of (t, j) in the flat order is t*lanes+j
-        sym2 = jnp.where(pad_mask, off[0], sym2)
-        idx2 = jnp.where(pad_mask, 0, idx2)
-    v = sym2 - off[idx2]
-    maxv = cdf_len[idx2] - 2                     # escape slot excluded
+        if cyc:
+            sym2 = jnp.where(pad_mask, off_lane[None, :], sym2)
+        else:
+            sym2 = jnp.where(pad_mask, off[0], sym2)
+            idx2 = jnp.where(pad_mask, 0, idx2)
+    if cyc:
+        v = sym2 - off_lane[None, :]
+        maxv = maxv_lane[None, :]
+    else:
+        v = sym2 - off[idx2]
+        maxv = cdf_len[idx2] - 2                 # escape slot excluded
     ok = jnp.all((v >= 0) & (v < maxv))
     vc = jnp.clip(v, 0, maxv - 1)
-    start = cdf[idx2, vc].astype(jnp.uint32)
-    freq = (cdf[idx2, vc + 1] - cdf[idx2, vc]).astype(jnp.uint32)
+    if cyc:
+        # gather-free start/freq: fused onehot-reduce against the fixed
+        # per-lane row (XLA fuses compare*row-sum; no (L,N,cols) buffer)
+        col = jnp.arange(cdf.shape[1], dtype=jnp.int32)
+        hit = vc[:, :, None] == col[None, None, :]
+        hit1 = vc[:, :, None] + 1 == col[None, None, :]
+        start = jnp.sum(jnp.where(hit, cdf_lane[None], 0),
+                        axis=2).astype(jnp.uint32)
+        nxt = jnp.sum(jnp.where(hit1, cdf_lane[None], 0),
+                      axis=2).astype(jnp.uint32)
+        freq = nxt - start
+    else:
+        start = cdf[idx2, vc].astype(jnp.uint32)
+        freq = (cdf[idx2, vc + 1] - cdf[idx2, vc]).astype(jnp.uint32)
 
     def step(x, sf):
         st, fr = sf
@@ -144,16 +183,23 @@ def device_rans_encode(symbols, indexes, quantized_cdf, cdf_length, offset,
 
 
 def device_rans_decode(streams, states, indexes, quantized_cdf, cdf_length,
-                       offset, n_symbols: int, num_lanes: int = 256):
+                       offset, n_symbols: int, num_lanes: int = 256,
+                       cyclic_channels: int | None = None):
     """Decode (N, L) uint16 `streams` + (N,) uint32 `states` back into the
-    flat symbol array. `indexes` must match the encoder's. Jittable."""
+    flat symbol array. `indexes` must match the encoder's. Jittable.
+    `cyclic_channels=C` with C | num_lanes enables the gather-free
+    fixed-lane-CDF fast path (the per-step row gather dominates the
+    general path on TPU)."""
     cdf = jnp.asarray(quantized_cdf, jnp.int32)
     cdf_len = jnp.asarray(cdf_length, jnp.int32)
     off = jnp.asarray(offset, jnp.int32)
     _, idx2, n, _ = _blocks(jnp.zeros((n_symbols,), jnp.int32),
                             jnp.asarray(indexes, jnp.int32), num_lanes)
     steps, lanes = idx2.shape
-    if idx2.shape[0] * lanes != n_symbols:       # padded tail: index 0
+    cyc = int(cyclic_channels) if cyclic_channels else 0
+    if cyc and lanes % cyc != 0:
+        cyc = 0
+    if idx2.shape[0] * lanes != n_symbols and not cyc:  # padded tail
         lane_pos = jnp.arange(lanes)
         pad_mask = (jnp.arange(steps)[:, None] * lanes + lane_pos) \
             >= n_symbols
@@ -161,16 +207,36 @@ def device_rans_decode(streams, states, indexes, quantized_cdf, cdf_length,
     max_cols = cdf.shape[1]
     col = jnp.arange(max_cols)
     streams = jnp.asarray(streams, jnp.uint16)
+    if cyc:
+        lane_ch = jnp.arange(lanes, dtype=jnp.int32) % cyc
+        cdf_lane = cdf[lane_ch]                 # (N, cols), built once
+        off_lane = off[lane_ch]
+        len_lane = cdf_len[lane_ch]
 
     def step(carry, idx_t):
         x, ptr = carry
         slot = (x & _MASK16).astype(jnp.int32)
-        rows = cdf[idx_t]                                   # (N, max_cols)
-        within = (rows <= slot[:, None]) \
-            & (col[None, :] < cdf_len[idx_t][:, None])
+        if cyc:
+            rows = cdf_lane                     # constant inside the scan
+            within = (rows <= slot[:, None]) \
+                & (col[None, :] < len_lane[:, None])
+        else:
+            rows = cdf[idx_t]                               # (N, max_cols)
+            within = (rows <= slot[:, None]) \
+                & (col[None, :] < cdf_len[idx_t][:, None])
         v = jnp.sum(within, axis=1).astype(jnp.int32) - 1
-        st = cdf[idx_t, v].astype(jnp.uint32)
-        fr = (cdf[idx_t, v + 1] - cdf[idx_t, v]).astype(jnp.uint32)
+        if cyc:
+            hit = v[:, None] == col[None, :]
+            hit1 = v[:, None] + 1 == col[None, :]
+            st = jnp.sum(jnp.where(hit, rows, 0), axis=1) \
+                .astype(jnp.uint32)
+            fr = jnp.sum(jnp.where(hit1, rows, 0), axis=1) \
+                .astype(jnp.uint32) - st
+            sym_off = off_lane
+        else:
+            st = cdf[idx_t, v].astype(jnp.uint32)
+            fr = (cdf[idx_t, v + 1] - cdf[idx_t, v]).astype(jnp.uint32)
+            sym_off = off[idx_t]
         x = fr * (x >> 16) + slot.astype(jnp.uint32) - st
         need = x < RANS_L
         nxt = jnp.take_along_axis(
@@ -178,7 +244,7 @@ def device_rans_decode(streams, states, indexes, quantized_cdf, cdf_length,
             axis=1)[:, 0].astype(jnp.uint32)
         x = jnp.where(need, (x << 16) | nxt, x)
         ptr = ptr + need.astype(jnp.int32)
-        return (x, ptr), v + off[idx_t]
+        return (x, ptr), v + sym_off
 
     x0 = jnp.asarray(states, jnp.uint32)
     ptr0 = jnp.zeros((lanes,), jnp.int32)
@@ -229,16 +295,23 @@ def unpack_stream(data: bytes):
 # ---------------------------------------------------------------------------
 
 def numpy_oracle_encode(symbols, indexes, cdf, cdf_length, offset,
-                        num_lanes=256):
+                        num_lanes=256, cyclic_channels=None):
+    """`cyclic_channels=C` replicates the fixed-lane-channel pad rule
+    (pad symbol = v=0 of the pad position's OWN channel) so the oracle
+    pins both format variants."""
     symbols = np.asarray(symbols, np.int64)
     indexes = np.asarray(indexes, np.int64)
     n = len(symbols)
     steps = -(-n // num_lanes)
     pad = steps * num_lanes - n
     if pad:
+        if cyclic_channels and num_lanes % int(cyclic_channels) == 0:
+            pad_idx = (np.arange(n, n + pad) % int(cyclic_channels))
+        else:
+            pad_idx = np.zeros(pad, np.int64)
         symbols = np.concatenate(
-            [symbols, np.full(pad, offset[0], np.int64)])
-        indexes = np.concatenate([indexes, np.zeros(pad, np.int64)])
+            [symbols, np.asarray(offset)[pad_idx].astype(np.int64)])
+        indexes = np.concatenate([indexes, pad_idx.astype(np.int64)])
     sym2 = symbols.reshape(steps, num_lanes)
     idx2 = indexes.reshape(steps, num_lanes)
     x = np.full(num_lanes, int(RANS_L), np.uint64)

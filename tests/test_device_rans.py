@@ -307,3 +307,55 @@ def test_segmentation_runtime_device_wire_matches_host():
     assert len(rt.analyzers[0].file_size_list) == n_host + len(imgs)
     for h, d in zip(host, dev):
         np.testing.assert_allclose(h, np.asarray(d), rtol=2e-5, atol=2e-5)
+
+
+def test_cyclic_fast_path_matches_general_and_oracle():
+    """The gather-free fixed-lane-channel path (cyclic_channels=C with
+    C | num_lanes) must produce byte-identical streams to the general
+    path when no padding is involved, match the oracle's cyclic pad rule
+    when padding IS involved, and round-trip exactly."""
+    cdf, cdf_length, offset = _tables(num_dists=8, support=21, seed=5)
+    C, lanes = 8, 32
+    n = 3000  # not a multiple of lanes -> exercises the cyclic pad rule
+    idx = np.tile(np.arange(C, dtype=np.int32), n // C + 1)[:n]
+    rng = np.random.default_rng(6)
+    sym = np.empty(n, np.int32)
+    for c in range(C):
+        m = idx == c
+        sym[m] = rng.integers(offset[c], offset[c] + cdf_length[c] - 3,
+                              m.sum())
+    e_cyc = device_rans_encode(sym, idx, cdf, cdf_length, offset,
+                               num_lanes=lanes, cyclic_channels=C)
+    assert bool(e_cyc['ok'])
+    o_streams, o_states = numpy_oracle_encode(
+        sym, idx, cdf, cdf_length, offset, num_lanes=lanes,
+        cyclic_channels=C)
+    np.testing.assert_array_equal(np.asarray(e_cyc['states']), o_states)
+    lengths = np.asarray(e_cyc['lengths'])
+    streams = np.asarray(e_cyc['streams'])
+    for j in range(lanes):
+        np.testing.assert_array_equal(
+            streams[j, :lengths[j]], np.asarray(o_streams[j], np.uint16))
+    dec, valid = device_rans_decode(
+        e_cyc['streams'], e_cyc['states'], idx, cdf, cdf_length, offset,
+        n_symbols=n, num_lanes=lanes, cyclic_channels=C)
+    assert bool(valid)
+    np.testing.assert_array_equal(np.asarray(dec), sym)
+    # pad-free slice: cyclic == general byte-for-byte
+    n2 = lanes * 40
+    eg = device_rans_encode(sym[:n2], idx[:n2], cdf, cdf_length, offset,
+                            num_lanes=lanes)
+    ec = device_rans_encode(sym[:n2], idx[:n2], cdf, cdf_length, offset,
+                            num_lanes=lanes, cyclic_channels=C)
+    np.testing.assert_array_equal(np.asarray(eg['streams']),
+                                  np.asarray(ec['streams']))
+    np.testing.assert_array_equal(np.asarray(eg['states']),
+                                  np.asarray(ec['states']))
+
+
+def test_auto_lanes_cyclic_divisibility():
+    from sc2bench_tpu.ops.rans.device import auto_lanes
+    for n, c in [(75264, 24), (1612800, 24), (3136, 16), (200, 24)]:
+        lanes = auto_lanes(n, cyclic_channels=c)
+        assert lanes % c == 0, (n, c, lanes)
+    assert auto_lanes(75264) == 512  # non-cyclic: next pow2 of n/256
