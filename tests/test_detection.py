@@ -393,8 +393,8 @@ def test_engine_default_geometry_buckets_bound_recompiles():
     loader = [batch(h, w, i) for i, (h, w) in enumerate(shapes)]
     stats = engine.evaluate(loader)
     assert 'AP' in stats
-    assert engine._eval_fn._cache_size() <= 3, (
-        f'recompiles not bounded: {engine._eval_fn._cache_size()} traces')
+    traces = engine._eval_fn['student']._cache_size()
+    assert traces <= 3, f'recompiles not bounded: {traces} traces'
 
 
 def test_pre_nms_cap_map_delta_on_dense_scene():
