@@ -8,9 +8,10 @@ stem+layer1 exactly as in classification.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from ..layer import get_layer
 from ..resnet import ResNetStage, ResNetStem
@@ -24,19 +25,22 @@ class SplittableDetectionBackbone(nn.Module):
     # FrozenBatchNorm in the ResNet stages — the reference's torchvision
     # detection-backbone default (`backbone.py:690-698`)
     frozen_bn: bool = False
+    dtype: Any = jnp.float32  # stage compute dtype (bf16 deploy/serving);
+    #                           the bottleneck keeps its own dtype (f32
+    #                           default) for exact reconstruction
 
     def setup(self):
-        fb = self.frozen_bn
+        fb, d = self.frozen_bn, self.dtype
         if self.bottleneck_layer is None:
-            self.stem = ResNetStem()
+            self.stem = ResNetStem(dtype=d)
             self.layer1 = ResNetStage(64, self.stage_sizes[0], strides=1,
-                                      frozen_bn=fb)
+                                      frozen_bn=fb, dtype=d)
         self.layer2 = ResNetStage(128, self.stage_sizes[1], strides=2,
-                                  frozen_bn=fb)
+                                  frozen_bn=fb, dtype=d)
         self.layer3 = ResNetStage(256, self.stage_sizes[2], strides=2,
-                                  frozen_bn=fb)
+                                  frozen_bn=fb, dtype=d)
         self.layer4 = ResNetStage(512, self.stage_sizes[3], strides=2,
-                                  frozen_bn=fb)
+                                  frozen_bn=fb, dtype=d)
 
     def __call__(self, x, mode: str = 'train', train: bool = False):
         if self.bottleneck_layer is not None:

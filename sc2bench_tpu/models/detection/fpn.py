@@ -8,7 +8,7 @@ shapes static for a fixed input size — anchors are computed once per
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -22,11 +22,13 @@ class FeaturePyramidNetwork(nn.Module):
 
     out_channels: int = 256
     extra_maxpool: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, features: Sequence[jax.Array]):
         laterals = [
-            nn.Conv(self.out_channels, (1, 1), name=f'inner_{i}')(f)
+            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                    name=f'inner_{i}')(f)
             for i, f in enumerate(features)]
         # top-down pathway
         for i in range(len(laterals) - 2, -1, -1):
@@ -35,7 +37,7 @@ class FeaturePyramidNetwork(nn.Module):
             laterals[i] = laterals[i] + up
         outs = [
             nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    name=f'layer_{i}')(l)
+                    dtype=self.dtype, name=f'layer_{i}')(l)
             for i, l in enumerate(laterals)]
         if self.extra_maxpool:
             outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))

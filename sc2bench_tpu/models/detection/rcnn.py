@@ -37,37 +37,48 @@ BOX_REG_WEIGHTS = (10.0, 10.0, 5.0, 5.0)
 
 class RPNHead(nn.Module):
     num_anchors: int = 3
+    dtype: Any = jnp.float32  # conv compute dtype; outputs cast to f32
+    #                           (box decode needs f32 coordinates)
 
     @nn.compact
     def __call__(self, features):
-        conv = nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)), name='conv')
-        cls = nn.Conv(self.num_anchors, (1, 1), name='cls_logits')
-        reg = nn.Conv(self.num_anchors * 4, (1, 1), name='bbox_pred')
+        d = self.dtype
+        conv = nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)), dtype=d,
+                       name='conv')
+        cls = nn.Conv(self.num_anchors, (1, 1), dtype=d, name='cls_logits')
+        reg = nn.Conv(self.num_anchors * 4, (1, 1), dtype=d,
+                      name='bbox_pred')
         logits, deltas = [], []
         for f in features:
             t = nn.relu(conv(f))
-            logits.append(cls(t))
-            deltas.append(reg(t))
+            logits.append(cls(t).astype(jnp.float32))
+            deltas.append(reg(t).astype(jnp.float32))
         return logits, deltas
 
 
 class TwoMLPHead(nn.Module):
     representation_size: int = 1024
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         x = x.reshape(x.shape[0], -1)
-        x = nn.relu(nn.Dense(self.representation_size, name='fc6')(x))
-        return nn.relu(nn.Dense(self.representation_size, name='fc7')(x))
+        x = nn.relu(nn.Dense(self.representation_size, dtype=self.dtype,
+                             name='fc6')(x))
+        return nn.relu(nn.Dense(self.representation_size, dtype=self.dtype,
+                                name='fc7')(x))
 
 
 class FastRCNNPredictor(nn.Module):
     num_classes: int = 91
+    dtype: Any = jnp.float32  # outputs cast to f32 (softmax/box decode)
 
     @nn.compact
     def __call__(self, x):
-        scores = nn.Dense(self.num_classes, name='cls_score')(x)
-        deltas = nn.Dense(self.num_classes * 4, name='bbox_pred')(x)
+        scores = nn.Dense(self.num_classes, dtype=self.dtype,
+                          name='cls_score')(x).astype(jnp.float32)
+        deltas = nn.Dense(self.num_classes * 4, dtype=self.dtype,
+                          name='bbox_pred')(x).astype(jnp.float32)
         return scores, deltas
 
 
@@ -119,12 +130,19 @@ class FasterRCNN(nn.Module):
     num_classes: int = 91
     anchor_sizes: Sequence = ((32,), (64,), (128,), (256,), (512,))
     aspect_ratios: Sequence = (0.5, 1.0, 2.0)
+    # Compute dtype for FPN/RPN/box heads (bfloat16 -> MXU-rate serving;
+    # all box coordinates, scores, and NMS math stay float32 — the heads
+    # cast their outputs). The backbone's dtype is its own field.
+    dtype: Any = jnp.float32
 
     def setup(self):
-        self.fpn = FeaturePyramidNetwork(out_channels=256)
-        self.rpn_head = RPNHead(num_anchors=len(self.aspect_ratios))
-        self.box_head = TwoMLPHead()
-        self.box_predictor = FastRCNNPredictor(num_classes=self.num_classes)
+        d = self.dtype
+        self.fpn = FeaturePyramidNetwork(out_channels=256, dtype=d)
+        self.rpn_head = RPNHead(num_anchors=len(self.aspect_ratios),
+                                dtype=d)
+        self.box_head = TwoMLPHead(dtype=d)
+        self.box_predictor = FastRCNNPredictor(
+            num_classes=self.num_classes, dtype=d)
 
     def extract_features(self, x, mode='train', train=False):
         body_feats = self.backbone(x, mode=mode, train=train)
@@ -532,13 +550,16 @@ class KeypointRCNN(FasterRCNN):
 
 @register_model
 def faster_rcnn_model(backbone_config=None, num_classes=91,
-                      backbone_fpn_kwargs=None, **kwargs):
+                      backbone_fpn_kwargs=None, dtype=None, **kwargs):
     """Builder (reference `rcnn.py:183-226`): splittable backbone from the
-    layer/backbone registries + Faster R-CNN."""
+    layer/backbone registries + Faster R-CNN. `dtype='bfloat16'` runs the
+    backbone stages + FPN + heads in bf16 (box math stays f32; the
+    bottleneck keeps its own dtype for exact reconstruction)."""
     from .base import SplittableDetectionBackbone
+    d = jnp.dtype(dtype) if dtype else jnp.float32
     backbone = SplittableDetectionBackbone.from_config(
-        backbone_config or {}, **(backbone_fpn_kwargs or {}))
-    return FasterRCNN(backbone=backbone, num_classes=num_classes)
+        backbone_config or {}, dtype=d, **(backbone_fpn_kwargs or {}))
+    return FasterRCNN(backbone=backbone, num_classes=num_classes, dtype=d)
 
 
 @register_model

@@ -8,7 +8,7 @@ resolution (`base.py:66-82`). TPU notes: upsampling is `jax.image.resize`
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -58,17 +58,22 @@ class SegmentationBackboneFeatures(nn.Module):
     bottleneck_layer: Optional[nn.Module] = None
     stage_sizes: tuple = (3, 4, 6, 3)
     return_aux: bool = True
+    dtype: Any = jnp.float32  # stage compute dtype (bf16 serving); the
+    #                           bottleneck keeps its own dtype
 
     def setup(self):
         from ..resnet import ResNetStage, ResNetStem
+        d = self.dtype
         if self.bottleneck_layer is None:
-            self.stem = ResNetStem()
-            self.layer1 = ResNetStage(64, self.stage_sizes[0], strides=1)
-        self.layer2 = ResNetStage(128, self.stage_sizes[1], strides=2)
+            self.stem = ResNetStem(dtype=d)
+            self.layer1 = ResNetStage(64, self.stage_sizes[0], strides=1,
+                                      dtype=d)
+        self.layer2 = ResNetStage(128, self.stage_sizes[1], strides=2,
+                                  dtype=d)
         self.layer3 = ResNetStage(256, self.stage_sizes[2], strides=2,
-                                  dilation=1, dilate=True)
+                                  dilation=1, dilate=True, dtype=d)
         self.layer4 = ResNetStage(512, self.stage_sizes[3], strides=2,
-                                  dilation=2, dilate=True)
+                                  dilation=2, dilate=True, dtype=d)
 
     def __call__(self, x, mode: str = 'train', train: bool = False):
         if self.bottleneck_layer is not None:

