@@ -670,6 +670,11 @@ class SplitClassifierRuntime(AnalyzerHolder):
             raise ValueError('device-rANS wire supports the splittable '
                              'bottleneck runtimes')
         hyper = isinstance(self.codec, HyperpriorCodec)
+        if pull_wire and hyper:
+            raise ValueError('pull_wire packing is implemented for the '
+                             'factorized wire; hyperprior streams stay '
+                             'device-resident (accounting is exact '
+                             'either way)')
         images = list(images)
         n = len(images)
         if n == 0:
