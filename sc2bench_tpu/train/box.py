@@ -196,27 +196,43 @@ class DistillationBox:
     # ---- public ---------------------------------------------------------
     def shard_batch(self, x, y):
         """Place a batch onto the data mesh, sharded over 'data' (no-op
-        without a mesh, or when the batch doesn't divide the mesh — the
-        partial final batch then runs replicated).
+        without a mesh; a single-process partial final batch runs
+        replicated).
 
         Multi-process: each process holds only ITS loader shard of the
         global batch; the shards are assembled into one global array over
         the global mesh (`jax.make_array_from_process_local_data`) — the
         gradient all-reduce then spans all hosts, exactly the reference's
-        multi-node DDP (`init_distributed_mode`, SURVEY.md §5.8)."""
+        multi-node DDP (`init_distributed_mode`, SURVEY.md §5.8). A final
+        partial batch is padded per process by repeating its last row up
+        to the per-process device count (the same duplicate-to-even rule
+        torch's DistributedSampler applies to the epoch): leaving it
+        process-local would hand the jit per-process-DIFFERENT arrays it
+        assumes replicated — no all-reduce, silently desynchronized
+        state."""
         if self.mesh is None:
             return x, y
         from ..parallel.mesh import data_sharding
         n = self.mesh.devices.size
         if jax.process_count() > 1:
             ds = data_sharding(self.mesh)
-            global_rows = x.shape[0] * jax.process_count()
-            if global_rows % n == 0:
-                x = jax.make_array_from_process_local_data(ds, np.asarray(x))
+            per = max(n // jax.process_count(), 1)
+            rem = x.shape[0] % per
+
+            def pad(a):
+                a = np.asarray(a)
+                reps = np.repeat(a[-1:], per - rem, axis=0)
+                return np.concatenate([a, reps], axis=0)
+
+            if rem:
+                x = pad(x)
                 if y is not None:
-                    y = jax.tree.map(
-                        lambda a: jax.make_array_from_process_local_data(
-                            ds, np.asarray(a)), y)
+                    y = jax.tree.map(pad, y)
+            x = jax.make_array_from_process_local_data(ds, np.asarray(x))
+            if y is not None:
+                y = jax.tree.map(
+                    lambda a: jax.make_array_from_process_local_data(
+                        ds, np.asarray(a)), y)
         elif x.shape[0] % n == 0:
             ds = data_sharding(self.mesh)
             x = jax.device_put(x, ds)

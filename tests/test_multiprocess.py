@@ -65,7 +65,7 @@ def test_two_process_gathers():
         [sys.executable, '-c', CHILD, str(pid), port],
         cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True) for pid in range(2)]
-    outs = [p.communicate(timeout=300)[0] for p in procs]
+    outs = [p.communicate(timeout=540)[0] for p in procs]
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f'process {pid} failed:\n{out[-3000:]}'
         assert f'CHILD_{pid}_OK' in out
@@ -144,6 +144,27 @@ ENGINE_CHILD = textwrap.dedent("""
         and train_engine.mesh.devices.size == 8
     best = train_engine.train()
     assert np.isfinite(best), best
+
+    # --- partial global batch must NOT desynchronize processes ---
+    # 3 rows/process -> global 6 rows over an 8-device mesh (6 % 8 != 0):
+    # shard_batch pads each process shard to the per-process device count
+    # and still assembles a GLOBAL array. Before that fix the batch stayed
+    # a process-local numpy array that jit assumed replicated — different
+    # data per process, no gradient all-reduce, silently diverging params.
+    pb_cfg = graft.tiny_entropic_student_config(3)
+    pb_cfg['train']['train_data_loader']['dataset']['kwargs'][
+        'num_samples'] = 6
+    pb_cfg['train']['train_data_loader']['drop_last'] = False
+    pb_engine = ClassificationEngine(pb_cfg, image_size=(32, 32), seed=0)
+    assert np.isfinite(pb_engine.train())
+    from jax.experimental import multihost_utils
+    local_sum = np.float64(0)
+    for leaf in jax.tree.leaves(jax.device_get(
+            pb_engine.student_variables['params'])):
+        local_sum += np.asarray(leaf, np.float64).sum()
+    sums = np.asarray(multihost_utils.process_allgather(
+        jax.numpy.asarray(local_sum)))
+    assert np.all(sums == sums[0]), ('params desynchronized', sums)
     print(f'ENGINE_CHILD_{pid}_OK')
 """)
 
@@ -166,7 +187,7 @@ def test_two_process_engine_evaluate():
         [sys.executable, '-c', ENGINE_CHILD, str(pid), port],
         cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True) for pid in range(2)]
-    outs = [p.communicate(timeout=560)[0] for p in procs]
+    outs = [p.communicate(timeout=1100)[0] for p in procs]
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f'process {pid} failed:\n{out[-3000:]}'
         assert f'ENGINE_CHILD_{pid}_OK' in out
