@@ -199,8 +199,11 @@ class SplitDetectionRuntime(AnalyzerHolder):
             c = ops['symbols'].shape[-1]
             idx = jnp.tile(jnp.arange(c, dtype=jnp.int32),
                            flat.shape[0] // c)
+            # channel-cyclic indexes -> gather-free fixed-lane-CDF fast
+            # path whenever c | num_lanes (auto_lanes guarantees it)
             out = device_rans_encode(flat, idx, cdf, cdf_len, off,
-                                     num_lanes=num_lanes)
+                                     num_lanes=num_lanes,
+                                     cyclic_channels=c)
             out['meta'] = jnp.stack([out['ok'].astype(jnp.int32),
                                      out['nbytes']])
             return out
@@ -220,7 +223,8 @@ class SplitDetectionRuntime(AnalyzerHolder):
             idx = jnp.tile(jnp.arange(c, dtype=jnp.int32), h * w)
             flat, valid = device_rans_decode(
                 streams, states, idx, cdf, cdf_len, off,
-                n_symbols=h * w * c, num_lanes=num_lanes)
+                n_symbols=h * w * c, num_lanes=num_lanes,
+                cyclic_channels=c)
 
             def m_fn(mod, s, med):
                 c2 = mod.decode_ops(s, med)
@@ -246,8 +250,9 @@ class SplitDetectionRuntime(AnalyzerHolder):
         batches = [jnp.asarray(b) for b in batches]
         if num_lanes is None:
             from ...ops.rans.device import auto_lanes
-            num_lanes = auto_lanes(int(np.prod(
-                self._latent_shape(batches[0].shape))))
+            lat = self._latent_shape(batches[0].shape)
+            num_lanes = auto_lanes(int(np.prod(lat)),
+                                   cyclic_channels=int(lat[-1]))
 
         def dispatch(i):
             x = batches[i]

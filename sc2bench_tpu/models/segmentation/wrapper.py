@@ -227,8 +227,9 @@ class SplitSegmentationRuntime(AnalyzerHolder):
         images = [jnp.asarray(x) for x in images]
         if num_lanes is None:
             from ...ops.rans.device import auto_lanes
-            num_lanes = auto_lanes(int(np.prod(
-                self._latent_shape(images[0].shape))))
+            lat = self._latent_shape(images[0].shape)
+            num_lanes = auto_lanes(int(np.prod(lat)),
+                                   cyclic_channels=int(lat[-1]))
 
         def enc_fn(v, x, m, cdf, cdf_len, off):
             ops = self.module.apply(
@@ -238,8 +239,11 @@ class SplitSegmentationRuntime(AnalyzerHolder):
             c = ops['symbols'].shape[-1]
             idx = jnp.tile(jnp.arange(c, dtype=jnp.int32),
                            flat.shape[0] // c)
+            # channel-cyclic indexes -> gather-free fixed-lane-CDF fast
+            # path whenever c | num_lanes (auto_lanes guarantees it)
             out = device_rans_encode(flat, idx, cdf, cdf_len, off,
-                                     num_lanes=num_lanes)
+                                     num_lanes=num_lanes,
+                                     cyclic_channels=c)
             out['meta'] = jnp.stack([out['ok'].astype(jnp.int32),
                                      out['nbytes']])
             return out
@@ -272,7 +276,8 @@ class SplitSegmentationRuntime(AnalyzerHolder):
                 idx = jnp.tile(jnp.arange(c, dtype=jnp.int32), h * w)
                 flat, valid = device_rans_decode(
                     streams, states, idx, cdf, cdf_len, off,
-                    n_symbols=h * w * c, num_lanes=num_lanes)
+                    n_symbols=h * w * c, num_lanes=num_lanes,
+                    cyclic_channels=c)
                 return self.module.apply(
                     v, flat.reshape(1, h, w, c), m, tuple(hw),
                     method=lambda mod, s, med, ihw:
