@@ -26,7 +26,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} plus:
     the bf16 train step, with measured device-loop rates, as a fraction of
     the v5e bf16 MXU peak (197 TFLOP/s)
   - train_step_img_per_sec: full distillation train step (teacher fwd +
-    student fwd/bwd + masked update), bf16 tails, batch 32 @ 224
+    student fwd/bwd + masked update), bf16 tails, batch 128 @ 224
 
 Baseline: the measured reference pipeline — the same architecture run as
 torch CPU convs + single-stream C++ rANS at batch 1 on this host

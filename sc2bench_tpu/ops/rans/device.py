@@ -265,6 +265,11 @@ def pack_stream(encoded: dict) -> bytes:
     lengths = np.asarray(encoded['lengths'])
     states = np.asarray(encoded['states'])
     lanes = streams.shape[0]
+    if lengths.size and int(lengths.max()) > 0xFFFF:
+        raise ValueError(
+            f'lane stream length {int(lengths.max())} exceeds the u16 '
+            'wire header; raise num_lanes (auto_lanes targets ~256 '
+            'steps/lane, far below the 65535 limit)')
     head = np.asarray([lanes, 0], np.uint16).tobytes()
     body = [head, lengths.astype(np.uint16).tobytes(),
             states.astype(np.uint32).tobytes()]

@@ -289,11 +289,12 @@ class DetectionEngine:
                     drain()
             drain()
         else:
+            local_vars = localized(model_variables)  # once, not per batch
             for images, targets in data_loader:
                 batch, scales, origs = self.transform(list(images))
                 t0 = time.time()
                 dets, extras = self._eval_fn[fn_key](
-                    localized(model_variables), jnp.asarray(batch))
+                    local_vars, jnp.asarray(batch))
                 meter.update(model_time=time.time() - t0)
                 record(dets, targets, scales, origs, extras)
         for ev in evaluators.values():
