@@ -13,6 +13,7 @@ import numpy as np
 
 from ...analysis import AnalyzerHolder, get_analyzer
 from ...registry import get as registry_get, register_wrapper
+from ..device_wire import FactorizedDeviceWire
 from .transform import RCNNTransform, RCNNTransformWithCompression
 
 
@@ -78,7 +79,7 @@ class InputCompressionDetectionModel(DetectionRuntime):
             analyzer=analyzer, **kwargs.get('transform_kwargs', {}))
 
 
-class SplitDetectionRuntime(AnalyzerHolder):
+class SplitDetectionRuntime(FactorizedDeviceWire, AnalyzerHolder):
     """Deploy runtime for splittable (entropic-student) detection: encode the
     bottleneck latent → rANS bytes (data-size analysis) → decode → FPN/RPN/
     RoI heads (the reference's FeatureExtractionBackbone encode→analyze→
@@ -162,55 +163,10 @@ class SplitDetectionRuntime(AnalyzerHolder):
     # ---- device-rANS wire (entropy coding ON the TPU) -------------------
     # The detection latent is the big one (e.g. 200x336x24 = 1.6M symbols
     # at the 800/1333 geometry — two ~3 MB host hops per image on the
-    # symbol wire). Fusing the interleaved rANS codec (ops/rans/device.py)
-    # into the encode/decode programs removes both: only an 8-byte
-    # [ok, nbytes] meta crosses per image for byte accounting.
-
-    def _device_tables(self):
-        if getattr(self, '_cdf_dev', None) is None:
-            t = self.codec.tables
-            self._cdf_dev = (jnp.asarray(t.quantized_cdf),
-                             jnp.asarray(t.cdf_length),
-                             jnp.asarray(t.offset))
-        return self._cdf_dev
-
-    def _latent_shape(self, x_shape):
-        key = ('latent_shape', tuple(x_shape))
-        if key not in self._jit:
-            sym = jax.eval_shape(
-                lambda v, x, m: self.module.apply(
-                    v, x, m, method=lambda mod, x, med:
-                        mod.encode_ops(x, med)),
-                self.variables,
-                jax.ShapeDtypeStruct(tuple(x_shape), jnp.float32),
-                jax.ShapeDtypeStruct(self._medians_dev.shape, jnp.float32))
-            self._jit[key] = tuple(sym['symbols'].shape[1:])
-        return self._jit[key]
-
-    def encode_device_wire(self, x, num_lanes=4096):
-        from ...ops.rans.device import device_rans_encode
-        cdf, cdf_len, off = self._device_tables()
-
-        def enc(v, x, m, cdf, cdf_len, off):
-            ops = self.module.apply(
-                v, x, m, method=lambda mod, x, med:
-                    mod.encode_ops(x, med))
-            flat = ops['symbols'].reshape(-1)
-            c = ops['symbols'].shape[-1]
-            idx = jnp.tile(jnp.arange(c, dtype=jnp.int32),
-                           flat.shape[0] // c)
-            # channel-cyclic indexes -> gather-free fixed-lane-CDF fast
-            # path whenever c | num_lanes (auto_lanes guarantees it)
-            out = device_rans_encode(flat, idx, cdf, cdf_len, off,
-                                     num_lanes=num_lanes,
-                                     cyclic_channels=c)
-            out['meta'] = jnp.stack([out['ok'].astype(jnp.int32),
-                                     out['nbytes']])
-            return out
-        out = self._jitted(f'enc_devwire{num_lanes}_{x.shape[1:3]}', enc)(
-            self.variables, x, self._medians_dev, cdf, cdf_len, off)
-        out['lat_shape'] = self._latent_shape(x.shape)
-        return out
+    # symbol wire). The shared `FactorizedDeviceWire` mixin fuses the
+    # interleaved rANS codec (ops/rans/device.py) into the encode/decode
+    # programs, removing both: only an 8-byte [ok, nbytes] meta crosses
+    # per image for byte accounting.
 
     def decode_device_streams(self, streams, states, lat_shape, hw,
                               num_lanes=4096):
@@ -237,6 +193,12 @@ class SplitDetectionRuntime(AnalyzerHolder):
             self.variables, streams, states, self._medians_dev,
             cdf, cdf_len, off)
 
+    def _wire_decode(self, ops, hw, num_lanes):
+        dets, _valid = self.decode_device_streams(
+            ops['streams'], ops['states'], ops['lat_shape'], hw,
+            num_lanes=num_lanes)
+        return dets
+
     def stream_detect_device(self, batches, depth: int = 8,
                              workers: int = 4, num_lanes: int | None = None,
                              timings: dict | None = None):
@@ -244,51 +206,11 @@ class SplitDetectionRuntime(AnalyzerHolder):
         fused encode+entropy-code dispatch, one fused entropy-decode+
         detect dispatch, and one 8-byte meta read (exact byte
         accounting). Out-of-support latents fall back to the host coder
-        per image."""
-        import time as _time
-        from ..runtime import pipeline_stream
-        batches = [jnp.asarray(b) for b in batches]
-        if num_lanes is None:
-            from ...ops.rans.device import auto_lanes
-            lat = self._latent_shape(batches[0].shape)
-            num_lanes = auto_lanes(int(np.prod(lat)),
-                                   cyclic_channels=int(lat[-1]))
-
-        def dispatch(i):
-            x = batches[i]
-            ops = self.encode_device_wire(x, num_lanes=num_lanes)
-            try:
-                ops['meta'].copy_to_host_async()
-            except Exception:
-                pass
-            return i, ops, x.shape[1:3]
-
-        def host_stage(arg):
-            i, ops, hw = arg
-            t0 = _time.perf_counter()
-            ok, nbytes = (int(v) for v in np.asarray(ops['meta']))
-            if not ok:
-                sym_ops = self._encode_device(batches[i])
-                return self._host_stage(sym_ops, hw)
-            self.analyze({'strings': [[bytes(nbytes)]],
-                          'shape': ops['lat_shape'][:2]})
-            t1 = _time.perf_counter()
-            dets, _valid = self.decode_device_streams(
-                ops['streams'], ops['states'], ops['lat_shape'], hw,
-                num_lanes=num_lanes)
-            if timings is not None:
-                timings['account_d2h'] = \
-                    timings.get('account_d2h', 0.0) + t1 - t0
-                timings['decode_dispatch'] = \
-                    timings.get('decode_dispatch', 0.0) \
-                    + _time.perf_counter() - t1
-            return dets
-
-        results = list(pipeline_stream(len(batches), dispatch, host_stage,
-                                       depth, workers))
-        if results:
-            jax.block_until_ready(jax.tree.leaves(results[-1]))
-        return results
+        per image (`FactorizedDeviceWire.stream_device_wire`)."""
+        return self.stream_device_wire(batches, depth=depth,
+                                       workers=workers,
+                                       num_lanes=num_lanes,
+                                       timings=timings)
 
     def stream_detect(self, batches, depth: int = 4, workers: int = 4):
         """Software-pipelined deploy over a stream of canvas batches (the

@@ -15,6 +15,7 @@ import numpy as np
 from ...analysis import AnalyzerHolder
 from ...registry import get as registry_get, register_wrapper
 from ...transforms.misc import AdaptivePad
+from ..device_wire import FactorizedDeviceWire
 
 
 def _build_transform(cfg):
@@ -99,7 +100,7 @@ class NeuralInputCompressionSegmentationModel(AnalyzerHolder):
         return self._fwd(self.variables, jnp.asarray(np.stack(batch)))
 
 
-class SplitSegmentationRuntime(AnalyzerHolder):
+class SplitSegmentationRuntime(FactorizedDeviceWire, AnalyzerHolder):
     """Deploy runtime for splittable (entropic-student) segmentation:
     encode → rANS → decode → heads, with data-size analysis at batch 1
     (reference eval path, SURVEY.md §3.4)."""
@@ -180,13 +181,10 @@ class SplitSegmentationRuntime(AnalyzerHolder):
                               self._medians_dev)
 
     # ---- device-rANS wire (entropy coding ON the TPU) -------------------
-    def _device_tables(self):
-        if getattr(self, '_cdf_dev', None) is None:
-            t = self.codec.tables
-            self._cdf_dev = (jnp.asarray(t.quantized_cdf),
-                             jnp.asarray(t.cdf_length),
-                             jnp.asarray(t.offset))
-        return self._cdf_dev
+    # Tables / latent probe / fused encode / pipelined stream come from
+    # the shared `FactorizedDeviceWire` mixin; only the decode tail (IGDN
+    # decode -> dilated tail -> DeepLab head -> upsample to input size)
+    # is seg-specific.
 
     def _jitted(self, key, fn):
         import jax
@@ -196,19 +194,25 @@ class SplitSegmentationRuntime(AnalyzerHolder):
                     self._jit[key] = jax.jit(fn)
         return self._jit[key]
 
-    def _latent_shape(self, x_shape):
-        import jax
-        key = ('latent_shape', tuple(x_shape))
-        if key not in self._jit:
-            shp = jax.eval_shape(
-                lambda v, x, m: self.module.apply(
-                    v, x, m, method=lambda mod, x, med:
-                        mod.encode_ops(x, med)),
-                self.variables,
-                jax.ShapeDtypeStruct(tuple(x_shape), jnp.float32),
-                jax.ShapeDtypeStruct(self._medians_dev.shape, jnp.float32))
-            self._jit[key] = tuple(shp['symbols'].shape[1:])
-        return self._jit[key]
+    def _wire_decode(self, ops, hw, num_lanes):
+        from ...ops.rans.device import device_rans_decode
+        cdf, cdf_len, off = self._device_tables()
+        h, w, c = ops['lat_shape']
+
+        def dec_fn(v, streams, states, m, cdf, cdf_len, off):
+            idx = jnp.tile(jnp.arange(c, dtype=jnp.int32), h * w)
+            flat, valid = device_rans_decode(
+                streams, states, idx, cdf, cdf_len, off,
+                n_symbols=h * w * c, num_lanes=num_lanes,
+                cyclic_channels=c)
+            return self.module.apply(
+                v, flat.reshape(1, h, w, c), m, tuple(hw),
+                method=lambda mod, s, med, ihw:
+                    mod.decode_ops_to_output(s, med, ihw))
+        return self._jitted(
+            f'dec_devwire{hw[0]}x{hw[1]}_l{num_lanes}', dec_fn)(
+            self.variables, ops['streams'], ops['states'],
+            self._medians_dev, cdf, cdf_len, off)
 
     def stream_deploy_device(self, images, depth: int = 8,
                              workers: int = 4, num_lanes: int | None = None,
@@ -217,84 +221,12 @@ class SplitSegmentationRuntime(AnalyzerHolder):
         into the encode and decode programs (`ops/rans/device.py`): the
         stride-8 seg latent (e.g. 64x64x24 at 512px) never crosses the
         host boundary; one 8-byte meta read per image does the byte
-        accounting, out-of-support latents fall back to the host coder."""
-        import time as _time
-        import jax
-        from ...ops.rans.device import (device_rans_decode,
-                                        device_rans_encode)
-        from ..runtime import pipeline_stream
-        cdf, cdf_len, off = self._device_tables()
-        images = [jnp.asarray(x) for x in images]
-        if num_lanes is None:
-            from ...ops.rans.device import auto_lanes
-            lat = self._latent_shape(images[0].shape)
-            num_lanes = auto_lanes(int(np.prod(lat)),
-                                   cyclic_channels=int(lat[-1]))
-
-        def enc_fn(v, x, m, cdf, cdf_len, off):
-            ops = self.module.apply(
-                v, x, m, method=lambda mod, x, med:
-                    mod.encode_ops(x, med))
-            flat = ops['symbols'].reshape(-1)
-            c = ops['symbols'].shape[-1]
-            idx = jnp.tile(jnp.arange(c, dtype=jnp.int32),
-                           flat.shape[0] // c)
-            # channel-cyclic indexes -> gather-free fixed-lane-CDF fast
-            # path whenever c | num_lanes (auto_lanes guarantees it)
-            out = device_rans_encode(flat, idx, cdf, cdf_len, off,
-                                     num_lanes=num_lanes,
-                                     cyclic_channels=c)
-            out['meta'] = jnp.stack([out['ok'].astype(jnp.int32),
-                                     out['nbytes']])
-            return out
-
-        def dispatch(i):
-            x = images[i]
-            ops = self._jitted(f'enc_devwire{num_lanes}_{x.shape[1:3]}',
-                               enc_fn)(self.variables, x,
-                                       self._medians_dev, cdf, cdf_len,
-                                       off)
-            ops['lat_shape'] = self._latent_shape(x.shape)
-            try:
-                ops['meta'].copy_to_host_async()
-            except Exception:
-                pass
-            return i, ops, x.shape[1:3]
-
-        def host_stage(arg):
-            i, ops, hw = arg
-            t0 = _time.perf_counter()
-            ok, nbytes = (int(v) for v in np.asarray(ops['meta']))
-            if not ok:   # rare escape: host coder for this image
-                sym_ops = self._encode_device(images[i])
-                return self._host_stage(sym_ops, hw)
-            self.analyze({'strings': [[bytes(nbytes)]],
-                          'shape': ops['lat_shape'][:2]})
-            h, w, c = ops['lat_shape']
-
-            def dec_fn(v, streams, states, m, cdf, cdf_len, off):
-                idx = jnp.tile(jnp.arange(c, dtype=jnp.int32), h * w)
-                flat, valid = device_rans_decode(
-                    streams, states, idx, cdf, cdf_len, off,
-                    n_symbols=h * w * c, num_lanes=num_lanes,
-                    cyclic_channels=c)
-                return self.module.apply(
-                    v, flat.reshape(1, h, w, c), m, tuple(hw),
-                    method=lambda mod, s, med, ihw:
-                        mod.decode_ops_to_output(s, med, ihw))
-            out = self._jitted(
-                f'dec_devwire{hw[0]}x{hw[1]}_l{num_lanes}', dec_fn)(
-                self.variables, ops['streams'], ops['states'],
-                self._medians_dev, cdf, cdf_len, off)
-            if timings is not None:
-                timings['account_d2h'] =                     timings.get('account_d2h', 0.0)                     + _time.perf_counter() - t0
-            return out
-
-        results = list(pipeline_stream(len(images), dispatch, host_stage,
-                                       depth, workers))
-        if results:
-            jax.block_until_ready(jax.tree.leaves(results[-1]))
-        return results
+        accounting, out-of-support latents fall back to the host coder
+        (`FactorizedDeviceWire.stream_device_wire`)."""
+        return self.stream_device_wire(images, depth=depth,
+                                       workers=workers,
+                                       num_lanes=num_lanes,
+                                       timings=timings)
 
     def __call__(self, x):
         import jax
