@@ -23,7 +23,7 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 
 
-def main(n_iter=20):
+def main(n_iter=20, bf16=False):
     import jax.numpy as jnp
     from sc2bench_tpu.models.detection.transform import RCNNTransform
     from sc2bench_tpu.models.detection.wrapper import SplitDetectionRuntime
@@ -32,12 +32,14 @@ def main(n_iter=20):
 
     model = registry_get('model', 'faster_rcnn_model')(
         num_classes=91,
+        dtype='bfloat16' if bf16 else 'float32',
         backbone_config={
             'resnet_name': 'resnet50',
             'bottleneck_config': {
                 'key': 'FPBasedResNetBottleneck',
                 'kwargs': {'num_bottleneck_channels': 24,
                            'num_target_channels': 256}}})
+    print('dtype:', 'bfloat16' if bf16 else 'float32', flush=True)
     transform = RCNNTransform(min_size=800, max_size=1333,
                               size_divisible=32, canvas_buckets=True)
     # landscape bucket (the dominant COCO aspect ratio)
@@ -96,4 +98,5 @@ def main(n_iter=20):
 
 
 if __name__ == '__main__':
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 20)
+    argv = [a for a in sys.argv[1:] if a != '--bf16']
+    main(int(argv[0]) if argv else 20, bf16='--bf16' in sys.argv[1:])
