@@ -595,6 +595,76 @@ class SplitClassifierRuntime(AnalyzerHolder):
         out['shape'] = self._latent_shape(x.shape)
         return out
 
+    def encode_device_wire_batch(self, xs_list, num_lanes=256):
+        """`encode_device_wire` vmapped over k images. Each image is
+        entropy-coded INDEPENDENTLY inside the program — per-image
+        streams, states, and [ok, nbytes] metas are bit-identical to k
+        separate batch-1 dispatches — so the reference's per-sample
+        data-size protocol (README.md:99-103) is preserved while k images
+        share ONE dispatch + ONE meta read (the stack happens inside the
+        traced program, not as a separate device op)."""
+        from ..ops.rans.device import device_rans_encode
+        cdf, cdf_len, off = self._device_tables()
+
+        def enc1(variables, x, medians, cdf, cdf_len, off):
+            ops = self.module.apply(
+                variables, self._prep_input(x), medians,
+                method=lambda m, x, med:
+                    m.bottleneck_layer.encode_ops(x, med))
+            sym = ops['symbols']
+            c = sym.shape[-1]
+            flat = sym.reshape(-1)
+            idx = jnp.tile(jnp.arange(c, dtype=jnp.int32),
+                           flat.shape[0] // c)
+            out = device_rans_encode(flat, idx, cdf, cdf_len, off,
+                                     num_lanes=num_lanes,
+                                     cyclic_channels=c)
+            out['meta'] = jnp.stack([out['ok'].astype(jnp.int32),
+                                     out['nbytes']])
+            return out
+
+        def enc_many(variables, medians, cdf, cdf_len, off, *xs):
+            return jax.vmap(
+                enc1, in_axes=(None, 0, None, None, None, None))(
+                variables, jnp.stack(xs), medians, cdf, cdf_len, off)
+
+        k = len(xs_list)
+        out = self._jitted(f'encode_devwire_b{k}_{num_lanes}', enc_many)(
+            self.variables, self._medians_dev, cdf, cdf_len, off,
+            *xs_list)
+        out['shape'] = self._latent_shape(tuple(xs_list[0].shape))
+        return out
+
+    def decode_device_streams_batch(self, streams, states, shape,
+                                    num_lanes=256):
+        """Batched server-side program: k images' device-resident streams
+        -> k logits in one dispatch (vmap of `decode_device_streams`)."""
+        from ..ops.rans.device import device_rans_decode
+        cdf, cdf_len, off = self._device_tables()
+        h, w, c = shape
+        n_symbols = h * w * c
+
+        def dec1(variables, streams, states, medians, cdf, cdf_len, off):
+            idx = jnp.tile(jnp.arange(c, dtype=jnp.int32), h * w)
+            flat, valid = device_rans_decode(
+                streams, states, idx, cdf, cdf_len, off,
+                n_symbols=n_symbols, num_lanes=num_lanes,
+                cyclic_channels=c)
+            sym = flat.reshape(1, h, w, c)
+
+            def m_fn(m, s, med):
+                feat = m.bottleneck_layer.decode_ops(s, med)
+                return m.forward_tail(feat)
+            return self.module.apply(variables, sym, medians,
+                                     method=m_fn), valid
+
+        k = streams.shape[0]
+        return self._jitted(
+            f'decode_devwire_b{k}_{h}x{w}x{c}_l{num_lanes}',
+            jax.vmap(dec1, in_axes=(None, 0, 0, None, None, None, None)))(
+            self.variables, streams, states, self._medians_dev,
+            cdf, cdf_len, off)
+
     def _latent_shape(self, x_shape):
         """(h, w, c) of the bottleneck latent for an input shape (host
         ints, via eval_shape — no device work)."""
@@ -658,6 +728,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
     def stream_deploy_device(self, images, depth: int = 8, workers: int = 4,
                              num_lanes: int | None = None,
                              pull_wire: bool = False,
+                             wire_batch: int | None = None,
                              timings: dict | None = None):
         """Pipelined batch-1 serving with the device-rANS wire: encode and
         entropy-code in ONE device program, account the compacted
@@ -686,6 +757,12 @@ class SplitClassifierRuntime(AnalyzerHolder):
             num_lanes = auto_lanes(int(np.prod(shape)),
                                    cyclic_channels=None if hyper
                                    else int(shape[-1]))
+        if wire_batch is not None and wire_batch > 1:
+            if hyper or pull_wire:
+                raise ValueError('wire_batch grouping is implemented for '
+                                 'the factorized wire without pull_wire')
+            return self._stream_deploy_device_batched(
+                images, wire_batch, depth, workers, num_lanes, timings)
 
         def dispatch(i):
             if hyper:
@@ -701,42 +778,135 @@ class SplitClassifierRuntime(AnalyzerHolder):
             return i, ops
 
         def host_stage(arg):
+            # Decode is dispatched WITHOUT waiting for the meta read: the
+            # decode program consumes the device-resident streams, so the
+            # steady-state loop performs no blocking host transfer at all.
+            # Metas (8 bytes, async-copied at dispatch) are harvested after
+            # the stream drains — accounting is order-insensitive and the
+            # ok=0 escape path (never produced by a trained model) is
+            # redone serially then.
             i, ops = arg
             t0 = _time.perf_counter()
-            ok, nbytes = (int(v) for v in np.asarray(ops['meta']))
+            if hyper:
+                logits, _valid = self.decode_device_streams_hyper(
+                    ops, num_lanes=num_lanes)
+                shape_hw = ops['shapes'][1][:2]
+            else:
+                logits, _valid = self.decode_device_streams(
+                    ops['streams'], ops['states'], ops['shape'],
+                    num_lanes=num_lanes)
+                shape_hw = ops['shape'][:2]
+            if timings is not None:
+                timings['decode_dispatch'] = \
+                    timings.get('decode_dispatch', 0.0) \
+                    + _time.perf_counter() - t0
+            if pull_wire and not hyper:
+                # wire packing needs the stream content: sync here
+                ok, nbytes = (int(v) for v in np.asarray(ops['meta']))
+                if ok:
+                    wire = self._pull_device_wire(ops)
+                    assert len(wire) == nbytes
+                    self.analyze({'strings': [[wire]], 'shape': shape_hw})
+                    return logits
+                return i, ops['meta'], shape_hw, logits
+            if i % 32 == 31:
+                # throttle: one meta wait every 32 images bounds the queued
+                # device programs (and buffers) without a per-image sync
+                np.asarray(ops['meta'])
+            return i, ops['meta'], shape_hw, logits
+
+        staged = list(pipeline_stream(n, dispatch, host_stage, depth,
+                                      workers))
+        # Harvest AFTER the stream drains: every meta's async copy has had
+        # the whole stream's wall time to complete, so these reads are
+        # host-local, not per-image tunnel syncs.
+        t_acct = _time.perf_counter()
+        results = []
+        for r in staged:
+            if not isinstance(r, tuple):
+                results.append(r)  # pull_wire path, already accounted
+                continue
+            i, meta, shape_hw, logits = r
+            ok, nbytes = (int(v) for v in np.asarray(meta))
             if not ok:
                 # rare escape-coded latent: serial host path for this image
                 compressed = self.encode(images[i])
                 self.analyze(compressed)
-                return self.decode(**compressed)
-            if pull_wire and not hyper:
-                wire = self._pull_device_wire(ops)
-                assert len(wire) == nbytes
-            else:
-                # account the EXACT wire size without pulling content:
-                # pickle size of a bytes object depends only on length
-                wire = bytes(nbytes)
-            self.analyze({'strings': [[wire]],
-                          'shape': (ops['shapes'][1][:2] if hyper
-                                    else ops['shape'][:2])})
-            t1 = _time.perf_counter()
-            if hyper:
-                logits, valid = self.decode_device_streams_hyper(
-                    ops, num_lanes=num_lanes)
-            else:
-                logits, valid = self.decode_device_streams(
-                    ops['streams'], ops['states'], ops['shape'],
-                    num_lanes=num_lanes)
+                results.append(self.decode(**compressed))
+                continue
+            # account the EXACT wire size without pulling content: pickle
+            # size of a bytes object depends only on length
+            self.analyze({'strings': [[bytes(nbytes)]], 'shape': shape_hw})
+            results.append(logits)
+        if timings is not None:
+            timings['account_d2h'] = \
+                timings.get('account_d2h', 0.0) \
+                + _time.perf_counter() - t_acct
+        jax.block_until_ready(results[-1])
+        return results
+
+    def _stream_deploy_device_batched(self, images, k, depth, workers,
+                                      num_lanes, timings):
+        """Grouped device-wire serving: k images per fused encode+code /
+        decode+tail dispatch and ONE (k,2) meta read per group — ~2/k
+        tunnel operations per image. Per-image bitstreams, byte
+        accounting, and logits are identical to the per-image wire (each
+        image is coded independently inside the vmapped program); the
+        last group is padded by repeating its final image (padded outputs
+        dropped, never accounted)."""
+        import time as _time
+        n = len(images)
+        groups = [(j, min(j + k, n)) for j in range(0, n, k)]
+
+        def dispatch(g):
+            j0, j1 = groups[g]
+            grp = list(images[j0:j1])
+            grp += [grp[-1]] * (k - len(grp))
+            ops = self.encode_device_wire_batch(grp, num_lanes=num_lanes)
+            try:
+                ops['meta'].copy_to_host_async()
+            except Exception:
+                pass
+            return g, ops
+
+        def host_stage(arg):
+            g, ops = arg
+            t0 = _time.perf_counter()
+            logits, _valid = self.decode_device_streams_batch(
+                ops['streams'], ops['states'], ops['shape'],
+                num_lanes=num_lanes)
             if timings is not None:
-                timings['account_d2h'] = \
-                    timings.get('account_d2h', 0.0) + t1 - t0
                 timings['decode_dispatch'] = \
                     timings.get('decode_dispatch', 0.0) \
-                    + _time.perf_counter() - t1
-            return logits
+                    + _time.perf_counter() - t0
+            if g % 8 == 7:
+                # throttle: one meta wait per 8 groups bounds queued
+                # device programs without a per-group sync
+                np.asarray(ops['meta'])
+            return g, ops['meta'], ops['shape'][:2], logits
 
-        results = list(pipeline_stream(n, dispatch, host_stage, depth,
-                                       workers))
+        staged = list(pipeline_stream(len(groups), dispatch, host_stage,
+                                      depth, workers))
+        t_acct = _time.perf_counter()
+        results = []
+        for g, meta, shape_hw, logits in staged:
+            j0, j1 = groups[g]
+            meta_np = np.asarray(meta)
+            for j in range(j1 - j0):
+                ok, nbytes = int(meta_np[j, 0]), int(meta_np[j, 1])
+                if not ok:
+                    # rare escape-coded latent: serial host path
+                    compressed = self.encode(images[j0 + j])
+                    self.analyze(compressed)
+                    results.append(self.decode(**compressed))
+                    continue
+                self.analyze({'strings': [[bytes(nbytes)]],
+                              'shape': shape_hw})
+                results.append(logits[j])
+        if timings is not None:
+            timings['account_d2h'] = \
+                timings.get('account_d2h', 0.0) \
+                + _time.perf_counter() - t_acct
         jax.block_until_ready(results[-1])
         return results
 

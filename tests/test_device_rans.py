@@ -359,3 +359,128 @@ def test_auto_lanes_cyclic_divisibility():
         lanes = auto_lanes(n, cyclic_channels=c)
         assert lanes % c == 0, (n, c, lanes)
     assert auto_lanes(75264) == 512  # non-cyclic: next pow2 of n/256
+
+
+def _tiny_cls_runtime():
+    from sc2bench_tpu.models.backbone import SplittableResNet
+    from sc2bench_tpu.models.layer import FPBasedResNetBottleneck
+    from sc2bench_tpu.models.runtime import SplitClassifierRuntime
+    model = SplittableResNet(
+        bottleneck_layer=FPBasedResNetBottleneck(
+            num_bottleneck_channels=8, num_target_channels=64),
+        stage_sizes=(1, 1, 1, 1), num_classes=10)
+    x0 = jnp.zeros((1, 64, 64, 3))
+    v = jax.jit(lambda r, x: model.init(r, x, mode='train'))(
+        {'params': jax.random.key(0), 'noise': jax.random.key(1)}, x0)
+    v = {'params': v['params'], 'batch_stats': v.get('batch_stats', {})}
+    rt = SplitClassifierRuntime(model, v)
+    rt.update()
+    rt.eval()
+    return rt
+
+
+@pytest.mark.slow
+def test_stream_device_wire_fallback_on_escape():
+    """When the fused encoder signals ok=0 (out-of-support latent), the
+    deferred-harvest stream path must transparently redo that image on
+    the host-coder path: same logits as the host deploy, and the
+    accounting must record the HOST bitstream size for it (not a
+    zero-byte device wire)."""
+    rt = _tiny_cls_runtime()
+    imgs = [jax.random.normal(jax.random.key(i), (1, 64, 64, 3)) * 0.25
+            for i in range(3)]
+    host_logits = [np.asarray(rt(x)) for x in imgs]
+
+    forced_bad = 1  # middle image of the stream
+    real_enc = rt.encode_device_wire
+
+    def bad_enc(x, num_lanes=256):
+        ops = real_enc(x, num_lanes=num_lanes)
+        if x is imgs[forced_bad]:
+            ops['meta'] = jnp.array([0, 0], jnp.int32)
+        return ops
+
+    rt.encode_device_wire = bad_enc
+    rt.activate_analysis()
+    dev = rt.stream_deploy_device(imgs, depth=2, workers=2, num_lanes=64)
+    sizes = list(rt.analyzers[0].file_size_list)
+    rt.deactivate_analysis()
+    assert len(sizes) == len(imgs)
+    # every accounted size is a real bitstream (host fallback included)
+    assert all(s > 0 for s in sizes)
+    for h, d in zip(host_logits, dev):
+        np.testing.assert_allclose(h, np.asarray(d), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_mixin_stream_device_wire_fallback_on_escape():
+    """Same escape contract for the det/seg mixin
+    (`FactorizedDeviceWire.stream_device_wire`), via the segmentation
+    runtime: the ok=0 image is redone on the host coder with its real
+    byte size accounted."""
+    from sc2bench_tpu.models.segmentation.wrapper import \
+        SplitSegmentationRuntime
+    from sc2bench_tpu.registry import get as registry_get
+    import sc2bench_tpu.models  # noqa: F401
+    model = registry_get('model', 'deeplabv3_model')(
+        backbone_name='resnet50', num_classes=5, uses_aux=False,
+        bottleneck_config={'key': 'FPBasedResNetBottleneck',
+                           'kwargs': {'num_bottleneck_channels': 8,
+                                      'num_target_channels': 256}})
+    x0 = jnp.zeros((1, 64, 64, 3))
+    v = jax.jit(lambda r, x: model.init(r, x, mode='train'))(
+        {'params': jax.random.key(0), 'noise': jax.random.key(1)}, x0)
+    v = {'params': v['params'], 'batch_stats': v.get('batch_stats', {})}
+    rt = SplitSegmentationRuntime(model, v)
+    assert rt.update()
+    rt.eval()
+    imgs = [jax.random.normal(jax.random.key(i), (1, 64, 64, 3)) * 0.25
+            for i in range(2)]
+    host = [np.asarray(rt(x)) for x in imgs]
+
+    real_enc = rt.encode_device_wire
+
+    def bad_enc(x, num_lanes=256):
+        ops = real_enc(x, num_lanes=num_lanes)
+        ops['meta'] = jnp.array([0, 0], jnp.int32)  # force escape on ALL
+        return ops
+
+    rt.encode_device_wire = bad_enc
+    rt.activate_analysis()
+    dev = rt.stream_deploy_device(imgs, depth=2, workers=2, num_lanes=64)
+    sizes = list(rt.analyzers[0].file_size_list)
+    rt.deactivate_analysis()
+    assert len(sizes) == len(imgs) and all(s > 0 for s in sizes)
+    for h, d in zip(host, dev):
+        np.testing.assert_allclose(h, np.asarray(d), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_stream_device_wire_batched_matches_per_image():
+    """`wire_batch=k` groups k images per fused dispatch; logits must
+    match the host deploy path and the accounted per-image byte sizes
+    must be IDENTICAL to the per-image device wire (each image is coded
+    independently inside the vmapped program). 5 images with k=3
+    exercises the padded remainder group (padded outputs dropped)."""
+    rt = _tiny_cls_runtime()
+    imgs = [jax.random.normal(jax.random.key(i), (1, 64, 64, 3)) * 0.25
+            for i in range(5)]
+    host_logits = [np.asarray(rt(x)) for x in imgs]
+
+    rt.activate_analysis()
+    rt.stream_deploy_device(imgs, depth=2, workers=2, num_lanes=64)
+    sizes_per_image = list(rt.analyzers[0].file_size_list)
+    rt.analyzers[0].clear()
+    batched = rt.stream_deploy_device(imgs, depth=2, workers=2,
+                                      num_lanes=64, wire_batch=3)
+    sizes_batched = list(rt.analyzers[0].file_size_list)
+    rt.deactivate_analysis()
+
+    assert sizes_batched == sizes_per_image  # bit-identical coding
+    assert len(batched) == len(imgs)
+    for h, d in zip(host_logits, batched):
+        np.testing.assert_allclose(h, np.asarray(d), rtol=2e-5, atol=2e-5)
+
+    # hyperprior / pull_wire combinations are rejected, not ignored
+    with pytest.raises(ValueError):
+        rt.stream_deploy_device(imgs, wire_batch=2, pull_wire=True)
