@@ -12,9 +12,9 @@ def test_split_attention_conv_radix_weights_sum_to_one():
     from sc2bench_tpu.models.resnest import SplitAttentionConv
     m = SplitAttentionConv(channels=16, radix=2)
     x = jnp.ones((1, 8, 8, 8))
-    v = m.init({'params': jax.random.key(0)}, x)
-    y = m.apply({'params': v['params'],
-                 'batch_stats': v.get('batch_stats', {})}, x)
+    v = jax.jit(m.init)({'params': jax.random.key(0)}, x)
+    y = jax.jit(m.apply)({'params': v['params'],
+                          'batch_stats': v.get('batch_stats', {})}, x)
     assert y.shape == (1, 8, 8, 16)
 
 

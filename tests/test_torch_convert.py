@@ -164,9 +164,10 @@ def test_fp_bottleneck_conversion_numeric():
                                      num_target_channels=32)
     x = np.random.default_rng(1).normal(0, 1, (1, 32, 32, 3)) \
         .astype(np.float32)
-    variables = module.init(
+    variables = jax.jit(
+        lambda rngs, v: module.init(rngs, v, mode='train'))(
         {'params': jax.random.key(0), 'noise': jax.random.key(1)},
-        jnp.asarray(x), mode='train')
+        jnp.asarray(x))
     converted = convert_state_dict(sd, FP_BOTTLENECK_RULES)
     variables = merge_into_variables(
         {'params': variables['params']}, converted)
