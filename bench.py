@@ -20,6 +20,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} plus:
     median reported alongside)
   - serving_mode_ips_decode_batch8: best of 3 (fused decoder+tail over 8
     consecutive images; per-image bitstreams/accounting unchanged)
+  - device_wire_rans_ips / device_wire_batch8_ips: device-rANS wire mode
+    (entropy coding fused on-device), per-image and 8-image-grouped
+    dispatches (grouping keeps per-image bitstreams/accounting)
   - fresh_upload_uint8_ips: unique uint8 images per iteration through the
     device-side input_norm path (the 4x-smaller-upload serving mode)
   - device FLOPs + MFU: XLA cost-analysis FLOPs of the deploy programs and
@@ -130,16 +133,23 @@ def bench_serving(rt, images, n_iter=120, n_trials=3):
     return trials
 
 
-def bench_device_wire(rt, images, n_iter=120, n_trials=3):
+def bench_device_wire(rt, images, n_iter=120, n_trials=3,
+                      wire_batch=None):
     """Device-rANS wire mode: entropy coding fused into the encode
-    program, decode from device-resident streams — the only per-image
-    host interaction is an 8-byte meta read (ops/rans/device.py)."""
-    rt.stream_deploy_device([images[i % len(images)] for i in range(6)])
+    program, decode from device-resident streams — the per-image host
+    interaction is an 8-byte meta, async-copied and harvested after the
+    stream drains (ops/rans/device.py, models/runtime.py). With
+    `wire_batch=k`, k images share each fused dispatch (per-image
+    bitstreams/accounting unchanged; the batched programs run ~1.7x
+    faster per image on-device)."""
+    rt.stream_deploy_device([images[i % len(images)] for i in range(16)],
+                            wire_batch=wire_batch)
     trials = []
     for _ in range(n_trials):
         stream = [images[i % len(images)] for i in range(n_iter)]
         t0 = time.perf_counter()
-        rt.stream_deploy_device(stream, depth=16, workers=8)
+        rt.stream_deploy_device(stream, depth=16, workers=8,
+                                wire_batch=wire_batch)
         trials.append(n_iter / (time.perf_counter() - t0))
     return trials
 
@@ -225,6 +235,7 @@ def main():
     ips = max(trials)
     serving_trials = bench_serving(rt, images)
     device_wire_trials = bench_device_wire(rt, images)
+    wire_batch_trials = bench_device_wire(rt, images, wire_batch=8)
     fresh_ips = bench_fresh_upload()
     device = bench_device_programs(rt, images[0])
     train = bench_train()
@@ -245,6 +256,9 @@ def main():
         'fresh_upload_uint8_ips': round(fresh_ips, 2),
         'device_wire_rans_ips': round(max(device_wire_trials), 2),
         'device_wire_trials': [round(t, 2) for t in device_wire_trials],
+        'device_wire_batch8_ips': round(max(wire_batch_trials), 2),
+        'device_wire_batch8_trials':
+            [round(t, 2) for t in wire_batch_trials],
         'stage_ms_per_image': {
             k: round(v / n_iter * 1000, 2)
             for k, v in sorted(best_timings.items())},
