@@ -64,6 +64,23 @@ def auto_lanes(n_symbols: int, target_steps: int = 256, lo: int = 16,
     return max(lo, min(hi, lanes))
 
 
+def _use_pallas(backend: str, cols: int, lanes: int, lmax: int,
+                steps: int) -> bool:
+    """Trace-time backend gate for the cyclic decode fast path."""
+    import os
+    if backend == 'auto':
+        backend = os.environ.get('SC2_RANS_BACKEND', 'auto')
+    if backend in ('pallas', 'pallas-interpret'):
+        return True
+    if backend != 'auto':
+        return False
+    if jax.default_backend() != 'tpu':
+        return False
+    from .pallas_kernel import pick_lane_block
+    return pick_lane_block(int(cols), int(lanes), int(lmax),
+                           int(steps)) is not None
+
+
 def _blocks(symbols, indexes, num_lanes):
     """Pad to a multiple of num_lanes (with index-0 symbols at the lowest
     in-support value) and reshape lane-major to (L, N)."""
@@ -184,12 +201,19 @@ def device_rans_encode(symbols, indexes, quantized_cdf, cdf_length, offset,
 
 def device_rans_decode(streams, states, indexes, quantized_cdf, cdf_length,
                        offset, n_symbols: int, num_lanes: int = 256,
-                       cyclic_channels: int | None = None):
+                       cyclic_channels: int | None = None,
+                       backend: str = 'auto'):
     """Decode (N, L) uint16 `streams` + (N,) uint32 `states` back into the
     flat symbol array. `indexes` must match the encoder's. Jittable.
     `cyclic_channels=C` with C | num_lanes enables the gather-free
     fixed-lane-CDF fast path (the per-step row gather dominates the
-    general path on TPU)."""
+    general path on TPU).
+
+    `backend`: 'auto' (VMEM-resident Pallas kernel on TPU when the
+    cyclic layout applies and the working set fits — ~10x the XLA scan;
+    else the XLA scan), 'xla', 'pallas' (force compiled kernel),
+    'pallas-interpret' (kernel in interpret mode, for CPU tests). The
+    SC2_RANS_BACKEND env var overrides 'auto'."""
     cdf = jnp.asarray(quantized_cdf, jnp.int32)
     cdf_len = jnp.asarray(cdf_length, jnp.int32)
     off = jnp.asarray(offset, jnp.int32)
@@ -199,6 +223,12 @@ def device_rans_decode(streams, states, indexes, quantized_cdf, cdf_length,
     cyc = int(cyclic_channels) if cyclic_channels else 0
     if cyc and lanes % cyc != 0:
         cyc = 0
+    if cyc and _use_pallas(backend, cdf.shape[1], lanes,
+                           jnp.asarray(streams).shape[-1], steps):
+        from .pallas_kernel import pallas_cyclic_decode
+        return pallas_cyclic_decode(
+            streams, states, cdf, cdf_len, off, n_symbols, lanes, cyc,
+            interpret=(backend == 'pallas-interpret'))
     if idx2.shape[0] * lanes != n_symbols and not cyc:  # padded tail
         lane_pos = jnp.arange(lanes)
         pad_mask = (jnp.arange(steps)[:, None] * lanes + lane_pos) \

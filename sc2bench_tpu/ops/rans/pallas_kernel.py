@@ -1,0 +1,187 @@
+"""Pallas TPU kernel for the cyclic-lane rANS decode scan.
+
+The device-wire decode (`device.py:device_rans_decode`) is a `lax.scan`
+whose per-step work is three masked reductions over the per-lane CDF
+plus a one-hot stream-chunk read. XLA lowers each step to several
+full-size HBM-roundtrip ops; this kernel keeps the CDF table, the
+renorm streams, the lane states and the output block resident in VMEM
+for the whole scan, so each step is pure VPU work on registers/VMEM.
+Measured on v5e it is ~10x the XLA scan at FP-bottleneck deploy shapes
+(see docs/performance.md).
+
+Gather-free by construction (Mosaic's `dynamic_gather` only supports a
+single (8, 128) tile on this toolchain — mapped empirically):
+  - symbol search: prefix mask `m = cdf <= slot` over the lane-expanded
+    transposed CDF, then count/max/min reductions give v, cdf[v],
+    cdf[v+1] without indexing;
+  - stream read: one-hot `row_iota == ptr` against the time-major
+    stream block.
+
+Only the *cyclic* lane layout is supported (lane j always codes channel
+j % C — the deploy fast path, `device.py:auto_lanes(cyclic_channels=)`);
+the general per-symbol-index path stays on the XLA scan.
+
+Reference placement note: the reference entropy-decodes serially on the
+host via CompressAI's C++ coder (`/root/reference/sc2bench/models/
+layer.py:520`); this kernel is the TPU-native replacement on the
+serving path.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Sentinel for CDF rows beyond a lane's table length: larger than any
+# 16-bit slot, so masked compares never select padding.
+_BIG = np.int32(1 << 20)
+_RANS_L = np.uint32(1 << 16)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _decode_kernel(cdf_ref, streams_ref, states_ref, out_ref, xend_ref,
+                   *, steps: int):
+    """One grid step decodes all `steps` symbols of every lane.
+
+    cdf_ref     (cols_p, N) int32 — transposed lane-expanded CDF,
+                padded with _BIG beyond each lane's cdf_length
+    streams_ref (lmax_p, N) int32 — time-major renorm chunks
+    states_ref  (1, N) uint32     — per-lane initial decoder states
+    out_ref     (steps_p, N) int32 — decoded v (no offset applied)
+    xend_ref    (1, N) uint32     — final states (validity check)
+    """
+    cdf = cdf_ref[:]
+    streams = streams_ref[:]
+    lmax_p = streams.shape[0]
+    row_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (lmax_p, streams.shape[1]), 0)
+
+    def body(t, carry):
+        x, ptr = carry                                   # (1, N)
+        slot = (x & 0xFFFF).astype(jnp.int32)
+        m = cdf <= slot                                  # (cols_p, N)
+        v = jnp.sum(m.astype(jnp.int32), axis=0, keepdims=True) - 1
+        st = jnp.max(jnp.where(m, cdf, 0), axis=0, keepdims=True)
+        nxt = jnp.min(jnp.where(m, _BIG, cdf), axis=0, keepdims=True)
+        fr = (nxt - st).astype(jnp.uint32)
+        x = fr * (x >> 16) + slot.astype(jnp.uint32) - st.astype(jnp.uint32)
+        need = x < _RANS_L
+        hit = row_iota == ptr
+        chunk = jnp.sum(jnp.where(hit, streams, 0), axis=0,
+                        keepdims=True).astype(jnp.uint32)
+        x = jnp.where(need, (x << 16) | chunk, x)
+        ptr = ptr + need.astype(jnp.int32)
+        out_ref[pl.ds(t, 1), :] = v
+        return x, ptr
+
+    x, _ = jax.lax.fori_loop(
+        0, steps, body,
+        (states_ref[:], jnp.zeros_like(out_ref[0:1, :])))
+    xend_ref[:] = x
+
+
+def vmem_bytes_estimate(cols: int, lanes: int, lmax: int,
+                        steps: int) -> int:
+    """Working-set estimate used by the auto backend gate."""
+    cols_p = _round_up(cols, 8)
+    lmax_p = _round_up(max(lmax, 8), 8)
+    steps_p = _round_up(steps, 8)
+    # cdf + streams + out, all int32, plus the (cols_p, N) mask live
+    return 4 * lanes * (2 * cols_p + lmax_p + steps_p)
+
+
+def pick_lane_block(cols: int, lanes: int, lmax: int, steps: int,
+                    vmem_limit: int = 10 << 20) -> int | None:
+    """Largest lane block (multiple of 128 dividing `lanes`) whose
+    working set fits a v5e core's VMEM; None if the kernel doesn't
+    apply. Lanes decode independently, so blocking the lane dim over a
+    grid is exact."""
+    if lanes % 128 != 0:
+        return None
+    b = lanes
+    while b > 128 and (b % 128 != 0
+                       or vmem_bytes_estimate(cols, b, lmax, steps)
+                       > vmem_limit):
+        b //= 2
+    if b % 128 != 0 or vmem_bytes_estimate(cols, b, lmax,
+                                           steps) > vmem_limit:
+        return None
+    return b
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('steps', 'lane_block', 'interpret'))
+def _pallas_decode_call(cdf_t, streams_t, states, steps: int,
+                        lane_block: int | None = None,
+                        interpret: bool = False):
+    """cdf_t (cols, N) int32 BIG-padded per lane; streams_t (L, N) int32
+    time-major; states (N,) uint32. Returns (out (steps, N) int32 v's,
+    xend (N,) uint32). `lane_block` (a divisor of N) grids the
+    independent lanes into VMEM-sized blocks."""
+    cols, n = cdf_t.shape
+    cols_p = _round_up(cols, 8)
+    if cols_p != cols:
+        cdf_t = jnp.pad(cdf_t, ((0, cols_p - cols), (0, 0)),
+                        constant_values=_BIG)
+    lmax_p = _round_up(max(streams_t.shape[0], 8), 8)
+    if lmax_p != streams_t.shape[0]:
+        streams_t = jnp.pad(
+            streams_t, ((0, lmax_p - streams_t.shape[0]), (0, 0)))
+    steps_p = _round_up(steps, 8)
+    b = n if lane_block is None else int(lane_block)
+    grid = (n // b,)
+    lane_map = lambda i: (0, i)  # noqa: E731 — block index along lanes
+    out, xend = pl.pallas_call(
+        functools.partial(_decode_kernel, steps=steps),
+        grid=grid,
+        out_shape=(jax.ShapeDtypeStruct((steps_p, n), jnp.int32),
+                   jax.ShapeDtypeStruct((1, n), jnp.uint32)),
+        in_specs=[
+            pl.BlockSpec((cols_p, b), lane_map),
+            pl.BlockSpec((lmax_p, b), lane_map),
+            pl.BlockSpec((1, b), lane_map),
+        ],
+        out_specs=(pl.BlockSpec((steps_p, b), lane_map),
+                   pl.BlockSpec((1, b), lane_map)),
+        interpret=interpret,
+    )(cdf_t, streams_t, states[None, :].astype(jnp.uint32))
+    return out[:steps], xend[0]
+
+
+def pallas_cyclic_decode(streams, states, quantized_cdf, cdf_length,
+                         offset, n_symbols: int, num_lanes: int,
+                         cyclic_channels: int, interpret: bool = False):
+    """Drop-in for `device_rans_decode`'s cyclic fast path: same wire
+    format, bit-identical output. Traceable inside an outer jit.
+
+    streams (N, L) uint16/int32, states (N,) uint32; tables as in
+    `device.py`. Returns (flat int32 symbols (n_symbols,), valid bool).
+    """
+    c = int(cyclic_channels)
+    lanes = int(num_lanes)
+    steps = -(-int(n_symbols) // lanes)
+    cdf = jnp.asarray(quantized_cdf, jnp.int32)
+    cdf_len = jnp.asarray(cdf_length, jnp.int32)
+    off = jnp.asarray(offset, jnp.int32)
+    lane_ch = jnp.arange(lanes, dtype=jnp.int32) % c
+    col = jnp.arange(cdf.shape[1], dtype=jnp.int32)
+    cdf_lane = jnp.where(col[None, :] < cdf_len[lane_ch][:, None],
+                         cdf[lane_ch], _BIG)           # (N, cols)
+    streams = jnp.asarray(streams)
+    block = pick_lane_block(int(cdf.shape[1]), lanes,
+                            int(streams.shape[-1]), steps)
+    out, xend = _pallas_decode_call(
+        cdf_lane.T, streams.astype(jnp.int32).T,
+        jnp.asarray(states, jnp.uint32), steps,
+        lane_block=block, interpret=interpret)
+    valid = jnp.all(xend == _RANS_L)
+    flat = (out + off[lane_ch][None, :]).reshape(-1)[:n_symbols]
+    return flat, valid

@@ -484,3 +484,76 @@ def test_stream_device_wire_batched_matches_per_image():
     # hyperprior / pull_wire combinations are rejected, not ignored
     with pytest.raises(ValueError):
         rt.stream_deploy_device(imgs, wire_batch=2, pull_wire=True)
+
+
+def _cyclic_case(C=8, lanes=32, n=3000, seed=6):
+    cdf, cdf_length, offset = _tables(num_dists=C, support=21, seed=5)
+    idx = np.tile(np.arange(C, dtype=np.int32), n // C + 1)[:n]
+    rng = np.random.default_rng(seed)
+    sym = np.empty(n, np.int32)
+    for c in range(C):
+        m = idx == c
+        sym[m] = rng.integers(offset[c], offset[c] + cdf_length[c] - 3,
+                              m.sum())
+    return cdf, cdf_length, offset, idx, sym
+
+
+@pytest.mark.slow
+def test_pallas_decode_bit_exact_interpret():
+    """The Pallas decode kernel (interpret mode on CPU) must reproduce
+    the XLA scan bit-for-bit, including the end-state validity flag."""
+    cdf, cdf_length, offset, idx, sym = _cyclic_case()
+    C, lanes, n = 8, 32, len(sym)
+    enc = device_rans_encode(sym, idx, cdf, cdf_length, offset,
+                             num_lanes=lanes, cyclic_channels=C)
+    assert bool(enc['ok'])
+    dec, valid = device_rans_decode(
+        enc['streams'], enc['states'], idx, cdf, cdf_length, offset,
+        n_symbols=n, num_lanes=lanes, cyclic_channels=C,
+        backend='pallas-interpret')
+    assert bool(valid)
+    np.testing.assert_array_equal(np.asarray(dec), sym)
+    # corrupt stream -> valid goes False (same contract as the XLA path)
+    bad = np.asarray(enc['states']).copy()
+    bad[0] ^= 0x5A5A
+    _, valid2 = device_rans_decode(
+        enc['streams'], bad, idx, cdf, cdf_length, offset,
+        n_symbols=n, num_lanes=lanes, cyclic_channels=C,
+        backend='pallas-interpret')
+    assert not bool(valid2)
+
+
+@pytest.mark.slow
+def test_pallas_decode_lane_blocked_grid():
+    """Gridding the independent lanes into blocks is exact (the path
+    large det/seg latents take to fit VMEM)."""
+    from sc2bench_tpu.ops.rans.pallas_kernel import (
+        _pallas_decode_call, pallas_cyclic_decode, pick_lane_block)
+    cdf, cdf_length, offset, idx, sym = _cyclic_case(
+        C=8, lanes=64, n=6000, seed=7)
+    C, lanes, n = 8, 64, len(sym)
+    enc = device_rans_encode(sym, idx, cdf, cdf_length, offset,
+                             num_lanes=lanes, cyclic_channels=C)
+    full, v1 = pallas_cyclic_decode(
+        enc['streams'], enc['states'], cdf, cdf_length, offset,
+        n_symbols=n, num_lanes=lanes, cyclic_channels=C, interpret=True)
+    assert bool(v1)
+    np.testing.assert_array_equal(np.asarray(full), sym)
+    # force a 2-block grid through the low-level call
+    import jax.numpy as jnp
+    lane_ch = np.arange(lanes) % C
+    col = np.arange(cdf.shape[1])
+    cdf_lane = np.where(col[None, :] < cdf_length[lane_ch][:, None],
+                        cdf[lane_ch], 1 << 20).astype(np.int32)
+    steps = -(-n // lanes)
+    out, xend = _pallas_decode_call(
+        jnp.asarray(cdf_lane.T), jnp.asarray(enc['streams']).astype(
+            jnp.int32).T, jnp.asarray(enc['states']), steps,
+        lane_block=32, interpret=True)
+    got = (np.asarray(out) + offset[lane_ch][None, :]).reshape(-1)[:n]
+    np.testing.assert_array_equal(got, sym)
+    assert np.all(np.asarray(xend) == (1 << 16))
+    # gate sanity: applicable shapes return a 128-multiple divisor
+    assert pick_lane_block(256, 384, 200, 196) == 384
+    b = pick_lane_block(256, 3072, 540, 525)
+    assert b is not None and b % 128 == 0 and 3072 % b == 0
