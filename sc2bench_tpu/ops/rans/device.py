@@ -65,8 +65,8 @@ def auto_lanes(n_symbols: int, target_steps: int = 256, lo: int = 16,
 
 
 def _use_pallas(backend: str, cols: int, lanes: int, lmax: int,
-                steps: int) -> bool:
-    """Trace-time backend gate for the cyclic decode fast path."""
+                steps: int, mode: str = 'decode') -> bool:
+    """Trace-time backend gate for the cyclic encode/decode fast paths."""
     import os
     if backend == 'auto':
         backend = os.environ.get('SC2_RANS_BACKEND', 'auto')
@@ -76,7 +76,10 @@ def _use_pallas(backend: str, cols: int, lanes: int, lmax: int,
         return False
     if jax.default_backend() != 'tpu':
         return False
-    from .pallas_kernel import pick_lane_block
+    from .pallas_kernel import pick_lane_block, pick_lane_block_encode
+    if mode == 'encode':
+        return pick_lane_block_encode(int(cols), int(lanes),
+                                      int(steps)) is not None
     return pick_lane_block(int(cols), int(lanes), int(lmax),
                            int(steps)) is not None
 
@@ -99,7 +102,8 @@ def _blocks(symbols, indexes, num_lanes):
 
 def device_rans_encode(symbols, indexes, quantized_cdf, cdf_length, offset,
                        num_lanes: int = 256,
-                       cyclic_channels: int | None = None):
+                       cyclic_channels: int | None = None,
+                       backend: str = 'auto'):
     """Encode flat int32 `symbols` with per-symbol distribution `indexes`
     against 16-bit-precision CDF tables (the same tables the host coder
     uses). Returns dict with:
@@ -146,6 +150,13 @@ def device_rans_encode(symbols, indexes, quantized_cdf, cdf_length, offset,
         maxv = cdf_len[idx2] - 2                 # escape slot excluded
     ok = jnp.all((v >= 0) & (v < maxv))
     vc = jnp.clip(v, 0, maxv - 1)
+    if cyc and _use_pallas(backend, cdf.shape[1], lanes, 0, steps,
+                           mode='encode'):
+        from .pallas_kernel import pallas_cyclic_encode_scan
+        chunks, masks, x_final = pallas_cyclic_encode_scan(
+            cdf_lane, vc, steps,
+            interpret=(backend == 'pallas-interpret'))
+        return _finish_encode(chunks, masks, x_final, ok, lanes, n)
     if cyc:
         # gather-free start/freq: fused onehot-reduce against the fixed
         # per-lane row (XLA fuses compare*row-sum; no (L,N,cols) buffer)
@@ -188,7 +199,12 @@ def device_rans_encode(symbols, indexes, quantized_cdf, cdf_length, offset,
     # decoder reads in forward symbol order -> flip emissions back
     chunks = jnp.flip(chunks, 0)                 # (L, N), decode order
     masks = jnp.flip(masks, 0)
-    # compact each lane's stream to the front of its row (stable order)
+    return _finish_encode(chunks, masks, x_final, ok, lanes, n)
+
+
+def _finish_encode(chunks, masks, x_final, ok, lanes, n):
+    """Compact each lane's emitted chunks to the front of its row
+    (stable order) and assemble the encode result dict."""
     order = jnp.argsort(~masks, axis=0, stable=True)      # True-first
     streams = jnp.take_along_axis(
         jnp.where(masks, chunks, 0), order, axis=0).T     # (N, L)

@@ -156,6 +156,127 @@ def _pallas_decode_call(cdf_t, streams_t, states, steps: int,
     return out[:steps], xend[0]
 
 
+def _encode_kernel(cdf_ref, vc_ref, chunks_ref, masks_ref, xend_ref,
+                   *, steps: int):
+    """Encode all `steps` symbol rows of a lane block in one grid step.
+
+    cdf_ref    (cols_p, N) int32 — transposed lane-expanded CDF
+    vc_ref     (steps_p, N) int32 — in-support symbol values (v), forward
+               symbol order (the kernel walks them in reverse, as rANS
+               encodes last-symbol-first)
+    chunks_ref (steps_p, N) int32 — emitted 16-bit chunks, stored in
+               DECODE order (row t = forward symbol row t)
+    masks_ref  (steps_p, N) int32 — 1 where a chunk was emitted
+    xend_ref   (1, N) uint32      — final encoder states
+    """
+    cdf = cdf_ref[:]
+    cols_p = cdf.shape[0]
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, cdf.shape, 0)
+
+    def body(i, x):
+        t = steps - 1 - i                     # encode in reverse order
+        vc = vc_ref[pl.ds(t, 1), :]           # (1, N)
+        h0 = col_iota == vc
+        h1 = col_iota == vc + 1
+        st = jnp.sum(jnp.where(h0, cdf, 0), axis=0,
+                     keepdims=True).astype(jnp.uint32)
+        nxt = jnp.sum(jnp.where(h1, cdf, 0), axis=0,
+                      keepdims=True).astype(jnp.uint32)
+        fr = nxt - st
+        renorm = x >= (fr << 16)
+        chunk = (x & 0xFFFF).astype(jnp.int32)
+        x = jnp.where(renorm, x >> 16, x)
+        # exact x // fr via f32 (q < 2^16 fits the mantissa) + correction
+        q = (x.astype(jnp.float32) / fr.astype(jnp.float32)) \
+            .astype(jnp.uint32)
+        r = x - q * fr
+        too_big = r >= fr
+        q = jnp.where(too_big, q - 1, q)
+        r = jnp.where(too_big, r + fr, r)
+        still_big = r >= fr
+        q = jnp.where(still_big, q + 2, q)
+        r = jnp.where(still_big, r - 2 * fr, r)
+        x = (q << 16) + r + st
+        chunks_ref[pl.ds(t, 1), :] = chunk
+        masks_ref[pl.ds(t, 1), :] = renorm.astype(jnp.int32)
+        return x
+
+    n = cdf.shape[1]
+    x0 = jnp.full((1, n), _RANS_L, jnp.uint32)
+    # zero the padding rows (steps..steps_p) so downstream masking is clean
+    steps_p = chunks_ref.shape[0]
+    if steps_p != steps:
+        zero = jnp.zeros((steps_p - steps, n), jnp.int32)
+        chunks_ref[pl.ds(steps, steps_p - steps), :] = zero
+        masks_ref[pl.ds(steps, steps_p - steps), :] = zero
+    xend_ref[:] = jax.lax.fori_loop(0, steps, body, x0)
+
+
+def pick_lane_block_encode(cols: int, lanes: int, steps: int,
+                           vmem_limit: int = 10 << 20) -> int | None:
+    """Encode working set: cdf + vc + chunks + masks (+ mask temps)."""
+    if lanes % 128 != 0:
+        return None
+    cols_p = _round_up(cols, 8)
+    steps_p = _round_up(steps, 8)
+    per_lane = 4 * (2 * cols_p + 3 * steps_p)
+    b = lanes
+    while b > 128 and b % 2 == 0 and b * per_lane > vmem_limit:
+        b //= 2
+    if b % 128 != 0 or b * per_lane > vmem_limit:
+        return None
+    return b
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('steps', 'lane_block', 'interpret'))
+def _pallas_encode_call(cdf_t, vc, steps: int,
+                        lane_block: int | None = None,
+                        interpret: bool = False):
+    """cdf_t (cols, N) int32 (per-lane tables; padding rows are never
+    selected because vc is in-support); vc (steps, N) int32 forward
+    order. Returns (chunks (steps, N) int32 decode order,
+    masks (steps, N) int32, xend (N,) uint32)."""
+    cols, n = cdf_t.shape
+    cols_p = _round_up(cols, 8)
+    if cols_p != cols:
+        cdf_t = jnp.pad(cdf_t, ((0, cols_p - cols), (0, 0)),
+                        constant_values=_BIG)
+    steps_p = _round_up(steps, 8)
+    if steps_p != vc.shape[0]:
+        vc = jnp.pad(vc, ((0, steps_p - vc.shape[0]), (0, 0)))
+    b = n if lane_block is None else int(lane_block)
+    lane_map = lambda i: (0, i)  # noqa: E731
+    chunks, masks, xend = pl.pallas_call(
+        functools.partial(_encode_kernel, steps=steps),
+        grid=(n // b,),
+        out_shape=(jax.ShapeDtypeStruct((steps_p, n), jnp.int32),
+                   jax.ShapeDtypeStruct((steps_p, n), jnp.int32),
+                   jax.ShapeDtypeStruct((1, n), jnp.uint32)),
+        in_specs=[pl.BlockSpec((cols_p, b), lane_map),
+                  pl.BlockSpec((steps_p, b), lane_map)],
+        out_specs=(pl.BlockSpec((steps_p, b), lane_map),
+                   pl.BlockSpec((steps_p, b), lane_map),
+                   pl.BlockSpec((1, b), lane_map)),
+        interpret=interpret,
+    )(cdf_t, vc)
+    return chunks[:steps], masks[:steps], xend[0]
+
+
+def pallas_cyclic_encode_scan(cdf_lane, vc, steps: int,
+                              interpret: bool = False):
+    """Kernel wrapper used by `device.py`'s cyclic encode path: takes the
+    (N, cols) lane-expanded CDF and forward-order in-support values
+    (steps, N); returns (chunks uint16 decode order, masks bool, states)
+    matching the XLA scan's post-flip layout bit-for-bit."""
+    lanes = int(vc.shape[1])
+    block = pick_lane_block_encode(int(cdf_lane.shape[1]), lanes, steps)
+    chunks, masks, xend = _pallas_encode_call(
+        jnp.asarray(cdf_lane, jnp.int32).T, jnp.asarray(vc, jnp.int32),
+        steps, lane_block=block, interpret=interpret)
+    return (chunks.astype(jnp.uint16), masks.astype(jnp.bool_), xend)
+
+
 def pallas_cyclic_decode(streams, states, quantized_cdf, cdf_length,
                          offset, n_symbols: int, num_lanes: int,
                          cyclic_channels: int, interpret: bool = False):

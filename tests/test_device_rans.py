@@ -557,3 +557,33 @@ def test_pallas_decode_lane_blocked_grid():
     assert pick_lane_block(256, 384, 200, 196) == 384
     b = pick_lane_block(256, 3072, 540, 525)
     assert b is not None and b % 128 == 0 and 3072 % b == 0
+
+
+@pytest.mark.slow
+def test_pallas_encode_bit_exact_interpret():
+    """The Pallas encode kernel must produce byte-identical streams,
+    lengths and states to the XLA scan (the wire format is pinned)."""
+    cdf, cdf_length, offset, idx, sym = _cyclic_case(
+        C=8, lanes=32, n=3000, seed=9)
+    C, lanes, n = 8, 32, len(sym)
+    ex = device_rans_encode(sym, idx, cdf, cdf_length, offset,
+                            num_lanes=lanes, cyclic_channels=C,
+                            backend='xla')
+    ep = device_rans_encode(sym, idx, cdf, cdf_length, offset,
+                            num_lanes=lanes, cyclic_channels=C,
+                            backend='pallas-interpret')
+    assert bool(ep['ok'])
+    np.testing.assert_array_equal(np.asarray(ex['states']),
+                                  np.asarray(ep['states']))
+    np.testing.assert_array_equal(np.asarray(ex['lengths']),
+                                  np.asarray(ep['lengths']))
+    np.testing.assert_array_equal(np.asarray(ex['streams']),
+                                  np.asarray(ep['streams']))
+    assert int(ex['nbytes']) == int(ep['nbytes'])
+    # full pallas round trip
+    dec, valid = device_rans_decode(
+        ep['streams'], ep['states'], idx, cdf, cdf_length, offset,
+        n_symbols=n, num_lanes=lanes, cyclic_channels=C,
+        backend='pallas-interpret')
+    assert bool(valid)
+    np.testing.assert_array_equal(np.asarray(dec), sym)
