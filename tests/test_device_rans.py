@@ -587,3 +587,33 @@ def test_pallas_encode_bit_exact_interpret():
         backend='pallas-interpret')
     assert bool(valid)
     np.testing.assert_array_equal(np.asarray(dec), sym)
+
+
+@pytest.mark.slow
+def test_pallas_kernels_compose_with_vmap_wire_batch():
+    """`wire_batch` serving groups k images via `jax.vmap` over the codec
+    (`runtime.py:encode_device_wire_batch` / `decode_device_streams_batch`);
+    the Pallas fast path must batch correctly under vmap and stay
+    bit-identical to the vmapped XLA scan (per-image independence)."""
+    cdf, cdf_length, offset, idx, sym = _cyclic_case(C=8, lanes=128,
+                                                     n=4096)
+    C, lanes, n = 8, 128, len(sym)
+    # channel-aligned rolls keep every position's distribution fixed
+    syms = np.stack([np.roll(sym, k * C) for k in range(3)])
+    enc = jax.vmap(lambda s: device_rans_encode(
+        s, idx, cdf, cdf_length, offset, num_lanes=lanes,
+        cyclic_channels=C, backend='xla'))(jnp.asarray(syms))
+    assert bool(np.asarray(enc['ok']).all())
+    for backend in ('xla', 'pallas-interpret'):
+        out, valid = jax.vmap(lambda st, xs: device_rans_decode(
+            st, xs, idx, cdf, cdf_length, offset, n_symbols=n,
+            num_lanes=lanes, cyclic_channels=C, backend=backend))(
+            enc['streams'], enc['states'])
+        assert np.asarray(valid).all(), backend
+        np.testing.assert_array_equal(np.asarray(out), syms, backend)
+    encp = jax.vmap(lambda s: device_rans_encode(
+        s, idx, cdf, cdf_length, offset, num_lanes=lanes,
+        cyclic_channels=C, backend='pallas-interpret'))(jnp.asarray(syms))
+    for key in ('streams', 'lengths', 'states'):
+        np.testing.assert_array_equal(np.asarray(encp[key]),
+                                      np.asarray(enc[key]), key)
