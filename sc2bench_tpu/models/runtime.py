@@ -788,14 +788,18 @@ class SplitClassifierRuntime(AnalyzerHolder):
             i, ops = arg
             t0 = _time.perf_counter()
             if hyper:
-                logits, _valid = self.decode_device_streams_hyper(
+                logits, valid = self.decode_device_streams_hyper(
                     ops, num_lanes=num_lanes)
                 shape_hw = ops['shapes'][1][:2]
             else:
-                logits, _valid = self.decode_device_streams(
+                logits, valid = self.decode_device_streams(
                     ops['streams'], ops['states'], ops['shape'],
                     num_lanes=num_lanes)
                 shape_hw = ops['shape'][:2]
+            try:
+                valid.copy_to_host_async()
+            except Exception:
+                pass
             if timings is not None:
                 timings['decode_dispatch'] = \
                     timings.get('decode_dispatch', 0.0) \
@@ -803,17 +807,17 @@ class SplitClassifierRuntime(AnalyzerHolder):
             if pull_wire and not hyper:
                 # wire packing needs the stream content: sync here
                 ok, nbytes = (int(v) for v in np.asarray(ops['meta']))
-                if ok:
+                if ok and bool(np.asarray(valid)):
                     wire = self._pull_device_wire(ops)
                     assert len(wire) == nbytes
                     self.analyze({'strings': [[wire]], 'shape': shape_hw})
                     return logits
-                return i, ops['meta'], shape_hw, logits
+                return i, ops['meta'], shape_hw, logits, valid
             if i % 32 == 31:
                 # throttle: one meta wait every 32 images bounds the queued
                 # device programs (and buffers) without a per-image sync
                 np.asarray(ops['meta'])
-            return i, ops['meta'], shape_hw, logits
+            return i, ops['meta'], shape_hw, logits, valid
 
         staged = list(pipeline_stream(n, dispatch, host_stage, depth,
                                       workers))
@@ -826,10 +830,13 @@ class SplitClassifierRuntime(AnalyzerHolder):
             if not isinstance(r, tuple):
                 results.append(r)  # pull_wire path, already accounted
                 continue
-            i, meta, shape_hw, logits = r
+            i, meta, shape_hw, logits, valid = r
             ok, nbytes = (int(v) for v in np.asarray(meta))
-            if not ok:
-                # rare escape-coded latent: serial host path for this image
+            # `valid` certifies every rANS lane returned to its initial
+            # state — decoding a corrupt (or miscompiled-kernel) stream
+            # cannot pass it; such images are redone on the host path
+            if not ok or not bool(np.asarray(valid)):
+                # escape-coded latent or failed decode: serial host path
                 compressed = self.encode(images[i])
                 self.analyze(compressed)
                 results.append(self.decode(**compressed))
@@ -872,9 +879,13 @@ class SplitClassifierRuntime(AnalyzerHolder):
         def host_stage(arg):
             g, ops = arg
             t0 = _time.perf_counter()
-            logits, _valid = self.decode_device_streams_batch(
+            logits, valid = self.decode_device_streams_batch(
                 ops['streams'], ops['states'], ops['shape'],
                 num_lanes=num_lanes)
+            try:
+                valid.copy_to_host_async()
+            except Exception:
+                pass
             if timings is not None:
                 timings['decode_dispatch'] = \
                     timings.get('decode_dispatch', 0.0) \
@@ -883,19 +894,20 @@ class SplitClassifierRuntime(AnalyzerHolder):
                 # throttle: one meta wait per 8 groups bounds queued
                 # device programs without a per-group sync
                 np.asarray(ops['meta'])
-            return g, ops['meta'], ops['shape'][:2], logits
+            return g, ops['meta'], ops['shape'][:2], logits, valid
 
         staged = list(pipeline_stream(len(groups), dispatch, host_stage,
                                       depth, workers))
         t_acct = _time.perf_counter()
         results = []
-        for g, meta, shape_hw, logits in staged:
+        for g, meta, shape_hw, logits, valid in staged:
             j0, j1 = groups[g]
             meta_np = np.asarray(meta)
+            valid_np = np.asarray(valid)
             for j in range(j1 - j0):
                 ok, nbytes = int(meta_np[j, 0]), int(meta_np[j, 1])
-                if not ok:
-                    # rare escape-coded latent: serial host path
+                if not ok or not bool(valid_np[j]):
+                    # escape-coded latent or failed decode: host path
                     compressed = self.encode(images[j0 + j])
                     self.analyze(compressed)
                     results.append(self.decode(**compressed))

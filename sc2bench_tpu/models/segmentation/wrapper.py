@@ -208,7 +208,7 @@ class SplitSegmentationRuntime(FactorizedDeviceWire, AnalyzerHolder):
             return self.module.apply(
                 v, flat.reshape(1, h, w, c), m, tuple(hw),
                 method=lambda mod, s, med, ihw:
-                    mod.decode_ops_to_output(s, med, ihw))
+                    mod.decode_ops_to_output(s, med, ihw)), valid
         return self._jitted(
             f'dec_devwire{hw[0]}x{hw[1]}_l{num_lanes}', dec_fn)(
             self.variables, ops['streams'], ops['states'],

@@ -64,6 +64,64 @@ def auto_lanes(n_symbols: int, target_steps: int = 256, lo: int = 16,
     return max(lo, min(hi, lanes))
 
 
+_PALLAS_PROBE_OK: bool | None = None
+
+
+def _probe_pallas_kernels() -> bool:
+    """One-time self-check before the `auto` gate ever selects the
+    compiled Pallas kernels: encode/decode a small deterministic cyclic
+    case with the kernels and require byte-identical wire + symbols vs
+    the XLA scan. Any exception (Mosaic toolchain drift, unsupported op)
+    or mismatch permanently disables the Pallas fast path for this
+    process — the XLA scan is always correct, just slower. Shape
+    coverage is not exhaustive (kernels are shape-specialized), but the
+    probe catches the realistic failure class: toolchain-level breakage."""
+    global _PALLAS_PROBE_OK
+    if _PALLAS_PROBE_OK is not None:
+        return _PALLAS_PROBE_OK
+    try:
+        C, lanes, k, cols = 8, 128, 8, 12
+        steps = 24
+        n = lanes * steps
+        rng = np.random.default_rng(0)
+        cdf = np.zeros((C, cols), np.int32)
+        cdf_len = np.full((C,), k + 2, np.int32)
+        off = np.arange(C, dtype=np.int32) - 4
+        for c in range(C):
+            freqs = np.maximum(
+                (rng.uniform(0.05, 1.0, k + 1) * (1 << 16)).astype(np.int64)
+                >> 4, 1)
+            freqs[-1] += (1 << 16) - freqs.sum()
+            cdf[c, 1:k + 2] = np.cumsum(freqs)
+        idx = np.tile(np.arange(C, dtype=np.int32), n // C)
+        sym = (rng.integers(0, k, n).astype(np.int32) + off[idx])
+        ref = jax.device_get(device_rans_encode(
+            sym, idx, cdf, cdf_len, off, num_lanes=lanes,
+            cyclic_channels=C, backend='xla'))
+        got = jax.device_get(device_rans_encode(
+            sym, idx, cdf, cdf_len, off, num_lanes=lanes,
+            cyclic_channels=C, backend='pallas'))
+        ok = bool(ref['ok']) and all(
+            np.array_equal(ref[f], got[f])
+            for f in ('streams', 'lengths', 'states'))
+        dec, valid = device_rans_decode(
+            ref['streams'], ref['states'], idx, cdf, cdf_len, off,
+            n_symbols=n, num_lanes=lanes, cyclic_channels=C,
+            backend='pallas')
+        ok = ok and bool(valid) and np.array_equal(jax.device_get(dec), sym)
+    except Exception:
+        ok = False
+    if not ok:
+        import logging
+        logging.getLogger(__name__).warning(
+            'Pallas rANS kernel self-check failed on backend %r; '
+            'falling back to the XLA scan codec (correct, slower). '
+            'Set SC2_RANS_BACKEND=pallas to force the kernel.',
+            jax.default_backend())
+    _PALLAS_PROBE_OK = ok
+    return ok
+
+
 def _use_pallas(backend: str, cols: int, lanes: int, lmax: int,
                 steps: int, mode: str = 'decode') -> bool:
     """Trace-time backend gate for the cyclic encode/decode fast paths."""
@@ -78,10 +136,12 @@ def _use_pallas(backend: str, cols: int, lanes: int, lmax: int,
         return False
     from .pallas_kernel import pick_lane_block, pick_lane_block_encode
     if mode == 'encode':
-        return pick_lane_block_encode(int(cols), int(lanes),
-                                      int(steps)) is not None
-    return pick_lane_block(int(cols), int(lanes), int(lmax),
-                           int(steps)) is not None
+        applies = pick_lane_block_encode(int(cols), int(lanes),
+                                         int(steps)) is not None
+    else:
+        applies = pick_lane_block(int(cols), int(lanes), int(lmax),
+                                  int(steps)) is not None
+    return applies and _probe_pallas_kernels()
 
 
 def _blocks(symbols, indexes, num_lanes):

@@ -617,3 +617,51 @@ def test_pallas_kernels_compose_with_vmap_wire_batch():
     for key in ('streams', 'lengths', 'states'):
         np.testing.assert_array_equal(np.asarray(encp[key]),
                                       np.asarray(enc[key]), key)
+
+
+@pytest.mark.slow
+def test_stream_device_wire_fallback_on_invalid_decode():
+    """A decode whose rANS lanes do NOT return to the initial state
+    (corrupt stream / miscompiled kernel) must be redone on the host
+    path — the stream returns correct logits, never the garbage decode."""
+    rt = _tiny_cls_runtime()
+    imgs = [jax.random.normal(jax.random.key(i), (1, 64, 64, 3)) * 0.25
+            for i in range(3)]
+    host_logits = [np.asarray(rt(x)) for x in imgs]
+
+    real_dec = rt.decode_device_streams
+    calls = []
+
+    def bad_dec(streams, states, shape, num_lanes=256):
+        logits, valid = real_dec(streams, states, shape,
+                                 num_lanes=num_lanes)
+        if len(calls) == 1:    # corrupt the middle image's decode
+            logits = logits + 1e6
+            valid = jnp.asarray(False)
+        calls.append(None)
+        return logits, valid
+
+    rt.decode_device_streams = bad_dec
+    rt.activate_analysis()
+    dev = rt.stream_deploy_device(imgs, depth=2, workers=2, num_lanes=64)
+    sizes = list(rt.analyzers[0].file_size_list)
+    rt.deactivate_analysis()
+    assert len(sizes) == len(imgs) and all(s > 0 for s in sizes)
+    for h, d in zip(host_logits, dev):
+        np.testing.assert_allclose(h, np.asarray(d), rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_probe_never_raises_and_caches():
+    """`_probe_pallas_kernels` must resolve to a bool without raising on
+    any backend (on CPU the compiled kernel path is unsupported -> the
+    probe itself is the thing being tested) and cache its verdict."""
+    from sc2bench_tpu.ops.rans import device as dev_mod
+    old = dev_mod._PALLAS_PROBE_OK
+    try:
+        dev_mod._PALLAS_PROBE_OK = None
+        r1 = dev_mod._probe_pallas_kernels()
+        assert isinstance(r1, bool)
+        assert dev_mod._PALLAS_PROBE_OK is r1
+        assert dev_mod._probe_pallas_kernels() is r1
+    finally:
+        dev_mod._PALLAS_PROBE_OK = old
