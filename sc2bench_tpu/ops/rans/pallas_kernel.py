@@ -98,23 +98,25 @@ def vmem_bytes_estimate(cols: int, lanes: int, lmax: int,
     return 4 * lanes * (2 * cols_p + lmax_p + steps_p)
 
 
+def _lane_blocks(lanes: int):
+    """Candidate lane blocks for the PADDED lane count (a multiple of
+    128), largest first: 128*d for every divisor d of lanes_p/128. The
+    kernel pads non-multiple lane counts with inert lanes (see
+    `_pad_lanes_*`), so any `lanes` is admissible."""
+    m = _round_up(lanes, 128) // 128
+    return [128 * d for d in range(m, 0, -1) if m % d == 0]
+
+
 def pick_lane_block(cols: int, lanes: int, lmax: int, steps: int,
                     vmem_limit: int = 10 << 20) -> int | None:
-    """Largest lane block (multiple of 128 dividing `lanes`) whose
-    working set fits a v5e core's VMEM; None if the kernel doesn't
-    apply. Lanes decode independently, so blocking the lane dim over a
-    grid is exact."""
-    if lanes % 128 != 0:
-        return None
-    b = lanes
-    while b > 128 and (b % 128 != 0
-                       or vmem_bytes_estimate(cols, b, lmax, steps)
-                       > vmem_limit):
-        b //= 2
-    if b % 128 != 0 or vmem_bytes_estimate(cols, b, lmax,
-                                           steps) > vmem_limit:
-        return None
-    return b
+    """Largest lane block (multiple of 128 dividing the padded lane
+    count) whose working set fits a v5e core's VMEM; None if the kernel
+    doesn't apply. Lanes decode independently, so blocking the lane dim
+    over a grid is exact."""
+    for b in _lane_blocks(lanes):
+        if vmem_bytes_estimate(cols, b, lmax, steps) <= vmem_limit:
+            return b
+    return None
 
 
 @functools.partial(jax.jit,
@@ -215,17 +217,13 @@ def _encode_kernel(cdf_ref, vc_ref, chunks_ref, masks_ref, xend_ref,
 def pick_lane_block_encode(cols: int, lanes: int, steps: int,
                            vmem_limit: int = 10 << 20) -> int | None:
     """Encode working set: cdf + vc + chunks + masks (+ mask temps)."""
-    if lanes % 128 != 0:
-        return None
     cols_p = _round_up(cols, 8)
     steps_p = _round_up(steps, 8)
     per_lane = 4 * (2 * cols_p + 3 * steps_p)
-    b = lanes
-    while b > 128 and b % 2 == 0 and b * per_lane > vmem_limit:
-        b //= 2
-    if b % 128 != 0 or b * per_lane > vmem_limit:
-        return None
-    return b
+    for b in _lane_blocks(lanes):
+        if b * per_lane <= vmem_limit:
+            return b
+    return None
 
 
 @functools.partial(jax.jit,
@@ -263,18 +261,40 @@ def _pallas_encode_call(cdf_t, vc, steps: int,
     return chunks[:steps], masks[:steps], xend[0]
 
 
+def _pad_lanes_encode(cdf_lane, vc):
+    """Pad the lane dim to a multiple of 128 with INERT encode lanes:
+    pad CDF row [0, 65535, 65536, ...] + pad value v=0 gives freq 65535,
+    so the pad state never renormalizes (x creeps up by ~1/step, far
+    below the 2^32-2^16 renorm threshold for any feasible step count)
+    and emits nothing. Pad outputs are sliced away by the caller."""
+    lanes = int(vc.shape[1])
+    lanes_p = _round_up(lanes, 128)
+    if lanes_p == lanes:
+        return cdf_lane, vc, lanes
+    pad_row = jnp.zeros((lanes_p - lanes, cdf_lane.shape[1]), jnp.int32)
+    pad_row = pad_row.at[:, 1].set((1 << 16) - 1)
+    pad_row = pad_row.at[:, 2:].set(1 << 16)
+    cdf_lane = jnp.concatenate([jnp.asarray(cdf_lane, jnp.int32), pad_row])
+    vc = jnp.pad(jnp.asarray(vc, jnp.int32),
+                 ((0, 0), (0, lanes_p - lanes)))
+    return cdf_lane, vc, lanes
+
+
 def pallas_cyclic_encode_scan(cdf_lane, vc, steps: int,
                               interpret: bool = False):
     """Kernel wrapper used by `device.py`'s cyclic encode path: takes the
     (N, cols) lane-expanded CDF and forward-order in-support values
     (steps, N); returns (chunks uint16 decode order, masks bool, states)
-    matching the XLA scan's post-flip layout bit-for-bit."""
-    lanes = int(vc.shape[1])
+    matching the XLA scan's post-flip layout bit-for-bit. Lane counts
+    that are not multiples of 128 are padded with inert lanes inside the
+    kernel call (wire format unchanged)."""
+    cdf_lane, vc, lanes = _pad_lanes_encode(cdf_lane, vc)
     block = pick_lane_block_encode(int(cdf_lane.shape[1]), lanes, steps)
     chunks, masks, xend = _pallas_encode_call(
-        jnp.asarray(cdf_lane, jnp.int32).T, jnp.asarray(vc, jnp.int32),
+        jnp.asarray(cdf_lane, jnp.int32).T, vc,
         steps, lane_block=block, interpret=interpret)
-    return (chunks.astype(jnp.uint16), masks.astype(jnp.bool_), xend)
+    return (chunks[:, :lanes].astype(jnp.uint16),
+            masks[:, :lanes].astype(jnp.bool_), xend[:lanes])
 
 
 def pallas_cyclic_decode(streams, states, quantized_cdf, cdf_length,
@@ -297,12 +317,26 @@ def pallas_cyclic_decode(streams, states, quantized_cdf, cdf_length,
     cdf_lane = jnp.where(col[None, :] < cdf_len[lane_ch][:, None],
                          cdf[lane_ch], _BIG)           # (N, cols)
     streams = jnp.asarray(streams)
+    lanes_p = _round_up(lanes, 128)
+    states = jnp.asarray(states, jnp.uint32)
+    if lanes_p != lanes:
+        # inert decode pad lanes: CDF row [0, 65536, BIG...] keeps a
+        # RANS_L-initialized state fixed (v=0, freq=2^16, slot=0) and
+        # consumes no stream chunks; sliced away below
+        pad_row = jnp.full((lanes_p - lanes, cdf_lane.shape[1]), _BIG,
+                           jnp.int32)
+        pad_row = pad_row.at[:, 0].set(0)
+        pad_row = pad_row.at[:, 1].set(1 << 16)
+        cdf_lane = jnp.concatenate([cdf_lane, pad_row])
+        streams = jnp.pad(streams, ((0, lanes_p - lanes), (0, 0)))
+        states = jnp.concatenate(
+            [states, jnp.full((lanes_p - lanes,), _RANS_L, jnp.uint32)])
     block = pick_lane_block(int(cdf.shape[1]), lanes,
                             int(streams.shape[-1]), steps)
     out, xend = _pallas_decode_call(
-        cdf_lane.T, streams.astype(jnp.int32).T,
-        jnp.asarray(states, jnp.uint32), steps,
+        cdf_lane.T, streams.astype(jnp.int32).T, states, steps,
         lane_block=block, interpret=interpret)
-    valid = jnp.all(xend == _RANS_L)
-    flat = (out + off[lane_ch][None, :]).reshape(-1)[:n_symbols]
+    valid = jnp.all(xend[:lanes] == _RANS_L)
+    flat = (out[:, :lanes] + off[lane_ch][None, :]) \
+        .reshape(-1)[:n_symbols]
     return flat, valid

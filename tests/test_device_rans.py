@@ -665,3 +665,30 @@ def test_pallas_probe_never_raises_and_caches():
         assert dev_mod._probe_pallas_kernels() is r1
     finally:
         dev_mod._PALLAS_PROBE_OK = old
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('lanes,n', [(96, 18816), (24, 4704)])
+def test_pallas_padded_lanes_bit_exact(lanes, n):
+    """Lane counts that are not multiples of 128 (e.g. 96 at the
+    28x28x24 latent of 112px inputs) are padded with inert lanes inside
+    the kernel wrappers — wire format unchanged, output bit-identical to
+    the XLA scan."""
+    cdf, cdf_length, offset, idx, sym = _cyclic_case(C=8, lanes=lanes,
+                                                     n=n)
+    ex = device_rans_encode(sym, idx, cdf, cdf_length, offset,
+                            num_lanes=lanes, cyclic_channels=8,
+                            backend='xla')
+    assert bool(ex['ok'])
+    ep = device_rans_encode(sym, idx, cdf, cdf_length, offset,
+                            num_lanes=lanes, cyclic_channels=8,
+                            backend='pallas-interpret')
+    for k in ('streams', 'lengths', 'states'):
+        np.testing.assert_array_equal(np.asarray(ex[k]),
+                                      np.asarray(ep[k]), k)
+    dec, valid = device_rans_decode(
+        ex['streams'], ex['states'], idx, cdf, cdf_length, offset,
+        n_symbols=n, num_lanes=lanes, cyclic_channels=8,
+        backend='pallas-interpret')
+    assert bool(valid)
+    np.testing.assert_array_equal(np.asarray(dec), sym)
