@@ -741,11 +741,6 @@ class SplitClassifierRuntime(AnalyzerHolder):
             raise ValueError('device-rANS wire supports the splittable '
                              'bottleneck runtimes')
         hyper = isinstance(self.codec, HyperpriorCodec)
-        if pull_wire and hyper:
-            raise ValueError('pull_wire packing is implemented for the '
-                             'factorized wire; hyperprior streams stay '
-                             'device-resident (accounting is exact '
-                             'either way)')
         images = list(images)
         n = len(images)
         if n == 0:
@@ -804,14 +799,21 @@ class SplitClassifierRuntime(AnalyzerHolder):
                 timings['decode_dispatch'] = \
                     timings.get('decode_dispatch', 0.0) \
                     + _time.perf_counter() - t0
-            if pull_wire and not hyper:
+            if pull_wire:
                 # wire packing needs the stream content: sync here
                 ok, nbytes = (int(v) for v in np.asarray(ops['meta']))
                 if ok and bool(np.asarray(valid)):
-                    wire = self._pull_device_wire(ops)
+                    # hyperprior wires concatenate z then y; each lane
+                    # wire is self-describing (header carries lane count
+                    # + lengths) so the pair splits without a frame —
+                    # `ops.rans.device.split_wire` recovers the parts.
+                    # Accounting happens at drain (stream order): worker
+                    # threads complete out of order.
+                    wire = (self._pull_device_wire(ops['z'])
+                            + self._pull_device_wire(ops['y'])) if hyper \
+                        else self._pull_device_wire(ops)
                     assert len(wire) == nbytes
-                    self.analyze({'strings': [[wire]], 'shape': shape_hw})
-                    return logits
+                    return i, wire, shape_hw, logits
                 return i, ops['meta'], shape_hw, logits, valid
             if i % 32 == 31:
                 # throttle: one meta wait every 32 images bounds the queued
@@ -827,8 +829,10 @@ class SplitClassifierRuntime(AnalyzerHolder):
         t_acct = _time.perf_counter()
         results = []
         for r in staged:
-            if not isinstance(r, tuple):
-                results.append(r)  # pull_wire path, already accounted
+            if len(r) == 4:        # pull_wire path: real packed stream
+                i, wire, shape_hw, logits = r
+                self.analyze({'strings': [[wire]], 'shape': shape_hw})
+                results.append(logits)
                 continue
             i, meta, shape_hw, logits, valid = r
             ok, nbytes = (int(v) for v in np.asarray(meta))

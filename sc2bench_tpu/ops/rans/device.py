@@ -384,6 +384,20 @@ def pack_stream(encoded: dict) -> bytes:
     return b''.join(body)
 
 
+def wire_nbytes(data: bytes) -> int:
+    """Size of the (self-describing) lane wire at the head of `data`."""
+    lanes = int(np.frombuffer(data[:2], np.uint16)[0])
+    lengths = np.frombuffer(data[4:4 + 2 * lanes], np.uint16)
+    return 4 + 6 * lanes + 2 * int(lengths.sum())
+
+
+def split_wire(data: bytes):
+    """Split a concatenation of two lane wires (the hyperprior
+    `pull_wire` layout: z wire then y wire) into its parts."""
+    k = wire_nbytes(data)
+    return data[:k], data[k:]
+
+
 def unpack_stream(data: bytes):
     """-> (streams (N, Lmax) uint16 zero-padded, states (N,) uint32)."""
     lanes = int(np.frombuffer(data[:2], np.uint16)[0])

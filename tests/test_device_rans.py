@@ -692,3 +692,62 @@ def test_pallas_padded_lanes_bit_exact(lanes, n):
         backend='pallas-interpret')
     assert bool(valid)
     np.testing.assert_array_equal(np.asarray(dec), sym)
+
+
+def _tiny_shp_runtime():
+    from sc2bench_tpu.models.backbone import SplittableResNet
+    from sc2bench_tpu.models.layer import SHPBasedResNetBottleneck
+    from sc2bench_tpu.models.runtime import SplitClassifierRuntime
+    model = SplittableResNet(
+        bottleneck_layer=SHPBasedResNetBottleneck(
+            num_bottleneck_channels=8, num_target_channels=64,
+            num_latent_channels=4),
+        stage_sizes=(1, 1, 1, 1), num_classes=10)
+    x0 = jnp.zeros((1, 64, 64, 3))
+    v = jax.jit(lambda r, x: model.init(r, x, mode='train'))(
+        {'params': jax.random.key(0), 'noise': jax.random.key(1)}, x0)
+    v = {'params': v['params'], 'batch_stats': v.get('batch_stats', {})}
+    rt = SplitClassifierRuntime(model, v)
+    rt.update()
+    rt.eval()
+    return rt
+
+
+@pytest.mark.slow
+def test_pull_wire_packs_real_streams_factorized_and_hyper():
+    """`pull_wire=True` pulls the REAL packed lane wire (two-node
+    transmission): accounted sizes must equal the non-pull device wire
+    byte-for-byte, logits must match the host path, and the hyperprior
+    concatenation must split back into two self-describing lane wires."""
+    from sc2bench_tpu.ops.rans.device import (split_wire, unpack_stream,
+                                              wire_nbytes)
+    for make_rt in (_tiny_cls_runtime, _tiny_shp_runtime):
+        rt = make_rt()
+        hyper = make_rt is _tiny_shp_runtime
+        imgs = [jax.random.normal(jax.random.key(i), (1, 64, 64, 3)) * 0.25
+                for i in range(2)]
+        host_logits = [np.asarray(rt(x)) for x in imgs]
+        rt.activate_analysis()
+        rt.stream_deploy_device(imgs, depth=2, workers=2, num_lanes=64)
+        sizes_res = list(rt.analyzers[0].file_size_list)
+        rt.analyzers[0].clear()
+        out = rt.stream_deploy_device(imgs, depth=2, workers=2,
+                                      num_lanes=64, pull_wire=True)
+        sizes_pull = list(rt.analyzers[0].file_size_list)
+        rt.deactivate_analysis()
+        assert sizes_pull == sizes_res
+        for h, d in zip(host_logits, out):
+            np.testing.assert_allclose(h, np.asarray(d), rtol=2e-5,
+                                       atol=2e-5)
+        if hyper:
+            # the packed pair must split into two parseable lane wires
+            ops = rt.encode_device_wire_hyper(imgs[0], num_lanes=64)
+            wire = (rt._pull_device_wire(ops['z'])
+                    + rt._pull_device_wire(ops['y']))
+            assert len(wire) == int(np.asarray(ops['meta'])[1])
+            zw, yw = split_wire(wire)
+            assert wire_nbytes(zw) == len(zw)
+            assert wire_nbytes(yw) == len(yw)
+            for part in (zw, yw):
+                streams, states = unpack_stream(part)
+                assert streams.shape[0] == states.shape[0] > 0
