@@ -486,13 +486,12 @@ class SplitClassifierRuntime(AnalyzerHolder):
                                     tuple(shp['z_symbols'].shape[1:]))
         return self._jit_cache[key]
 
-    def encode_device_wire_hyper(self, x, num_lanes=256, z_lanes=64):
-        """SHP/MSHP mobile-side program with BOTH entropy coders fused:
-        z (factorized tables, cyclic channel indexes) and y (gaussian
-        tables, per-element scale indexes computed on device)."""
+    def _hyper_enc_fn(self, num_lanes, z_lanes):
+        """Per-image SHP/MSHP mobile-side body: bottleneck encode + BOTH
+        entropy coders fused (z factorized/cyclic, y gaussian with
+        device-computed scale indexes). Shared by the per-image and the
+        vmapped (wire_batch) programs."""
         from ..ops.rans.device import device_rans_encode
-        cdf, cdf_len, off = self._device_tables()
-        g_cdf, g_len, g_off = self._device_gaussian_tables()
 
         def enc(variables, x, z_med, st, cdf, cdf_len, off,
                 g_cdf, g_len, g_off):
@@ -515,21 +514,14 @@ class SplitClassifierRuntime(AnalyzerHolder):
                 (z_out['ok'] & y_out['ok']).astype(jnp.int32),
                 z_out['nbytes'] + y_out['nbytes']])
             return {'z': z_out, 'y': y_out, 'meta': meta}
-        out = self._jitted(f'enc_devwire_hyper{num_lanes}_{z_lanes}', enc)(
-            self.variables, x, self._medians_dev, self._scale_table_dev,
-            cdf, cdf_len, off, g_cdf, g_len, g_off)
-        out['shapes'] = self._hyper_latent_shapes(x.shape)
-        return out
+        return enc
 
-    def decode_device_streams_hyper(self, ops, num_lanes=256, z_lanes=64):
-        """Server-side program: decode z (factorized) -> recompute the
+    def _hyper_dec_fn(self, shapes, num_lanes, z_lanes):
+        """Per-image SHP/MSHP server-side body: decode z -> recompute
         gaussian indexes from z_hat (same deterministic ops as the
-        encoder) -> decode y (gaussian) -> decoder + tail, one dispatch
-        from the device-resident streams."""
+        encoder) -> decode y -> decoder + tail."""
         from ..ops.rans.device import device_rans_decode
-        cdf, cdf_len, off = self._device_tables()
-        g_cdf, g_len, g_off = self._device_gaussian_tables()
-        (hy, wy, cy), (hz, wz, cz) = ops['shapes']
+        (hy, wy, cy), (hz, wz, cz) = shapes
 
         def dec(variables, z_streams, z_states, y_streams, y_states,
                 z_med, st, cdf, cdf_len, off, g_cdf, g_len, g_off):
@@ -555,8 +547,72 @@ class SplitClassifierRuntime(AnalyzerHolder):
             logits = self.module.apply(variables, y_sym, z_sym, z_med,
                                        method=m_fn)
             return logits, z_valid & y_valid
+        return dec
+
+    def encode_device_wire_hyper(self, x, num_lanes=256, z_lanes=64):
+        """SHP/MSHP mobile-side program with BOTH entropy coders fused:
+        z (factorized tables, cyclic channel indexes) and y (gaussian
+        tables, per-element scale indexes computed on device)."""
+        cdf, cdf_len, off = self._device_tables()
+        g_cdf, g_len, g_off = self._device_gaussian_tables()
+        out = self._jitted(f'enc_devwire_hyper{num_lanes}_{z_lanes}',
+                           self._hyper_enc_fn(num_lanes, z_lanes))(
+            self.variables, x, self._medians_dev, self._scale_table_dev,
+            cdf, cdf_len, off, g_cdf, g_len, g_off)
+        out['shapes'] = self._hyper_latent_shapes(x.shape)
+        return out
+
+    def encode_device_wire_hyper_batch(self, xs_list, num_lanes=256,
+                                       z_lanes=64):
+        """`encode_device_wire_hyper` vmapped over k images — per-image
+        z/y streams and [ok, nbytes] metas are bit-identical to k
+        batch-1 dispatches (the per-sample data-size protocol holds),
+        sharing ONE dispatch and ONE (k, 2) meta read."""
+        cdf, cdf_len, off = self._device_tables()
+        g_cdf, g_len, g_off = self._device_gaussian_tables()
+        enc1 = self._hyper_enc_fn(num_lanes, z_lanes)
+
+        def enc_many(variables, z_med, st, cdf, cdf_len, off,
+                     g_cdf, g_len, g_off, *xs):
+            return jax.vmap(enc1, in_axes=(None, 0) + (None,) * 8)(
+                variables, jnp.stack(xs), z_med, st, cdf, cdf_len, off,
+                g_cdf, g_len, g_off)
+
+        k = len(xs_list)
+        out = self._jitted(
+            f'enc_devwire_hyper_b{k}_{num_lanes}_{z_lanes}', enc_many)(
+            self.variables, self._medians_dev, self._scale_table_dev,
+            cdf, cdf_len, off, g_cdf, g_len, g_off, *xs_list)
+        out['shapes'] = self._hyper_latent_shapes(tuple(xs_list[0].shape))
+        return out
+
+    def decode_device_streams_hyper(self, ops, num_lanes=256, z_lanes=64):
+        """Server-side program: decode z (factorized) -> recompute the
+        gaussian indexes from z_hat (same deterministic ops as the
+        encoder) -> decode y (gaussian) -> decoder + tail, one dispatch
+        from the device-resident streams."""
+        cdf, cdf_len, off = self._device_tables()
+        g_cdf, g_len, g_off = self._device_gaussian_tables()
+        (hy, wy, cy), _ = ops['shapes']
         return self._jitted(
-            f'dec_devwire_hyper{hy}x{wy}x{cy}_{num_lanes}_{z_lanes}', dec)(
+            f'dec_devwire_hyper{hy}x{wy}x{cy}_{num_lanes}_{z_lanes}',
+            self._hyper_dec_fn(ops['shapes'], num_lanes, z_lanes))(
+            self.variables, ops['z']['streams'], ops['z']['states'],
+            ops['y']['streams'], ops['y']['states'], self._medians_dev,
+            self._scale_table_dev, cdf, cdf_len, off, g_cdf, g_len, g_off)
+
+    def decode_device_streams_hyper_batch(self, ops, num_lanes=256,
+                                          z_lanes=64):
+        """Batched server-side hyperprior program: k images' z/y streams
+        -> k logits + k validity flags in one dispatch."""
+        cdf, cdf_len, off = self._device_tables()
+        g_cdf, g_len, g_off = self._device_gaussian_tables()
+        (hy, wy, cy), _ = ops['shapes']
+        dec1 = self._hyper_dec_fn(ops['shapes'], num_lanes, z_lanes)
+        k = ops['z']['streams'].shape[0]
+        return self._jitted(
+            f'dec_devwire_hyper_b{k}_{hy}x{wy}x{cy}_{num_lanes}_{z_lanes}',
+            jax.vmap(dec1, in_axes=(None, 0, 0, 0, 0) + (None,) * 8))(
             self.variables, ops['z']['streams'], ops['z']['states'],
             ops['y']['streams'], ops['y']['states'], self._medians_dev,
             self._scale_table_dev, cdf, cdf_len, off, g_cdf, g_len, g_off)
@@ -753,9 +809,10 @@ class SplitClassifierRuntime(AnalyzerHolder):
                                    cyclic_channels=None if hyper
                                    else int(shape[-1]))
         if wire_batch is not None and wire_batch > 1:
-            if hyper or pull_wire:
-                raise ValueError('wire_batch grouping is implemented for '
-                                 'the factorized wire without pull_wire')
+            if pull_wire:
+                raise ValueError('wire_batch grouping does not support '
+                                 'pull_wire packing (pull needs per-image '
+                                 'stream syncs that defeat the grouping)')
             return self._stream_deploy_device_batched(
                 images, wire_batch, depth, workers, num_lanes, timings)
 
@@ -867,13 +924,17 @@ class SplitClassifierRuntime(AnalyzerHolder):
         dropped, never accounted)."""
         import time as _time
         n = len(images)
+        hyper = isinstance(self.codec, HyperpriorCodec)
         groups = [(j, min(j + k, n)) for j in range(0, n, k)]
 
         def dispatch(g):
             j0, j1 = groups[g]
             grp = list(images[j0:j1])
             grp += [grp[-1]] * (k - len(grp))
-            ops = self.encode_device_wire_batch(grp, num_lanes=num_lanes)
+            ops = (self.encode_device_wire_hyper_batch(
+                       grp, num_lanes=num_lanes) if hyper
+                   else self.encode_device_wire_batch(
+                       grp, num_lanes=num_lanes))
             try:
                 ops['meta'].copy_to_host_async()
             except Exception:
@@ -883,9 +944,13 @@ class SplitClassifierRuntime(AnalyzerHolder):
         def host_stage(arg):
             g, ops = arg
             t0 = _time.perf_counter()
-            logits, valid = self.decode_device_streams_batch(
-                ops['streams'], ops['states'], ops['shape'],
-                num_lanes=num_lanes)
+            if hyper:
+                logits, valid = self.decode_device_streams_hyper_batch(
+                    ops, num_lanes=num_lanes)
+            else:
+                logits, valid = self.decode_device_streams_batch(
+                    ops['streams'], ops['states'], ops['shape'],
+                    num_lanes=num_lanes)
             try:
                 valid.copy_to_host_async()
             except Exception:
@@ -898,7 +963,9 @@ class SplitClassifierRuntime(AnalyzerHolder):
                 # throttle: one meta wait per 8 groups bounds queued
                 # device programs without a per-group sync
                 np.asarray(ops['meta'])
-            return g, ops['meta'], ops['shape'][:2], logits, valid
+            shape_hw = (ops['shapes'][1][:2] if hyper
+                        else ops['shape'][:2])
+            return g, ops['meta'], shape_hw, logits, valid
 
         staged = list(pipeline_stream(len(groups), dispatch, host_stage,
                                       depth, workers))

@@ -109,15 +109,28 @@ def _probe_pallas_kernels() -> bool:
             n_symbols=n, num_lanes=lanes, cyclic_channels=C,
             backend='pallas')
         ok = ok and bool(valid) and np.array_equal(jax.device_get(dec), sym)
-    except Exception:
+        # wire_batch runs the kernels UNDER vmap (batched grid — a
+        # different Mosaic lowering); probe that path too
+        decb, validb = jax.vmap(
+            lambda st, xs: device_rans_decode(
+                st, xs, idx, cdf, cdf_len, off, n_symbols=n,
+                num_lanes=lanes, cyclic_channels=C, backend='pallas'))(
+            jnp.stack([jnp.asarray(ref['streams'])] * 2),
+            jnp.stack([jnp.asarray(ref['states'])] * 2))
+        ok = ok and bool(jax.device_get(validb).all()) and np.array_equal(
+            jax.device_get(decb), np.stack([sym] * 2))
+    except Exception as e:  # noqa: BLE001 — any failure means fall back
         ok = False
+        reason = repr(e)
+    else:
+        reason = 'kernel output mismatched the XLA scan'
     if not ok:
         import logging
         logging.getLogger(__name__).warning(
-            'Pallas rANS kernel self-check failed on backend %r; '
+            'Pallas rANS kernel self-check failed on backend %r (%s); '
             'falling back to the XLA scan codec (correct, slower). '
             'Set SC2_RANS_BACKEND=pallas to force the kernel.',
-            jax.default_backend())
+            jax.default_backend(), reason)
     _PALLAS_PROBE_OK = ok
     return ok
 

@@ -751,3 +751,27 @@ def test_pull_wire_packs_real_streams_factorized_and_hyper():
             for part in (zw, yw):
                 streams, states = unpack_stream(part)
                 assert streams.shape[0] == states.shape[0] > 0
+
+
+@pytest.mark.slow
+def test_hyperprior_wire_batched_matches_per_image():
+    """`wire_batch=k` on a hyperprior runtime: grouped z/y coding must be
+    bit-identical per image to the per-image wire (sizes equal) and the
+    logits must match the host deploy path; 3 images with k=2 exercises
+    the padded remainder group."""
+    rt = _tiny_shp_runtime()
+    imgs = [jax.random.normal(jax.random.key(i), (1, 64, 64, 3)) * 0.25
+            for i in range(3)]
+    host_logits = [np.asarray(rt(x)) for x in imgs]
+    rt.activate_analysis()
+    rt.stream_deploy_device(imgs, depth=2, workers=2, num_lanes=64)
+    sizes_per_image = list(rt.analyzers[0].file_size_list)
+    rt.analyzers[0].clear()
+    batched = rt.stream_deploy_device(imgs, depth=2, workers=2,
+                                      num_lanes=64, wire_batch=2)
+    sizes_batched = list(rt.analyzers[0].file_size_list)
+    rt.deactivate_analysis()
+    assert sizes_batched == sizes_per_image
+    assert len(batched) == len(imgs)
+    for h, d in zip(host_logits, batched):
+        np.testing.assert_allclose(h, np.asarray(d), rtol=2e-5, atol=2e-5)
