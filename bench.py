@@ -235,13 +235,22 @@ def main():
     trials, best_timings = bench_deploy(rt, images)
     ips = max(trials)
     serving_trials = bench_serving(rt, images)
+    rans_backend = 'auto'
     try:
         device_wire_trials = bench_device_wire(rt, images)
         wire_batch_trials = bench_device_wire(rt, images, wire_batch=8)
     except Exception:
         # Kernel/toolchain failure on this backend must not sink the whole
         # record: force the always-correct XLA scan codec and retry once
-        # (the auto gate's self-probe normally catches this first).
+        # (the auto gate's self-probe normally catches this first). The
+        # record is tagged so XLA-scan numbers are never mistaken for
+        # Pallas-kernel numbers, and the original failure goes to stderr.
+        import sys
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        print('device-wire bench failed; retrying with SC2_RANS_BACKEND='
+              'xla', file=sys.stderr)
+        rans_backend = 'xla-fallback'
         os.environ['SC2_RANS_BACKEND'] = 'xla'
         rt = build_runtime()
         rt.activate_analysis()
@@ -265,6 +274,7 @@ def main():
             round(max(serving_trials), 2),
         'serving_trials': [round(t, 2) for t in serving_trials],
         'fresh_upload_uint8_ips': round(fresh_ips, 2),
+        'device_wire_rans_backend': rans_backend,
         'device_wire_rans_ips': round(max(device_wire_trials), 2),
         'device_wire_trials': [round(t, 2) for t in device_wire_trials],
         'device_wire_batch8_ips': round(max(wire_batch_trials), 2),

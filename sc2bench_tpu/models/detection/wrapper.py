@@ -221,17 +221,13 @@ class SplitDetectionRuntime(FactorizedDeviceWire, AnalyzerHolder):
         semantics (`FileSizeAnalyzer.analyze` of the whole compressed
         object): per-sample exactly when the loader batch size is 1 — the
         benchmark's data-size protocol (reference README.md:99-103)."""
-        from ..runtime import pipeline_stream
+        from ..runtime import copy_async, pipeline_stream
         batches = list(batches)
 
         def dispatch(i):
             x = jnp.asarray(batches[i])
             ops = self._encode_device(x)
-            for leaf in jax.tree.leaves(ops):
-                try:
-                    leaf.copy_to_host_async()
-                except Exception:
-                    pass
+            copy_async(ops)
             return ops, x.shape[1:3]
 
         results = list(pipeline_stream(

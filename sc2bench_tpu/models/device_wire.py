@@ -98,7 +98,7 @@ class FactorizedDeviceWire:
         and one 8-byte meta read. Out-of-support latents (never produced
         by a trained model) fall back to the host-coder path per image."""
         import time as _time
-        from .runtime import pipeline_stream
+        from .runtime import copy_async, pipeline_stream
         batches = [jnp.asarray(b) for b in batches]
         if not batches:
             return []
@@ -108,10 +108,7 @@ class FactorizedDeviceWire:
         def dispatch(i):
             x = batches[i]
             ops = self.encode_device_wire(x, num_lanes=num_lanes)
-            try:
-                ops['meta'].copy_to_host_async()
-            except Exception:
-                pass
+            copy_async(ops['meta'])
             return i, ops, x.shape[1:3]
 
         def host_stage(arg):
@@ -123,10 +120,7 @@ class FactorizedDeviceWire:
             i, ops, hw = arg
             t0 = _time.perf_counter()
             out, valid = self._wire_decode(ops, hw, num_lanes)
-            try:
-                valid.copy_to_host_async()
-            except Exception:
-                pass
+            copy_async(valid)
             if timings is not None:
                 timings['decode_dispatch'] = \
                     timings.get('decode_dispatch', 0.0) \

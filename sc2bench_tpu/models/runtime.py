@@ -33,6 +33,17 @@ def _channel_major(symbols: np.ndarray) -> np.ndarray:
     return np.transpose(symbols, (2, 0, 1)).reshape(symbols.shape[-1], -1)
 
 
+def copy_async(tree):
+    """Best-effort start of device->host copies for every array leaf
+    (overlapped with later dispatches; consumers still synchronize via
+    `np.asarray` at harvest). Non-copyable leaves are skipped."""
+    for leaf in jax.tree.leaves(tree):
+        try:
+            leaf.copy_to_host_async()
+        except Exception:
+            pass
+
+
 def pipeline_stream(n: int, dispatch, host_stage, depth: int = 8,
                     workers: int = 4):
     """Shared software-pipelining driver for the deploy runtimes: yields
@@ -823,10 +834,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
             else:
                 ops = self.encode_device_wire(images[i],
                                               num_lanes=num_lanes)
-            try:
-                ops['meta'].copy_to_host_async()
-            except Exception:
-                pass
+            copy_async(ops['meta'])
             return i, ops
 
         def host_stage(arg):
@@ -848,10 +856,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
                     ops['streams'], ops['states'], ops['shape'],
                     num_lanes=num_lanes)
                 shape_hw = ops['shape'][:2]
-            try:
-                valid.copy_to_host_async()
-            except Exception:
-                pass
+            copy_async(valid)
             if timings is not None:
                 timings['decode_dispatch'] = \
                     timings.get('decode_dispatch', 0.0) \
@@ -935,10 +940,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
                        grp, num_lanes=num_lanes) if hyper
                    else self.encode_device_wire_batch(
                        grp, num_lanes=num_lanes))
-            try:
-                ops['meta'].copy_to_host_async()
-            except Exception:
-                pass
+            copy_async(ops['meta'])
             return g, ops
 
         def host_stage(arg):
@@ -951,10 +953,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
                 logits, valid = self.decode_device_streams_batch(
                     ops['streams'], ops['states'], ops['shape'],
                     num_lanes=num_lanes)
-            try:
-                valid.copy_to_host_async()
-            except Exception:
-                pass
+            copy_async(valid)
             if timings is not None:
                 timings['decode_dispatch'] = \
                     timings.get('decode_dispatch', 0.0) \
@@ -1055,11 +1054,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
 
         def dispatch(i):
             ops = self.encode_device(images[i % n])
-            for leaf in jax.tree.leaves(ops):
-                try:
-                    leaf.copy_to_host_async()
-                except Exception:
-                    pass
+            copy_async(ops)
             return ops
 
         batched = decode_batch > 1

@@ -243,17 +243,13 @@ class SplitSegmentationRuntime(FactorizedDeviceWire, AnalyzerHolder):
         loop) — encodes overlap host entropy coding, mirroring the
         classification runtime. Returns per-image outputs in order."""
         import jax
-        from ..runtime import pipeline_stream
+        from ..runtime import copy_async, pipeline_stream
         images = list(images)
 
         def dispatch(i):
             x = jnp.asarray(images[i])
             ops = self._encode_device(x)
-            for leaf in jax.tree.leaves(ops):
-                try:
-                    leaf.copy_to_host_async()
-                except Exception:
-                    pass
+            copy_async(ops)
             return ops, x.shape[1:3]
 
         results = list(pipeline_stream(

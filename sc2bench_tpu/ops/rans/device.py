@@ -80,9 +80,7 @@ def _probe_pallas_kernels() -> bool:
     if _PALLAS_PROBE_OK is not None:
         return _PALLAS_PROBE_OK
     try:
-        C, lanes, k, cols = 8, 128, 8, 12
-        steps = 24
-        n = lanes * steps
+        C, k, cols, steps = 8, 8, 12, 24
         rng = np.random.default_rng(0)
         cdf = np.zeros((C, cols), np.int32)
         cdf_len = np.full((C,), k + 2, np.int32)
@@ -93,32 +91,48 @@ def _probe_pallas_kernels() -> bool:
                 >> 4, 1)
             freqs[-1] += (1 << 16) - freqs.sum()
             cdf[c, 1:k + 2] = np.cumsum(freqs)
-        idx = np.tile(np.arange(C, dtype=np.int32), n // C)
-        sym = (rng.integers(0, k, n).astype(np.int32) + off[idx])
-        ref = jax.device_get(device_rans_encode(
-            sym, idx, cdf, cdf_len, off, num_lanes=lanes,
-            cyclic_channels=C, backend='xla'))
-        got = jax.device_get(device_rans_encode(
-            sym, idx, cdf, cdf_len, off, num_lanes=lanes,
-            cyclic_channels=C, backend='pallas'))
-        ok = bool(ref['ok']) and all(
-            np.array_equal(ref[f], got[f])
-            for f in ('streams', 'lengths', 'states'))
-        dec, valid = device_rans_decode(
-            ref['streams'], ref['states'], idx, cdf, cdf_len, off,
-            n_symbols=n, num_lanes=lanes, cyclic_channels=C,
-            backend='pallas')
-        ok = ok and bool(valid) and np.array_equal(jax.device_get(dec), sym)
-        # wire_batch runs the kernels UNDER vmap (batched grid — a
-        # different Mosaic lowering); probe that path too
-        decb, validb = jax.vmap(
-            lambda st, xs: device_rans_decode(
-                st, xs, idx, cdf, cdf_len, off, n_symbols=n,
-                num_lanes=lanes, cyclic_channels=C, backend='pallas'))(
-            jnp.stack([jnp.asarray(ref['streams'])] * 2),
-            jnp.stack([jnp.asarray(ref['states'])] * 2))
-        ok = ok and bool(jax.device_get(validb).all()) and np.array_equal(
-            jax.device_get(decb), np.stack([sym] * 2))
+        ok = True
+        # 128 = the pure kernel layout; 96 = the inert-lane-padded
+        # lowering that non-multiple-of-128 deploy shapes take
+        for lanes in (128, 96):
+            n = lanes * steps
+            idx = np.tile(np.arange(C, dtype=np.int32), n // C)
+            sym = (rng.integers(0, k, n).astype(np.int32) + off[idx])
+            ref = jax.device_get(device_rans_encode(
+                sym, idx, cdf, cdf_len, off, num_lanes=lanes,
+                cyclic_channels=C, backend='xla'))
+            got = jax.device_get(device_rans_encode(
+                sym, idx, cdf, cdf_len, off, num_lanes=lanes,
+                cyclic_channels=C, backend='pallas'))
+            ok = ok and bool(ref['ok']) and all(
+                np.array_equal(ref[f], got[f])
+                for f in ('streams', 'lengths', 'states'))
+            dec, valid = device_rans_decode(
+                ref['streams'], ref['states'], idx, cdf, cdf_len, off,
+                n_symbols=n, num_lanes=lanes, cyclic_channels=C,
+                backend='pallas')
+            ok = ok and bool(valid) \
+                and np.array_equal(jax.device_get(dec), sym)
+            # wire_batch runs BOTH kernels UNDER vmap (batched Mosaic
+            # grid — a different lowering); probe that path too
+            gotb = jax.device_get(jax.vmap(
+                lambda s: device_rans_encode(
+                    s, idx, cdf, cdf_len, off, num_lanes=lanes,
+                    cyclic_channels=C, backend='pallas'))(
+                jnp.stack([jnp.asarray(sym)] * 2)))
+            ok = ok and all(
+                np.array_equal(np.stack([ref[f]] * 2), gotb[f])
+                for f in ('streams', 'lengths', 'states'))
+            decb, validb = jax.vmap(
+                lambda st, xs: device_rans_decode(
+                    st, xs, idx, cdf, cdf_len, off, n_symbols=n,
+                    num_lanes=lanes, cyclic_channels=C,
+                    backend='pallas'))(
+                jnp.stack([jnp.asarray(ref['streams'])] * 2),
+                jnp.stack([jnp.asarray(ref['states'])] * 2))
+            ok = ok and bool(jax.device_get(validb).all()) \
+                and np.array_equal(jax.device_get(decb),
+                                   np.stack([sym] * 2))
     except Exception as e:  # noqa: BLE001 — any failure means fall back
         ok = False
         reason = repr(e)

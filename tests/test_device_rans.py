@@ -629,16 +629,20 @@ def test_stream_device_wire_fallback_on_invalid_decode():
             for i in range(3)]
     host_logits = [np.asarray(rt(x)) for x in imgs]
 
+    import itertools
+    import threading
     real_dec = rt.decode_device_streams
-    calls = []
+    counter = itertools.count()
+    lock = threading.Lock()
 
     def bad_dec(streams, states, shape, num_lanes=256):
         logits, valid = real_dec(streams, states, shape,
                                  num_lanes=num_lanes)
-        if len(calls) == 1:    # corrupt the middle image's decode
+        with lock:              # worker threads race the call counter
+            nth = next(counter)
+        if nth == 1:            # corrupt exactly ONE image's decode
             logits = logits + 1e6
             valid = jnp.asarray(False)
-        calls.append(None)
         return logits, valid
 
     rt.decode_device_streams = bad_dec
@@ -746,7 +750,10 @@ def test_pull_wire_packs_real_streams_factorized_and_hyper():
                     + rt._pull_device_wire(ops['y']))
             assert len(wire) == int(np.asarray(ops['meta'])[1])
             zw, yw = split_wire(wire)
-            assert wire_nbytes(zw) == len(zw)
+            # the split boundary must fall exactly at the z wire's own
+            # encoded size (and what remains must be exactly the y wire)
+            assert len(zw) == int(np.asarray(ops['z']['nbytes']))
+            assert len(yw) == int(np.asarray(ops['y']['nbytes']))
             assert wire_nbytes(yw) == len(yw)
             for part in (zw, yw):
                 streams, states = unpack_stream(part)
