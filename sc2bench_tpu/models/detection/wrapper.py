@@ -168,11 +168,9 @@ class SplitDetectionRuntime(FactorizedDeviceWire, AnalyzerHolder):
     # programs, removing both: only an 8-byte [ok, nbytes] meta crosses
     # per image for byte accounting.
 
-    def decode_device_streams(self, streams, states, lat_shape, hw,
-                              num_lanes=4096):
+    def _wire_dec_fn(self, lat_shape, hw, num_lanes):
         from ...ops.rans.device import device_rans_decode
         from .rcnn import postprocess_detections
-        cdf, cdf_len, off = self._device_tables()
         h, w, c = lat_shape
 
         def dec(v, streams, states, m, cdf, cdf_len, off):
@@ -188,19 +186,16 @@ class SplitDetectionRuntime(FactorizedDeviceWire, AnalyzerHolder):
                 return postprocess_detections(out)
             return self.module.apply(v, flat.reshape(1, h, w, c), m,
                                      method=m_fn), valid
-        return self._jitted(f'dec_devwire{hw[0]}x{hw[1]}_l{num_lanes}',
-                            dec)(
-            self.variables, streams, states, self._medians_dev,
-            cdf, cdf_len, off)
+        return dec
 
-    def _wire_decode(self, ops, hw, num_lanes):
-        dets, valid = self.decode_device_streams(
-            ops['streams'], ops['states'], ops['lat_shape'], hw,
-            num_lanes=num_lanes)
-        return dets, valid
+    def decode_device_streams(self, streams, states, lat_shape, hw,
+                              num_lanes=4096):
+        return self._wire_decode({'streams': streams, 'states': states,
+                                  'lat_shape': lat_shape}, hw, num_lanes)
 
     def stream_detect_device(self, batches, depth: int = 8,
                              workers: int = 4, num_lanes: int | None = None,
+                             wire_batch: int | None = None,
                              timings: dict | None = None):
         """Pipelined deploy with the device-rANS wire: per image, one
         fused encode+entropy-code dispatch, one fused entropy-decode+
@@ -210,6 +205,7 @@ class SplitDetectionRuntime(FactorizedDeviceWire, AnalyzerHolder):
         return self.stream_device_wire(batches, depth=depth,
                                        workers=workers,
                                        num_lanes=num_lanes,
+                                       wire_batch=wire_batch,
                                        timings=timings)
 
     def stream_detect(self, batches, depth: int = 4, workers: int = 4):

@@ -62,12 +62,11 @@ class FactorizedDeviceWire:
         lat = self._latent_shape(x_shape)
         return auto_lanes(int(np.prod(lat)), cyclic_channels=int(lat[-1]))
 
-    def encode_device_wire(self, x, num_lanes=256):
-        """One fused dispatch: bottleneck encode -> quantize -> device
-        rANS. Returns the codec dict plus ``meta`` ([ok, nbytes] for the
-        8-byte host read) and ``lat_shape``."""
+    def _wire_enc_fn(self, num_lanes):
+        """Per-image fused body: bottleneck encode -> quantize -> device
+        rANS (+ the [ok, nbytes] meta). Shared by the per-image and the
+        vmapped (wire_batch) programs."""
         from ..ops.rans.device import device_rans_encode
-        cdf, cdf_len, off = self._device_tables()
 
         def enc(v, x, m, cdf, cdf_len, off):
             ops = self.module.apply(
@@ -84,19 +83,52 @@ class FactorizedDeviceWire:
             out['meta'] = jnp.stack([out['ok'].astype(jnp.int32),
                                      out['nbytes']])
             return out
+        return enc
 
-        out = self._jitted(f'enc_devwire{num_lanes}_{x.shape[1:3]}', enc)(
+    def encode_device_wire(self, x, num_lanes=256):
+        """One fused dispatch: bottleneck encode -> quantize -> device
+        rANS. Returns the codec dict plus ``meta`` ([ok, nbytes] for the
+        8-byte host read) and ``lat_shape``."""
+        cdf, cdf_len, off = self._device_tables()
+        out = self._jitted(f'enc_devwire{num_lanes}_{x.shape[1:3]}',
+                           self._wire_enc_fn(num_lanes))(
             self.variables, x, self._medians_dev, cdf, cdf_len, off)
         out['lat_shape'] = self._latent_shape(x.shape)
         return out
 
+    def encode_device_wire_batch(self, xs_list, num_lanes=256):
+        """`encode_device_wire` vmapped over k same-shape canvases: per
+        image streams/metas bit-identical to k batch-1 dispatches (the
+        per-sample data-size protocol holds), one dispatch + one (k, 2)
+        meta read per group."""
+        cdf, cdf_len, off = self._device_tables()
+        enc1 = self._wire_enc_fn(num_lanes)
+
+        def enc_many(v, m, cdf, cdf_len, off, *xs):
+            return jax.vmap(
+                enc1, in_axes=(None, 0, None, None, None, None))(
+                v, jnp.stack(xs), m, cdf, cdf_len, off)
+
+        k = len(xs_list)
+        out = self._jitted(
+            f'enc_devwire_b{k}_{num_lanes}_{xs_list[0].shape[1:3]}',
+            enc_many)(
+            self.variables, self._medians_dev, cdf, cdf_len, off,
+            *xs_list)
+        out['lat_shape'] = self._latent_shape(tuple(xs_list[0].shape))
+        return out
+
     def stream_device_wire(self, batches, depth: int = 8, workers: int = 4,
                            num_lanes: int | None = None,
+                           wire_batch: int | None = None,
                            timings: dict | None = None):
         """Pipelined batch-1 serving on the device wire: per image, one
         fused encode+code dispatch, one fused decode+task-head dispatch,
         and one 8-byte meta read. Out-of-support latents (never produced
-        by a trained model) fall back to the host-coder path per image."""
+        by a trained model) fall back to the host-coder path per image.
+        `wire_batch=k` groups consecutive SAME-SHAPE canvases into one
+        fused dispatch pair (per-image bitstreams/accounting unchanged;
+        the vmapped head vectorizes wider on device)."""
         import time as _time
         from .runtime import copy_async, pipeline_stream
         batches = [jnp.asarray(b) for b in batches]
@@ -104,6 +136,9 @@ class FactorizedDeviceWire:
             return []
         if num_lanes is None:
             num_lanes = self._wire_lanes(batches[0].shape)
+        if wire_batch is not None and wire_batch > 1:
+            return self._stream_device_wire_batched(
+                batches, wire_batch, depth, workers, num_lanes, timings)
 
         def dispatch(i):
             x = batches[i]
@@ -156,6 +191,101 @@ class FactorizedDeviceWire:
             jax.block_until_ready(jax.tree.leaves(results[-1]))
         return results
 
+    def _stream_device_wire_batched(self, batches, k, depth, workers,
+                                    num_lanes, timings):
+        """Grouped device-wire serving: consecutive same-shape canvases
+        share one fused encode+code / decode+head dispatch pair and ONE
+        (k, 2) meta read. Per-image bitstreams, byte accounting, and
+        outputs are identical to the per-image wire (each image is coded
+        independently inside the vmapped program); remainder groups are
+        padded by repeating their final image (padded outputs dropped,
+        never accounted). Detection canvases are bucketed, so only
+        same-shape neighbors can stack — a shape change closes the group."""
+        import time as _time
+        from .runtime import copy_async, pipeline_stream
+        n = len(batches)
+        groups = []
+        i = 0
+        while i < n:
+            j = i + 1
+            while j < n and j - i < k \
+                    and batches[j].shape == batches[i].shape:
+                j += 1
+            groups.append((i, j))
+            i = j
+
+        def dispatch(g):
+            j0, j1 = groups[g]
+            grp = list(batches[j0:j1])
+            grp += [grp[-1]] * (k - len(grp))
+            ops = self.encode_device_wire_batch(grp, num_lanes=num_lanes)
+            copy_async(ops['meta'])
+            return g, ops, batches[j0].shape[1:3]
+
+        def host_stage(arg):
+            g, ops, hw = arg
+            t0 = _time.perf_counter()
+            out, valid = self._wire_decode_batch(ops, hw, num_lanes)
+            copy_async(valid)
+            if timings is not None:
+                timings['decode_dispatch'] = \
+                    timings.get('decode_dispatch', 0.0) \
+                    + _time.perf_counter() - t0
+            if g % 8 == 7:
+                # throttle: one meta wait per 8 groups bounds queued
+                # device programs without a per-group sync
+                np.asarray(ops['meta'])
+            return g, ops['meta'], ops['lat_shape'][:2], hw, out, valid
+
+        staged = list(pipeline_stream(len(groups), dispatch, host_stage,
+                                      depth, workers))
+        t_acct = _time.perf_counter()
+        results = []
+        for g, meta, lat_hw, hw, out, valid in staged:
+            j0, j1 = groups[g]
+            meta_np = np.asarray(meta)
+            valid_np = np.asarray(valid)
+            for j in range(j1 - j0):
+                ok, nbytes = int(meta_np[j, 0]), int(meta_np[j, 1])
+                if not ok or not bool(valid_np[j]):
+                    # escape-coded latent or failed decode: host path
+                    sym_ops = self._encode_device(batches[j0 + j])
+                    results.append(self._host_stage(sym_ops, hw))
+                    continue
+                self.analyze({'strings': [[bytes(nbytes)]],
+                              'shape': lat_hw})
+                results.append(jax.tree.map(lambda a: a[j], out))
+        if timings is not None:
+            timings['account_d2h'] = \
+                timings.get('account_d2h', 0.0) \
+                + _time.perf_counter() - t_acct
+        if results:
+            jax.block_until_ready(jax.tree.leaves(results[-1]))
+        return results
+
+    def _wire_dec_fn(self, lat_shape, hw, num_lanes):
+        """Subclass hook: the per-image pure decode body
+        (variables, streams, states, medians, cdf, cdf_len, off) ->
+        (task output, validity scalar)."""
+        raise NotImplementedError
+
     def _wire_decode(self, ops, hw, num_lanes):
         """-> (per-image output, validity scalar device array)."""
-        raise NotImplementedError
+        cdf, cdf_len, off = self._device_tables()
+        return self._jitted(
+            f'dec_devwire{hw[0]}x{hw[1]}_l{num_lanes}',
+            self._wire_dec_fn(ops['lat_shape'], hw, num_lanes))(
+            self.variables, ops['streams'], ops['states'],
+            self._medians_dev, cdf, cdf_len, off)
+
+    def _wire_decode_batch(self, ops, hw, num_lanes):
+        """-> (stacked outputs, (k,) validity) via vmap of the per-image
+        decode body."""
+        cdf, cdf_len, off = self._device_tables()
+        k = ops['streams'].shape[0]
+        dec1 = self._wire_dec_fn(ops['lat_shape'], hw, num_lanes)
+        return self._jitted(
+            f'dec_devwire_b{k}_{hw[0]}x{hw[1]}_l{num_lanes}',
+            jax.vmap(dec1, in_axes=(None, 0, 0, None, None, None, None)))(
+            self.variables, ops['streams'], ops['states'],
+            self._medians_dev, cdf, cdf_len, off)

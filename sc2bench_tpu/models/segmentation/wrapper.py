@@ -194,10 +194,9 @@ class SplitSegmentationRuntime(FactorizedDeviceWire, AnalyzerHolder):
                     self._jit[key] = jax.jit(fn)
         return self._jit[key]
 
-    def _wire_decode(self, ops, hw, num_lanes):
+    def _wire_dec_fn(self, lat_shape, hw, num_lanes):
         from ...ops.rans.device import device_rans_decode
-        cdf, cdf_len, off = self._device_tables()
-        h, w, c = ops['lat_shape']
+        h, w, c = lat_shape
 
         def dec_fn(v, streams, states, m, cdf, cdf_len, off):
             idx = jnp.tile(jnp.arange(c, dtype=jnp.int32), h * w)
@@ -209,13 +208,11 @@ class SplitSegmentationRuntime(FactorizedDeviceWire, AnalyzerHolder):
                 v, flat.reshape(1, h, w, c), m, tuple(hw),
                 method=lambda mod, s, med, ihw:
                     mod.decode_ops_to_output(s, med, ihw)), valid
-        return self._jitted(
-            f'dec_devwire{hw[0]}x{hw[1]}_l{num_lanes}', dec_fn)(
-            self.variables, ops['streams'], ops['states'],
-            self._medians_dev, cdf, cdf_len, off)
+        return dec_fn
 
     def stream_deploy_device(self, images, depth: int = 8,
                              workers: int = 4, num_lanes: int | None = None,
+                             wire_batch: int | None = None,
                              timings: dict | None = None):
         """Pipelined deploy with the interleaved device-rANS codec fused
         into the encode and decode programs (`ops/rans/device.py`): the
@@ -226,6 +223,7 @@ class SplitSegmentationRuntime(FactorizedDeviceWire, AnalyzerHolder):
         return self.stream_device_wire(images, depth=depth,
                                        workers=workers,
                                        num_lanes=num_lanes,
+                                       wire_batch=wire_batch,
                                        timings=timings)
 
     def __call__(self, x):

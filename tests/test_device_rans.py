@@ -782,3 +782,93 @@ def test_hyperprior_wire_batched_matches_per_image():
     assert len(batched) == len(imgs)
     for h, d in zip(host_logits, batched):
         np.testing.assert_allclose(h, np.asarray(d), rtol=2e-5, atol=2e-5)
+
+
+def _tiny_seg_runtime():
+    from sc2bench_tpu.models.segmentation.wrapper import \
+        SplitSegmentationRuntime
+    from sc2bench_tpu.registry import get as registry_get
+    import sc2bench_tpu.models  # noqa: F401
+    model = registry_get('model', 'deeplabv3_model')(
+        backbone_name='resnet50', num_classes=5, uses_aux=False,
+        bottleneck_config={'key': 'FPBasedResNetBottleneck',
+                           'kwargs': {'num_bottleneck_channels': 8,
+                                      'num_target_channels': 256}})
+    x0 = jnp.zeros((1, 64, 64, 3))
+    v = jax.jit(lambda r, x: model.init(r, x, mode='train'))(
+        {'params': jax.random.key(0), 'noise': jax.random.key(1)}, x0)
+    v = {'params': v['params'], 'batch_stats': v.get('batch_stats', {})}
+    rt = SplitSegmentationRuntime(model, v)
+    assert rt.update()
+    rt.eval()
+    return rt
+
+
+@pytest.mark.slow
+def test_mixin_wire_batch_groups_same_shape_canvases():
+    """det/seg `wire_batch=k`: consecutive same-shape canvases share a
+    fused dispatch pair; per-image accounting and outputs must equal the
+    per-image wire, and a shape change must break the group (detection
+    canvases are bucketed). 3 same-shape seg images with k=2 exercise
+    the padded remainder; the det stream mixes two canvas shapes."""
+    rt = _tiny_seg_runtime()
+    imgs = [jax.random.normal(jax.random.key(i), (1, 64, 64, 3)) * 0.25
+            for i in range(3)]
+    rt.activate_analysis()
+    per_image = rt.stream_deploy_device(imgs, depth=2, workers=2,
+                                        num_lanes=64)
+    sizes_per_image = list(rt.analyzers[0].file_size_list)
+    rt.analyzers[0].clear()
+    batched = rt.stream_deploy_device(imgs, depth=2, workers=2,
+                                      num_lanes=64, wire_batch=2)
+    sizes_batched = list(rt.analyzers[0].file_size_list)
+    rt.deactivate_analysis()
+    assert sizes_batched == sizes_per_image
+    assert len(batched) == len(imgs)
+    for h, d in zip(per_image, batched):
+        np.testing.assert_allclose(np.asarray(h), np.asarray(d),
+                                   rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_detection_wire_batch_mixed_canvas_shapes():
+    from sc2bench_tpu.models.detection.wrapper import SplitDetectionRuntime
+    from sc2bench_tpu.registry import get as registry_get
+    import sc2bench_tpu.models  # noqa: F401
+    model = registry_get('model', 'faster_rcnn_model')(
+        num_classes=5,
+        backbone_config={
+            'resnet_name': 'resnet50',
+            'bottleneck_config': {
+                'key': 'FPBasedResNetBottleneck',
+                'kwargs': {'num_bottleneck_channels': 8,
+                           'num_target_channels': 256}}})
+    x0 = jnp.zeros((1, 64, 64, 3))
+    v = jax.jit(lambda r, x: model.init(r, x, mode='train'))(
+        {'params': jax.random.key(0), 'noise': jax.random.key(1)}, x0)
+    v = {'params': v['params'], 'batch_stats': v.get('batch_stats', {})}
+    rt = SplitDetectionRuntime(model, v)
+    rt.update()
+    # two same-shape canvases then a different bucket: groups must be
+    # [(0,2), (2,3)] — the shape change closes the first group
+    batches = [jax.random.normal(jax.random.key(i), (1, 64, 64, 3)) * 0.25
+               for i in range(2)]
+    batches.append(
+        jax.random.normal(jax.random.key(9), (1, 64, 96, 3)) * 0.25)
+    rt.activate_analysis()
+    per_image = rt.stream_detect_device(batches, depth=2, workers=2,
+                                        num_lanes=64)
+    sizes_per_image = list(rt.analyzers[0].file_size_list)
+    rt.analyzers[0].clear()
+    batched = rt.stream_detect_device(batches, depth=2, workers=2,
+                                      num_lanes=64, wire_batch=2)
+    sizes_batched = list(rt.analyzers[0].file_size_list)
+    rt.deactivate_analysis()
+    assert sizes_batched == sizes_per_image
+    assert len(batched) == len(batches)
+    for h, d in zip(per_image, batched):
+        np.testing.assert_allclose(np.asarray(h['boxes']),
+                                   np.asarray(d['boxes']),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(h['valid']),
+                                      np.asarray(d['valid']))
