@@ -61,9 +61,14 @@ class ServingPool:
                 'std': float(arr.std()) if len(arr) else 0.0,
                 'num_samples': len(arr), 'unit': unit}
 
-    def stream(self, images, depth: int = 8, workers: int = 4):
+    def stream(self, images, depth: int = 8, workers: int = 4,
+               wire_batch: int | None = None):
         """Round-robin the stream across devices; returns logits in input
-        order. Each replica runs its own pipelined deploy concurrently."""
+        order. Each replica runs its own pipelined deploy concurrently.
+        `wire_batch=k` (device wire only) groups k images per fused
+        dispatch on each replica (per-image accounting unchanged)."""
+        if wire_batch is not None and self.wire != 'device':
+            raise ValueError('wire_batch grouping requires wire="device"')
         images = list(images)
         n = len(images)
         k = len(self.replicas)
@@ -82,7 +87,8 @@ class ServingPool:
                 return []
             if self.wire == 'device':
                 return rt.stream_deploy_device(shards[d], depth=depth,
-                                               workers=workers)
+                                               workers=workers,
+                                               wire_batch=wire_batch)
             return rt.stream_deploy(shards[d], depth=depth, workers=workers)
 
         results = [None] * n
