@@ -188,6 +188,29 @@ class DataLoader:
             yield item
 
 
+def build_sharded_loader(split_config, collate_fn=None,
+                         shard_over_processes=False, **overrides):
+    """DataLoader from a split config, optionally sharded per host process
+    (the reference's DistributedSampler contract, SURVEY.md §2.4): with
+    `shard_over_processes=True` each process iterates a disjoint dataset
+    shard; batches are further sharded over the process's local devices by
+    the training box. Single-process runs are unaffected. Shared by the
+    three task engines so the sharding contract cannot drift per task."""
+    import jax
+    dataset = build_dataset(split_config['dataset'])
+    num_shards = jax.process_count() if shard_over_processes else 1
+    kwargs = dict(batch_size=split_config.get('batch_size', 1),
+                  shuffle=split_config.get('shuffle', False),
+                  drop_last=split_config.get('drop_last', False),
+                  num_workers=split_config.get('num_workers', 0),
+                  num_shards=num_shards,
+                  shard_index=jax.process_index() if num_shards > 1 else 0)
+    if collate_fn is not None:
+        kwargs['collate_fn'] = collate_fn
+    kwargs.update(overrides)
+    return DataLoader(dataset, **kwargs)
+
+
 def build_dataset(dataset_config):
     """Instantiate a dataset from config via the registry (the reference's
     YAML `!import_call` equivalent, SURVEY.md §5.6)."""

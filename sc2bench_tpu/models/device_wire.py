@@ -130,7 +130,7 @@ class FactorizedDeviceWire:
         fused dispatch pair (per-image bitstreams/accounting unchanged;
         the vmapped head vectorizes wider on device)."""
         import time as _time
-        from .runtime import copy_async, pipeline_stream
+        from .runtime import add_timing, copy_async, pipeline_stream
         batches = [jnp.asarray(b) for b in batches]
         if not batches:
             return []
@@ -156,10 +156,8 @@ class FactorizedDeviceWire:
             t0 = _time.perf_counter()
             out, valid = self._wire_decode(ops, hw, num_lanes)
             copy_async(valid)
-            if timings is not None:
-                timings['decode_dispatch'] = \
-                    timings.get('decode_dispatch', 0.0) \
-                    + _time.perf_counter() - t0
+            add_timing(timings, 'decode_dispatch',
+                       _time.perf_counter() - t0)
             if i % 32 == 31:
                 # throttle: one meta wait per 32 images bounds queued
                 # device programs without a per-image sync
@@ -183,10 +181,8 @@ class FactorizedDeviceWire:
             # bytes object depends only on its length
             self.analyze({'strings': [[bytes(nbytes)]], 'shape': lat_hw})
             results.append(out)
-        if timings is not None:
-            timings['account_d2h'] = \
-                timings.get('account_d2h', 0.0) \
-                + _time.perf_counter() - t_acct
+        add_timing(timings, 'account_d2h',
+                   _time.perf_counter() - t_acct)
         if results:
             jax.block_until_ready(jax.tree.leaves(results[-1]))
         return results
@@ -202,7 +198,7 @@ class FactorizedDeviceWire:
         never accounted). Detection canvases are bucketed, so only
         same-shape neighbors can stack — a shape change closes the group."""
         import time as _time
-        from .runtime import copy_async, pipeline_stream
+        from .runtime import add_timing, copy_async, pipeline_stream
         n = len(batches)
         groups = []
         i = 0
@@ -227,10 +223,8 @@ class FactorizedDeviceWire:
             t0 = _time.perf_counter()
             out, valid = self._wire_decode_batch(ops, hw, num_lanes)
             copy_async(valid)
-            if timings is not None:
-                timings['decode_dispatch'] = \
-                    timings.get('decode_dispatch', 0.0) \
-                    + _time.perf_counter() - t0
+            add_timing(timings, 'decode_dispatch',
+                       _time.perf_counter() - t0)
             if g % 8 == 7:
                 # throttle: one meta wait per 8 groups bounds queued
                 # device programs without a per-group sync
@@ -255,10 +249,8 @@ class FactorizedDeviceWire:
                 self.analyze({'strings': [[bytes(nbytes)]],
                               'shape': lat_hw})
                 results.append(jax.tree.map(lambda a: a[j], out))
-        if timings is not None:
-            timings['account_d2h'] = \
-                timings.get('account_d2h', 0.0) \
-                + _time.perf_counter() - t_acct
+        add_timing(timings, 'account_d2h',
+                   _time.perf_counter() - t_acct)
         if results:
             jax.block_until_ready(jax.tree.leaves(results[-1]))
         return results

@@ -16,6 +16,8 @@ split computing (SURVEY.md §7 design stance).
 """
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -31,6 +33,19 @@ from .layer import (EntropyBottleneckLayer, FPBasedResNetBottleneck,
 def _channel_major(symbols: np.ndarray) -> np.ndarray:
     """(h, w, c) -> channel-major flat order (c, h*w) for per-channel CDFs."""
     return np.transpose(symbols, (2, 0, 1)).reshape(symbols.shape[-1], -1)
+
+
+_TIMINGS_LOCK = threading.Lock()
+
+
+def add_timing(timings, key, dt):
+    """Thread-safe accumulation into a caller-owned timings dict: host
+    stages run on a worker pool, and a bare read-modify-write drops
+    updates under contention."""
+    if timings is None:
+        return
+    with _TIMINGS_LOCK:
+        timings[key] = timings.get(key, 0.0) + dt
 
 
 def copy_async(tree):
@@ -857,10 +872,8 @@ class SplitClassifierRuntime(AnalyzerHolder):
                     num_lanes=num_lanes)
                 shape_hw = ops['shape'][:2]
             copy_async(valid)
-            if timings is not None:
-                timings['decode_dispatch'] = \
-                    timings.get('decode_dispatch', 0.0) \
-                    + _time.perf_counter() - t0
+            add_timing(timings, 'decode_dispatch',
+                       _time.perf_counter() - t0)
             if pull_wire:
                 # wire packing needs the stream content: sync here
                 ok, nbytes = (int(v) for v in np.asarray(ops['meta']))
@@ -911,10 +924,8 @@ class SplitClassifierRuntime(AnalyzerHolder):
             # size of a bytes object depends only on length
             self.analyze({'strings': [[bytes(nbytes)]], 'shape': shape_hw})
             results.append(logits)
-        if timings is not None:
-            timings['account_d2h'] = \
-                timings.get('account_d2h', 0.0) \
-                + _time.perf_counter() - t_acct
+        add_timing(timings, 'account_d2h',
+                   _time.perf_counter() - t_acct)
         jax.block_until_ready(results[-1])
         return results
 
@@ -954,10 +965,8 @@ class SplitClassifierRuntime(AnalyzerHolder):
                     ops['streams'], ops['states'], ops['shape'],
                     num_lanes=num_lanes)
             copy_async(valid)
-            if timings is not None:
-                timings['decode_dispatch'] = \
-                    timings.get('decode_dispatch', 0.0) \
-                    + _time.perf_counter() - t0
+            add_timing(timings, 'decode_dispatch',
+                       _time.perf_counter() - t0)
             if g % 8 == 7:
                 # throttle: one meta wait per 8 groups bounds queued
                 # device programs without a per-group sync
@@ -985,10 +994,8 @@ class SplitClassifierRuntime(AnalyzerHolder):
                 self.analyze({'strings': [[bytes(nbytes)]],
                               'shape': shape_hw})
                 results.append(logits[j])
-        if timings is not None:
-            timings['account_d2h'] = \
-                timings.get('account_d2h', 0.0) \
-                + _time.perf_counter() - t_acct
+        add_timing(timings, 'account_d2h',
+                   _time.perf_counter() - t_acct)
         jax.block_until_ready(results[-1])
         return results
 
@@ -1098,11 +1105,9 @@ class SplitClassifierRuntime(AnalyzerHolder):
                 out = self._decode_wire(compressed['strings'][0],
                                         compressed['shape'])
             t3 = _time.perf_counter()
-            if timings is not None:
-                timings['d2h_sync'] = timings.get('d2h_sync', 0.0) + t1 - t0
-                timings['host_code'] = timings.get('host_code', 0.0) + t2 - t1
-                timings['decode_dispatch'] = \
-                    timings.get('decode_dispatch', 0.0) + t3 - t2
+            add_timing(timings, 'd2h_sync', t1 - t0)
+            add_timing(timings, 'host_code', t2 - t1)
+            add_timing(timings, 'decode_dispatch', t3 - t2)
             return out
 
         stream = pipeline_stream(n, dispatch, host_stage, depth, workers)
@@ -1128,10 +1133,8 @@ class SplitClassifierRuntime(AnalyzerHolder):
                         chunk[0].dtype)
                     stacked = np.concatenate([stacked, pad])
                 logits = self._decode_call(jnp.asarray(stacked))
-                if timings is not None:
-                    timings['decode_dispatch'] = \
-                        timings.get('decode_dispatch', 0.0) \
-                        + _time.perf_counter() - t0
+                add_timing(timings, 'decode_dispatch',
+                           _time.perf_counter() - t0)
                 return [logits[i:i + 1] for i in range(k)]
 
             with ThreadPoolExecutor(1) as flush_ex:

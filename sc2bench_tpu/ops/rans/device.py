@@ -149,12 +149,20 @@ def _probe_pallas_kernels() -> bool:
     return ok
 
 
-def _use_pallas(backend: str, cols: int, lanes: int, lmax: int,
-                steps: int, mode: str = 'decode') -> bool:
-    """Trace-time backend gate for the cyclic encode/decode fast paths."""
+def _resolve_backend(backend: str) -> str:
+    """Apply the SC2_RANS_BACKEND env override to 'auto'. Call sites must
+    resolve BEFORE deriving `interpret=` flags — otherwise the env's
+    'pallas-interpret' would select the Pallas path but run it compiled."""
     import os
     if backend == 'auto':
-        backend = os.environ.get('SC2_RANS_BACKEND', 'auto')
+        return os.environ.get('SC2_RANS_BACKEND', 'auto')
+    return backend
+
+
+def _use_pallas(backend: str, cols: int, lanes: int, lmax: int,
+                steps: int, mode: str = 'decode') -> bool:
+    """Trace-time backend gate for the cyclic encode/decode fast paths.
+    `backend` must already be resolved via `_resolve_backend`."""
     if backend in ('pallas', 'pallas-interpret'):
         return True
     if backend != 'auto':
@@ -202,6 +210,7 @@ def device_rans_encode(symbols, indexes, quantized_cdf, cdf_length, offset,
                                to the host escape-coding path)
       nbytes  ()  int32      — exact packed wire size
     Jittable; all shapes static given (n, num_lanes)."""
+    backend = _resolve_backend(backend)
     cdf = jnp.asarray(quantized_cdf, jnp.int32)
     cdf_len = jnp.asarray(cdf_length, jnp.int32)
     off = jnp.asarray(offset, jnp.int32)
@@ -317,6 +326,7 @@ def device_rans_decode(streams, states, indexes, quantized_cdf, cdf_length,
     else the XLA scan), 'xla', 'pallas' (force compiled kernel),
     'pallas-interpret' (kernel in interpret mode, for CPU tests). The
     SC2_RANS_BACKEND env var overrides 'auto'."""
+    backend = _resolve_backend(backend)
     cdf = jnp.asarray(quantized_cdf, jnp.int32)
     cdf_len = jnp.asarray(cdf_length, jnp.int32)
     off = jnp.asarray(offset, jnp.int32)

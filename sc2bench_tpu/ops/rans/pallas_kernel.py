@@ -290,6 +290,13 @@ def pallas_cyclic_encode_scan(cdf_lane, vc, steps: int,
     kernel call (wire format unchanged)."""
     cdf_lane, vc, lanes = _pad_lanes_encode(cdf_lane, vc)
     block = pick_lane_block_encode(int(cdf_lane.shape[1]), lanes, steps)
+    if block is None and not interpret:
+        # only reachable when the backend is FORCED to 'pallas' (the auto
+        # gate consults the same picker first): fail with a clear message
+        # instead of an obscure Mosaic tiling/VMEM error
+        raise ValueError(
+            f'no VMEM-fitting lane block for the Pallas rANS encode '
+            f'kernel (lanes={lanes}, steps={steps}); use backend="xla"')
     chunks, masks, xend = _pallas_encode_call(
         jnp.asarray(cdf_lane, jnp.int32).T, vc,
         steps, lane_block=block, interpret=interpret)
@@ -333,6 +340,11 @@ def pallas_cyclic_decode(streams, states, quantized_cdf, cdf_length,
             [states, jnp.full((lanes_p - lanes,), _RANS_L, jnp.uint32)])
     block = pick_lane_block(int(cdf.shape[1]), lanes,
                             int(streams.shape[-1]), steps)
+    if block is None and not interpret:
+        raise ValueError(
+            f'no VMEM-fitting lane block for the Pallas rANS decode '
+            f'kernel (lanes={lanes}, steps={steps}, '
+            f'lmax={int(streams.shape[-1])}); use backend="xla"')
     out, xend = _pallas_decode_call(
         cdf_lane.T, streams.astype(jnp.int32).T, states, steps,
         lane_block=block, interpret=interpret)

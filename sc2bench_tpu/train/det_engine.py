@@ -16,7 +16,8 @@ import numpy as np
 
 from ..config import train_stage_configs
 from ..datasets.coco import pad_detection_targets
-from ..datasets.image import DataLoader, build_dataset
+from ..datasets.image import (DataLoader, build_dataset,
+                              build_sharded_loader)
 from ..models.detection.rcnn import detection_loss, postprocess_detections
 from ..models.detection.transform import RCNNTransform
 from ..registry import get as registry_get
@@ -174,16 +175,9 @@ class DetectionEngine:
 
     def build_loader(self, split_config, shard_over_processes=False):
         from ..transforms.collator import coco_collate_fn
-        dataset = build_dataset(split_config['dataset'])
-        num_shards = jax.process_count() if shard_over_processes else 1
-        return DataLoader(dataset,
-                          batch_size=split_config.get('batch_size', 1),
-                          shuffle=split_config.get('shuffle', False),
-                          collate_fn=coco_collate_fn,
-                          num_workers=split_config.get('num_workers', 0),
-                          num_shards=num_shards,
-                          shard_index=jax.process_index()
-                          if num_shards > 1 else 0)
+        return build_sharded_loader(
+            split_config, collate_fn=coco_collate_fn,
+            shard_over_processes=shard_over_processes)
 
     def _prepare_batch(self, images, targets):
         batch, scales, _ = self.transform(list(images))

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import train_stage_configs
-from ..datasets.image import DataLoader, build_dataset
+from ..datasets.image import (DataLoader, build_dataset,
+                              build_sharded_loader)
 from ..models.registry import load_classification_model
 from ..models.runtime import SplitClassifierRuntime
 from ..utils.ckpt import load_ckpt, save_ckpt
@@ -224,16 +225,8 @@ class ClassificationEngine:
         disjoint dataset shard (the reference's DistributedSampler; batches
         are then additionally sharded over this process's devices by the
         box). Single-process runs are unaffected."""
-        dataset = build_dataset(split_config['dataset'])
-        num_shards = jax.process_count() if shard_over_processes else 1
-        return DataLoader(dataset,
-                          batch_size=split_config.get('batch_size', 1),
-                          shuffle=split_config.get('shuffle', False),
-                          drop_last=split_config.get('drop_last', False),
-                          num_workers=split_config.get('num_workers', 0),
-                          num_shards=num_shards,
-                          shard_index=jax.process_index()
-                          if num_shards > 1 else 0)
+        return build_sharded_loader(
+            split_config, shard_over_processes=shard_over_processes)
 
     # ---- evaluation -----------------------------------------------------
     def evaluate(self, data_loader, use_deploy_path=False, log_freq=100):

@@ -14,7 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import train_stage_configs
-from ..datasets.image import DataLoader, build_dataset
+from ..datasets.image import (DataLoader, build_dataset,
+                              build_sharded_loader)
 from ..models.segmentation.wrapper import SplitSegmentationRuntime
 from ..registry import get as registry_get
 from ..utils.ckpt import load_ckpt, save_ckpt
@@ -80,16 +81,9 @@ class SegmentationEngine:
 
     def build_loader(self, split_config, shard_over_processes=False):
         from ..transforms.collator import pascal_seg_collate_fn
-        dataset = build_dataset(split_config['dataset'])
-        num_shards = jax.process_count() if shard_over_processes else 1
-        return DataLoader(dataset,
-                          batch_size=split_config.get('batch_size', 1),
-                          shuffle=split_config.get('shuffle', False),
-                          collate_fn=lambda b: pascal_seg_collate_fn(b),
-                          num_workers=split_config.get('num_workers', 0),
-                          num_shards=num_shards,
-                          shard_index=jax.process_index()
-                          if num_shards > 1 else 0)
+        return build_sharded_loader(
+            split_config, collate_fn=pascal_seg_collate_fn,
+            shard_over_processes=shard_over_processes)
 
     def evaluate(self, data_loader, use_deploy_path=False,
                  use_teacher=False):

@@ -872,3 +872,23 @@ def test_detection_wire_batch_mixed_canvas_shapes():
                                    rtol=2e-5, atol=2e-5)
         np.testing.assert_array_equal(np.asarray(h['valid']),
                                       np.asarray(d['valid']))
+
+
+def test_env_backend_pallas_interpret_works_on_cpu(monkeypatch):
+    """SC2_RANS_BACKEND=pallas-interpret must run the kernels in
+    interpret mode (the documented CPU-testing path): the env override
+    must resolve BEFORE the interpret flag is derived, or the compiled
+    Mosaic lowering would be attempted on the CPU backend and crash."""
+    monkeypatch.setenv('SC2_RANS_BACKEND', 'pallas-interpret')
+    cdf, cdf_length, offset, idx, sym = _cyclic_case(C=8, lanes=32,
+                                                     n=1600, seed=12)
+    enc = device_rans_encode(sym, idx, cdf, cdf_length, offset,
+                             num_lanes=32, cyclic_channels=8,
+                             backend='auto')
+    assert bool(enc['ok'])
+    dec, valid = device_rans_decode(
+        enc['streams'], enc['states'], idx, cdf, cdf_length, offset,
+        n_symbols=len(sym), num_lanes=32, cyclic_channels=8,
+        backend='auto')
+    assert bool(valid)
+    np.testing.assert_array_equal(np.asarray(dec), sym)
