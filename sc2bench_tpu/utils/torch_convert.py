@@ -107,6 +107,27 @@ SPLITTABLE_RESNET_RULES = [
       'bottleneck_layer/' + repl) for pat, repl in FP_BOTTLENECK_RULES] + \
     RESNET_RULES
 
+SHP_BOTTLENECK_RULES = [
+    (r'^g_a\.0$', 'g_a_conv0'), (r'^g_a\.1$', 'g_a_gdn0'),
+    (r'^g_a\.2$', 'g_a_conv1'), (r'^g_a\.3$', 'g_a_gdn1'),
+    (r'^g_a\.4$', 'g_a_conv2'),
+    (r'^g_s\.0$', 'g_s_conv0'), (r'^g_s\.1$', 'g_s_igdn0'),
+    (r'^g_s\.2$', 'g_s_conv1'), (r'^g_s\.3$', 'g_s_igdn1'),
+    (r'^g_s\.4$', 'g_s_conv2'),
+    (r'^h_a\.0$', 'h_a_conv0'), (r'^h_a\.2$', 'h_a_conv1'),
+    (r'^h_s\.0$', 'h_s_deconv0'), (r'^h_s\.2$', 'h_s_deconv1'),
+    (r'^h_s\.4$', 'h_s_conv2'),
+    (r'^entropy_bottleneck$', 'entropy_bottleneck'),
+]
+
+SPLITTABLE_SHP_RESNET_RULES = [
+    (rf'^bottleneck_layer\.{pat[1:]}',
+     'bottleneck_layer/' + repl) for pat, repl in SHP_BOTTLENECK_RULES] + \
+    RESNET_RULES
+
+# torch ConvTranspose2d weights needing the spatial flip on conversion
+SHP_DECONV_PATHS = ('bottleneck_layer.h_s.0', 'bottleneck_layer.h_s.2')
+
 
 def convert_state_dict(state_dict: Dict[str, 'np.ndarray'],
                        rules: Iterable[Tuple[str, str]],

@@ -135,7 +135,7 @@ def randomize_for_parity(model: TorchSplittableResNet, seed=0):
     g = torch.Generator().manual_seed(seed)
     with torch.no_grad():
         for m in model.modules():
-            if isinstance(m, (nn.Conv2d, nn.Linear)):
+            if isinstance(m, (nn.Conv2d, nn.ConvTranspose2d, nn.Linear)):
                 nn.init.normal_(m.weight, 0, 0.05, generator=g)
                 if getattr(m, 'bias', None) is not None:
                     nn.init.normal_(m.bias, 0, 0.02, generator=g)
@@ -169,3 +169,97 @@ def torch_deploy_forward(model: TorchSplittableResNet, coder, medians,
         out.reshape(1, c, h, w).astype(np.float32)) + med
     feat = model.bottleneck_layer.decoder(y_hat)
     return model.forward_tail(feat).numpy(), bits
+
+
+class TorchSHPBottleneck(nn.Module):
+    """SHPBasedResNetBottleneck structure with the reference's Sequential
+    key names and geometry (`/root/reference/sc2bench/models/layer.py:592-
+    629`): g_a/g_s conv+GDN stacks, h_a over |y|, h_s deconv stack, golden
+    factorized EB for z and golden GaussianConditional for y."""
+
+    def __init__(self, bch=24, target=256, lch=16, in_ch=3):
+        super().__init__()
+        from .torch_golden import (GoldenEntropyBottleneck,
+                                   GoldenGaussianConditional)
+        g_a = [in_ch, bch * 4, bch * 2, bch]
+        g_s = [bch, target * 2, target, target]
+        self.g_a = nn.Sequential(
+            nn.Conv2d(g_a[0], g_a[1], 5, 2, 2, bias=False),
+            TorchGDN1(g_a[1]),
+            nn.Conv2d(g_a[1], g_a[2], 5, 2, 2, bias=False),
+            TorchGDN1(g_a[2]),
+            nn.Conv2d(g_a[2], g_a[3], 2, 1, 0, bias=False))
+        self.g_s = nn.Sequential(
+            nn.Conv2d(g_s[0], g_s[1], 2, 1, 1, bias=False),
+            TorchGDN1(g_s[1], inverse=True),
+            nn.Conv2d(g_s[1], g_s[2], 2, 1, 0, bias=False),
+            TorchGDN1(g_s[2], inverse=True),
+            nn.Conv2d(g_s[2], g_s[3], 2, 1, 1, bias=False))
+        self.h_a = nn.Sequential(
+            nn.Conv2d(bch, lch, 5, 2, 1, bias=False),
+            nn.ReLU(),
+            nn.Conv2d(lch, lch, 5, 2, 2, bias=False))
+        self.h_s = nn.Sequential(
+            nn.ConvTranspose2d(lch, lch, 5, 2, 1, bias=False),
+            nn.LeakyReLU(),
+            nn.ConvTranspose2d(lch, lch, 5, 2, 1, bias=False),
+            nn.LeakyReLU(),
+            nn.Conv2d(lch, bch, 5, 1, 0, bias=False))
+        self.entropy_bottleneck = GoldenEntropyBottleneck(lch)
+        self.gaussian_conditional = GoldenGaussianConditional()
+
+
+class TorchSplittableSHPResNet(nn.Module):
+    """Reference SHP student: SHP bottleneck + layer2-4 + fc (reference
+    key space, `backbone.py:190-276` + `layer.py:553-720`)."""
+
+    def __init__(self, bch=24, target=256, lch=16,
+                 stage_sizes=(3, 4, 6, 3), num_classes=1000):
+        super().__init__()
+        self.bottleneck_layer = TorchSHPBottleneck(bch, target, lch)
+        self.layer2 = _stage(target, 128, stage_sizes[1], 2)
+        self.layer3 = _stage(512, 256, stage_sizes[2], 2)
+        self.layer4 = _stage(1024, 512, stage_sizes[3], 2)
+        self.fc = nn.Linear(2048, num_classes)
+
+    def forward_tail(self, feat):
+        z = self.layer4(self.layer3(self.layer2(feat)))
+        z = z.mean(dim=(2, 3))
+        return self.fc(z)
+
+
+@torch.no_grad()
+def torch_deploy_forward_shp(model, z_coder, y_coder, ggc, z_medians,
+                             img_nchw: np.ndarray):
+    """The reference SHP eval hot loop (`layer.py:640-665`) in torch at
+    batch 1: y=g_a(x); z=h_a(|y|); z round-trips the factorized coder
+    (channel-major, like the JAX runtime's `compress_symbols`); scales =
+    h_s(z_hat) -> gaussian indexes; y round-trips the gaussian coder in
+    NHWC ravel order (the JAX runtime's `compress_y` layout). Returns
+    (logits (1, K), y bitstream bytes, z bitstream bytes)."""
+    bl = model.bottleneck_layer
+    zmed = torch.from_numpy(np.asarray(z_medians, np.float32)).view(
+        1, -1, 1, 1)
+    y = bl.g_a(torch.from_numpy(img_nchw))
+    z = bl.h_a(torch.abs(y))
+    z_sym = torch.round(z - zmed).to(torch.int32).numpy()[0]
+    cz, hz, wz = z_sym.shape
+    z_idx = np.repeat(np.arange(cz, dtype=np.int32), hz * wz)
+    z_bits = z_coder.encode_with_indexes(
+        z_sym.reshape(cz, -1).ravel(), z_idx)
+    z_dec = z_coder.decode_with_indexes(z_bits, z_idx).reshape(cz, hz, wz)
+    z_hat = torch.from_numpy(z_dec.astype(np.float32))[None] + zmed
+    scales = bl.h_s(z_hat)
+    idx = ggc.build_indexes(scales)[0]               # (cy, hy, wy)
+    y_sym = torch.round(y).to(torch.int32).numpy()[0]  # scale-only: no mean
+    cy, hy, wy = y_sym.shape
+    y_sym_hwc = np.ascontiguousarray(
+        np.transpose(y_sym, (1, 2, 0))).ravel()
+    idx_hwc = np.ascontiguousarray(
+        np.transpose(idx, (1, 2, 0))).ravel().astype(np.int32)
+    y_bits = y_coder.encode_with_indexes(y_sym_hwc, idx_hwc)
+    y_dec = y_coder.decode_with_indexes(y_bits, idx_hwc)
+    y_hat = torch.from_numpy(np.transpose(
+        y_dec.reshape(hy, wy, cy), (2, 0, 1)).astype(np.float32))[None]
+    feat = bl.g_s(y_hat)
+    return model.forward_tail(feat).numpy(), y_bits, z_bits

@@ -135,3 +135,89 @@ def test_byte_accounting_matches(pipelines):
     assert summary['mean'] == pytest.approx(float(np.mean(expected)),
                                             rel=1e-9)
     rt.deactivate_analysis()
+
+
+# ---------------------------------------------------------------------------
+# SHP (scale hyperprior) family: second full-model cross-framework pipeline
+# ---------------------------------------------------------------------------
+
+LCH = 4
+
+
+@pytest.fixture(scope='module')
+def shp_pipelines():
+    """(torch SHP model, golden coders + z medians, flax runtime with
+    converted weights) — the reference's SHP deploy path
+    (`/root/reference/sc2bench/models/layer.py:633-676`) end to end."""
+    from sc2bench_tpu.models.layer import SHPBasedResNetBottleneck
+    from sc2bench_tpu.ops.rans.coder import RansCoder
+    from sc2bench_tpu.utils.torch_convert import (SHP_DECONV_PATHS,
+                                                  SPLITTABLE_SHP_RESNET_RULES)
+    from sc2bench_tpu.utils.torch_ref_model import TorchSplittableSHPResNet
+    tm = randomize_for_parity(
+        TorchSplittableSHPResNet(bch=BCH, target=TARGET, lch=LCH,
+                                 stage_sizes=STAGES, num_classes=CLASSES),
+        seed=5)
+    z_cdf, z_len, z_off, z_med = \
+        tm.bottleneck_layer.entropy_bottleneck.update()
+    g_cdf, g_len, g_off, _st = \
+        tm.bottleneck_layer.gaussian_conditional.update()
+    z_coder = RansCoder(z_cdf, z_len, z_off)
+    y_coder = RansCoder(g_cdf, g_len, g_off)
+    golden = {'z': (z_cdf, z_len, z_off, z_med),
+              'g': (g_cdf, g_len, g_off)}
+
+    fm = SplittableResNet(
+        bottleneck_layer=SHPBasedResNetBottleneck(
+            num_bottleneck_channels=BCH, num_target_channels=TARGET,
+            num_latent_channels=LCH),
+        stage_sizes=STAGES, num_classes=CLASSES)
+    x0 = jnp.zeros((1, HW, HW, 3))
+    variables = jax.jit(lambda r, x: fm.init(r, x, mode='train'))(
+        {'params': jax.random.key(0), 'noise': jax.random.key(1)}, x0)
+    variables = {'params': variables['params'],
+                 'batch_stats': variables.get('batch_stats', {})}
+    converted = convert_state_dict(tm.state_dict(),
+                                   SPLITTABLE_SHP_RESNET_RULES,
+                                   deconv_paths=SHP_DECONV_PATHS)
+    variables = merge_into_variables(variables, converted)
+    rt = SplitClassifierRuntime(fm, variables)
+    assert rt.update()
+    return tm, (z_coder, y_coder, golden), rt
+
+
+def test_shp_tables_bit_identical(shp_pipelines):
+    """Both the factorized (z) and gaussian (y) coding tables rebuilt by
+    the runtime's update() from CONVERTED weights must equal the torch
+    oracle's bit-for-bit."""
+    _, (_, _, golden), rt = shp_pipelines
+    z_cdf, z_len, z_off, z_med = golden['z']
+    np.testing.assert_array_equal(rt.codec.tables.quantized_cdf, z_cdf)
+    np.testing.assert_array_equal(rt.codec.tables.cdf_length, z_len)
+    np.testing.assert_array_equal(rt.codec.tables.offset, z_off)
+    np.testing.assert_allclose(rt.codec.tables.medians, z_med,
+                               rtol=0, atol=1e-6)
+    g_cdf, g_len, g_off = golden['g']
+    np.testing.assert_array_equal(rt.codec.g_tables.quantized_cdf, g_cdf)
+    np.testing.assert_array_equal(rt.codec.g_tables.cdf_length, g_len)
+    np.testing.assert_array_equal(rt.codec.g_tables.offset, g_off)
+
+
+def test_shp_bitstreams_and_logits_match(shp_pipelines):
+    """Per-image: byte-identical y AND z bitstreams, logits within float
+    tolerance, identical prediction — through g_a → h_a → z roundtrip →
+    h_s → gaussian indexes → y roundtrip → g_s → tail in both stacks."""
+    from sc2bench_tpu.utils.torch_ref_model import torch_deploy_forward_shp
+    tm, (z_coder, y_coder, golden), rt = shp_pipelines
+    rt.eval()
+    z_med = golden['z'][3]
+    for img in _images(3):
+        t_logits, t_y_bits, t_z_bits = torch_deploy_forward_shp(
+            tm, z_coder, y_coder, tm.bottleneck_layer.gaussian_conditional,
+            z_med, np.transpose(img, (0, 3, 1, 2)).copy())
+        compressed = rt.encode(jnp.asarray(img))
+        assert compressed['strings'][0][0] == t_y_bits, 'y stream mismatch'
+        assert compressed['strings'][1][0] == t_z_bits, 'z stream mismatch'
+        f_logits = np.asarray(rt.decode(**compressed))
+        np.testing.assert_allclose(f_logits, t_logits, rtol=2e-3, atol=2e-3)
+        assert int(np.argmax(f_logits)) == int(np.argmax(t_logits))
