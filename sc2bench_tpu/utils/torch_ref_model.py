@@ -228,9 +228,46 @@ class TorchSplittableSHPResNet(nn.Module):
         return self.fc(z)
 
 
+class TorchMSHPBottleneck(TorchSHPBottleneck):
+    """MSHPBasedResNetBottleneck structure (reference `layer.py:745-767`):
+    h_a sees y directly with LeakyReLU; h_s emits 2x bottleneck channels
+    chunked into scales/means along the channel dim."""
+
+    def __init__(self, bch=24, target=256, lch=16, in_ch=3):
+        super().__init__(bch, target, lch, in_ch)
+        self.h_a = nn.Sequential(
+            nn.Conv2d(bch, lch, 5, 2, 1, bias=False),
+            nn.LeakyReLU(),
+            nn.Conv2d(lch, lch, 5, 2, 2, bias=False))
+        self.h_s = nn.Sequential(
+            nn.ConvTranspose2d(lch, lch, 5, 2, 1, bias=False),
+            nn.LeakyReLU(),
+            nn.ConvTranspose2d(lch, lch * 3 // 2, 5, 2, 1, bias=False),
+            nn.LeakyReLU(),
+            nn.Conv2d(lch * 3 // 2, bch * 2, 5, 1, 0, bias=False))
+
+
+class TorchSplittableMSHPResNet(nn.Module):
+    """Reference MSHP student: MSHP bottleneck + layer2-4 + fc."""
+
+    def __init__(self, bch=24, target=256, lch=16,
+                 stage_sizes=(3, 4, 6, 3), num_classes=1000):
+        super().__init__()
+        self.bottleneck_layer = TorchMSHPBottleneck(bch, target, lch)
+        self.layer2 = _stage(target, 128, stage_sizes[1], 2)
+        self.layer3 = _stage(512, 256, stage_sizes[2], 2)
+        self.layer4 = _stage(1024, 512, stage_sizes[3], 2)
+        self.fc = nn.Linear(2048, num_classes)
+
+    def forward_tail(self, feat):
+        z = self.layer4(self.layer3(self.layer2(feat)))
+        z = z.mean(dim=(2, 3))
+        return self.fc(z)
+
+
 @torch.no_grad()
 def torch_deploy_forward_shp(model, z_coder, y_coder, ggc, z_medians,
-                             img_nchw: np.ndarray):
+                             img_nchw: np.ndarray, mean_scale=False):
     """The reference SHP eval hot loop (`layer.py:640-665`) in torch at
     batch 1: y=g_a(x); z=h_a(|y|); z round-trips the factorized coder
     (channel-major, like the JAX runtime's `compress_symbols`); scales =
@@ -241,7 +278,7 @@ def torch_deploy_forward_shp(model, z_coder, y_coder, ggc, z_medians,
     zmed = torch.from_numpy(np.asarray(z_medians, np.float32)).view(
         1, -1, 1, 1)
     y = bl.g_a(torch.from_numpy(img_nchw))
-    z = bl.h_a(torch.abs(y))
+    z = bl.h_a(y if mean_scale else torch.abs(y))
     z_sym = torch.round(z - zmed).to(torch.int32).numpy()[0]
     cz, hz, wz = z_sym.shape
     z_idx = np.repeat(np.arange(cz, dtype=np.int32), hz * wz)
@@ -249,9 +286,13 @@ def torch_deploy_forward_shp(model, z_coder, y_coder, ggc, z_medians,
         z_sym.reshape(cz, -1).ravel(), z_idx)
     z_dec = z_coder.decode_with_indexes(z_bits, z_idx).reshape(cz, hz, wz)
     z_hat = torch.from_numpy(z_dec.astype(np.float32))[None] + zmed
-    scales = bl.h_s(z_hat)
+    params = bl.h_s(z_hat)
+    if mean_scale:
+        scales, means = params.chunk(2, 1)          # channel split (NCHW)
+    else:
+        scales, means = params, None
     idx = ggc.build_indexes(scales)[0]               # (cy, hy, wy)
-    y_sym = torch.round(y).to(torch.int32).numpy()[0]  # scale-only: no mean
+    y_sym = torch.round(y - means if means is not None else y)         .to(torch.int32).numpy()[0]
     cy, hy, wy = y_sym.shape
     y_sym_hwc = np.ascontiguousarray(
         np.transpose(y_sym, (1, 2, 0))).ravel()
@@ -261,5 +302,7 @@ def torch_deploy_forward_shp(model, z_coder, y_coder, ggc, z_medians,
     y_dec = y_coder.decode_with_indexes(y_bits, idx_hwc)
     y_hat = torch.from_numpy(np.transpose(
         y_dec.reshape(hy, wy, cy), (2, 0, 1)).astype(np.float32))[None]
+    if means is not None:
+        y_hat = y_hat + means
     feat = bl.g_s(y_hat)
     return model.forward_tail(feat).numpy(), y_bits, z_bits

@@ -221,3 +221,62 @@ def test_shp_bitstreams_and_logits_match(shp_pipelines):
         f_logits = np.asarray(rt.decode(**compressed))
         np.testing.assert_allclose(f_logits, t_logits, rtol=2e-3, atol=2e-3)
         assert int(np.argmax(f_logits)) == int(np.argmax(t_logits))
+
+
+@pytest.fixture(scope='module')
+def mshp_pipelines():
+    """Third family: mean-scale hyperprior (h_a over y, h_s -> scales+
+    means chunked along channels; y symbols = round(y - means))."""
+    from sc2bench_tpu.models.layer import MSHPBasedResNetBottleneck
+    from sc2bench_tpu.ops.rans.coder import RansCoder
+    from sc2bench_tpu.utils.torch_convert import (SHP_DECONV_PATHS,
+                                                  SPLITTABLE_SHP_RESNET_RULES)
+    from sc2bench_tpu.utils.torch_ref_model import TorchSplittableMSHPResNet
+    tm = randomize_for_parity(
+        TorchSplittableMSHPResNet(bch=BCH, target=TARGET, lch=LCH,
+                                  stage_sizes=STAGES, num_classes=CLASSES),
+        seed=7)
+    z_cdf, z_len, z_off, z_med = \
+        tm.bottleneck_layer.entropy_bottleneck.update()
+    g_cdf, g_len, g_off, _st = \
+        tm.bottleneck_layer.gaussian_conditional.update()
+    z_coder = RansCoder(z_cdf, z_len, z_off)
+    y_coder = RansCoder(g_cdf, g_len, g_off)
+
+    fm = SplittableResNet(
+        bottleneck_layer=MSHPBasedResNetBottleneck(
+            num_bottleneck_channels=BCH, num_target_channels=TARGET,
+            num_latent_channels=LCH),
+        stage_sizes=STAGES, num_classes=CLASSES)
+    x0 = jnp.zeros((1, HW, HW, 3))
+    variables = jax.jit(lambda r, x: fm.init(r, x, mode='train'))(
+        {'params': jax.random.key(0), 'noise': jax.random.key(1)}, x0)
+    variables = {'params': variables['params'],
+                 'batch_stats': variables.get('batch_stats', {})}
+    converted = convert_state_dict(tm.state_dict(),
+                                   SPLITTABLE_SHP_RESNET_RULES,
+                                   deconv_paths=SHP_DECONV_PATHS)
+    variables = merge_into_variables(variables, converted)
+    rt = SplitClassifierRuntime(fm, variables)
+    assert rt.update()
+    return tm, (z_coder, y_coder, z_med), rt
+
+
+def test_mshp_bitstreams_and_logits_match(mshp_pipelines):
+    """MSHP per-image parity: byte-identical y AND z streams and matching
+    logits — the mean path (chunked h_s output, round(y - means),
+    + means on decode) must agree across frameworks."""
+    from sc2bench_tpu.utils.torch_ref_model import torch_deploy_forward_shp
+    tm, (z_coder, y_coder, z_med), rt = mshp_pipelines
+    rt.eval()
+    for img in _images(3):
+        t_logits, t_y_bits, t_z_bits = torch_deploy_forward_shp(
+            tm, z_coder, y_coder, tm.bottleneck_layer.gaussian_conditional,
+            z_med, np.transpose(img, (0, 3, 1, 2)).copy(),
+            mean_scale=True)
+        compressed = rt.encode(jnp.asarray(img))
+        assert compressed['strings'][0][0] == t_y_bits, 'y stream mismatch'
+        assert compressed['strings'][1][0] == t_z_bits, 'z stream mismatch'
+        f_logits = np.asarray(rt.decode(**compressed))
+        np.testing.assert_allclose(f_logits, t_logits, rtol=2e-3, atol=2e-3)
+        assert int(np.argmax(f_logits)) == int(np.argmax(t_logits))
