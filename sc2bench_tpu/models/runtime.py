@@ -941,7 +941,18 @@ class SplitClassifierRuntime(AnalyzerHolder):
         import time as _time
         n = len(images)
         hyper = isinstance(self.codec, HyperpriorCodec)
-        groups = [(j, min(j + k, n)) for j in range(0, n, k)]
+        # only consecutive SAME-SHAPE images can share a stacked dispatch
+        # (a mixed-resolution stream would fail inside jnp.stack); a shape
+        # change closes the group, exactly like the det/seg mixin
+        groups = []
+        i = 0
+        while i < n:
+            j = i + 1
+            while j < n and j - i < k \
+                    and images[j].shape == images[i].shape:
+                j += 1
+            groups.append((i, j))
+            i = j
 
         def dispatch(g):
             j0, j1 = groups[g]

@@ -35,6 +35,8 @@ independently of XLA.
 """
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 
 import jax
@@ -65,6 +67,7 @@ def auto_lanes(n_symbols: int, target_steps: int = 256, lo: int = 16,
 
 
 _PALLAS_PROBE_OK: bool | None = None
+_PALLAS_PROBE_LOCK = threading.Lock()
 
 
 def _probe_pallas_kernels() -> bool:
@@ -79,73 +82,91 @@ def _probe_pallas_kernels() -> bool:
     global _PALLAS_PROBE_OK
     if _PALLAS_PROBE_OK is not None:
         return _PALLAS_PROBE_OK
+    with _PALLAS_PROBE_LOCK:
+        if _PALLAS_PROBE_OK is not None:  # lost the race: reuse verdict
+            return _PALLAS_PROBE_OK
+        _PALLAS_PROBE_OK = _run_pallas_probe()
+    return _PALLAS_PROBE_OK
+
+
+def _run_pallas_probe() -> bool:
     try:
-        C, k, cols, steps = 8, 8, 12, 24
-        rng = np.random.default_rng(0)
-        cdf = np.zeros((C, cols), np.int32)
-        cdf_len = np.full((C,), k + 2, np.int32)
-        off = np.arange(C, dtype=np.int32) - 4
-        for c in range(C):
-            freqs = np.maximum(
-                (rng.uniform(0.05, 1.0, k + 1) * (1 << 16)).astype(np.int64)
-                >> 4, 1)
-            freqs[-1] += (1 << 16) - freqs.sum()
-            cdf[c, 1:k + 2] = np.cumsum(freqs)
-        ok = True
-        # 128 = the pure kernel layout; 96 = the inert-lane-padded
-        # lowering that non-multiple-of-128 deploy shapes take
-        for lanes in (128, 96):
-            n = lanes * steps
-            idx = np.tile(np.arange(C, dtype=np.int32), n // C)
-            sym = (rng.integers(0, k, n).astype(np.int32) + off[idx])
-            ref = jax.device_get(device_rans_encode(
-                sym, idx, cdf, cdf_len, off, num_lanes=lanes,
-                cyclic_channels=C, backend='xla'))
-            got = jax.device_get(device_rans_encode(
-                sym, idx, cdf, cdf_len, off, num_lanes=lanes,
-                cyclic_channels=C, backend='pallas'))
-            ok = ok and bool(ref['ok']) and all(
-                np.array_equal(ref[f], got[f])
-                for f in ('streams', 'lengths', 'states'))
-            dec, valid = device_rans_decode(
-                ref['streams'], ref['states'], idx, cdf, cdf_len, off,
-                n_symbols=n, num_lanes=lanes, cyclic_channels=C,
-                backend='pallas')
-            ok = ok and bool(valid) \
-                and np.array_equal(jax.device_get(dec), sym)
-            # wire_batch runs BOTH kernels UNDER vmap (batched Mosaic
-            # grid — a different lowering); probe that path too
-            gotb = jax.device_get(jax.vmap(
-                lambda s: device_rans_encode(
-                    s, idx, cdf, cdf_len, off, num_lanes=lanes,
-                    cyclic_channels=C, backend='pallas'))(
-                jnp.stack([jnp.asarray(sym)] * 2)))
-            ok = ok and all(
-                np.array_equal(np.stack([ref[f]] * 2), gotb[f])
-                for f in ('streams', 'lengths', 'states'))
-            decb, validb = jax.vmap(
-                lambda st, xs: device_rans_decode(
-                    st, xs, idx, cdf, cdf_len, off, n_symbols=n,
-                    num_lanes=lanes, cyclic_channels=C,
-                    backend='pallas'))(
-                jnp.stack([jnp.asarray(ref['streams'])] * 2),
-                jnp.stack([jnp.asarray(ref['states'])] * 2))
-            ok = ok and bool(jax.device_get(validb).all()) \
-                and np.array_equal(jax.device_get(decb),
-                                   np.stack([sym] * 2))
+        # The gate fires at jit-TRACE time (inside the user's enc/dec
+        # program trace); without this, omnistaging would stage the
+        # probe's internals into that trace and device_get would raise —
+        # poisoning the verdict to False forever.
+        with jax.ensure_compile_time_eval():
+            return _run_pallas_probe_body()
     except Exception as e:  # noqa: BLE001 — any failure means fall back
-        ok = False
-        reason = repr(e)
-    else:
-        reason = 'kernel output mismatched the XLA scan'
+        _warn_probe_failed(repr(e))
+        return False
+
+
+def _warn_probe_failed(reason: str) -> None:
+    import logging
+    logging.getLogger(__name__).warning(
+        'Pallas rANS kernel self-check failed on backend %r (%s); '
+        'falling back to the XLA scan codec (correct, slower). '
+        'Set SC2_RANS_BACKEND=pallas to force the kernel.',
+        jax.default_backend(), reason)
+
+
+def _run_pallas_probe_body() -> bool:
+    C, k, cols, steps = 8, 8, 12, 24
+    rng = np.random.default_rng(0)
+    cdf = np.zeros((C, cols), np.int32)
+    cdf_len = np.full((C,), k + 2, np.int32)
+    off = np.arange(C, dtype=np.int32) - 4
+    for c in range(C):
+        freqs = np.maximum(
+            (rng.uniform(0.05, 1.0, k + 1) * (1 << 16)).astype(np.int64)
+            >> 4, 1)
+        freqs[-1] += (1 << 16) - freqs.sum()
+        cdf[c, 1:k + 2] = np.cumsum(freqs)
+    ok = True
+    # 128 = the pure kernel layout; 96 = the inert-lane-padded
+    # lowering that non-multiple-of-128 deploy shapes take
+    for lanes in (128, 96):
+        n = lanes * steps
+        idx = np.tile(np.arange(C, dtype=np.int32), n // C)
+        sym = (rng.integers(0, k, n).astype(np.int32) + off[idx])
+        ref = jax.device_get(device_rans_encode(
+            sym, idx, cdf, cdf_len, off, num_lanes=lanes,
+            cyclic_channels=C, backend='xla'))
+        got = jax.device_get(device_rans_encode(
+            sym, idx, cdf, cdf_len, off, num_lanes=lanes,
+            cyclic_channels=C, backend='pallas'))
+        ok = ok and bool(ref['ok']) and all(
+            np.array_equal(ref[f], got[f])
+            for f in ('streams', 'lengths', 'states'))
+        dec, valid = device_rans_decode(
+            ref['streams'], ref['states'], idx, cdf, cdf_len, off,
+            n_symbols=n, num_lanes=lanes, cyclic_channels=C,
+            backend='pallas')
+        ok = ok and bool(valid) \
+            and np.array_equal(jax.device_get(dec), sym)
+        # wire_batch runs BOTH kernels UNDER vmap (batched Mosaic
+        # grid — a different lowering); probe that path too
+        gotb = jax.device_get(jax.vmap(
+            lambda s: device_rans_encode(
+                s, idx, cdf, cdf_len, off, num_lanes=lanes,
+                cyclic_channels=C, backend='pallas'))(
+            jnp.stack([jnp.asarray(sym)] * 2)))
+        ok = ok and all(
+            np.array_equal(np.stack([ref[f]] * 2), gotb[f])
+            for f in ('streams', 'lengths', 'states'))
+        decb, validb = jax.vmap(
+            lambda st, xs: device_rans_decode(
+                st, xs, idx, cdf, cdf_len, off, n_symbols=n,
+                num_lanes=lanes, cyclic_channels=C,
+                backend='pallas'))(
+            jnp.stack([jnp.asarray(ref['streams'])] * 2),
+            jnp.stack([jnp.asarray(ref['states'])] * 2))
+        ok = ok and bool(jax.device_get(validb).all()) \
+            and np.array_equal(jax.device_get(decb),
+                               np.stack([sym] * 2))
     if not ok:
-        import logging
-        logging.getLogger(__name__).warning(
-            'Pallas rANS kernel self-check failed on backend %r (%s); '
-            'falling back to the XLA scan codec (correct, slower). '
-            'Set SC2_RANS_BACKEND=pallas to force the kernel.',
-            jax.default_backend(), reason)
-    _PALLAS_PROBE_OK = ok
+        _warn_probe_failed('kernel output mismatched the XLA scan')
     return ok
 
 

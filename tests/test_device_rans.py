@@ -892,3 +892,51 @@ def test_env_backend_pallas_interpret_works_on_cpu(monkeypatch):
         backend='auto')
     assert bool(valid)
     np.testing.assert_array_equal(np.asarray(dec), sym)
+
+
+def test_probe_inside_jit_trace_is_not_poisoned(caplog):
+    """The auto gate fires at jit-TRACE time; the probe must evaluate
+    eagerly there (jax.ensure_compile_time_eval) — before this guard,
+    omnistaging staged the probe's internals into the enclosing trace,
+    device_get raised a Tracer error, and the broad except permanently
+    poisoned the verdict to False."""
+    import logging
+    from sc2bench_tpu.ops.rans import device as dev_mod
+    old = dev_mod._PALLAS_PROBE_OK
+    try:
+        dev_mod._PALLAS_PROBE_OK = None
+        with caplog.at_level(logging.WARNING):
+            @jax.jit
+            def f(x):
+                return x + int(dev_mod._probe_pallas_kernels())
+            jax.block_until_ready(f(jnp.ones(2)))
+        # on CPU the probe legitimately fails at the compiled-kernel call;
+        # what must NOT happen is a Tracer error from the XLA reference
+        # computations (that would mean the probe ran staged, not eagerly)
+        assert 'Tracer' not in caplog.text
+        assert isinstance(dev_mod._PALLAS_PROBE_OK, bool)
+    finally:
+        dev_mod._PALLAS_PROBE_OK = old
+
+
+@pytest.mark.slow
+def test_cls_wire_batch_mixed_shapes_group_break():
+    """Classification `wire_batch=k` must close a group on an image-shape
+    change (mixed-resolution serving stream) instead of crashing in
+    jnp.stack, with per-image accounting equal to the per-image wire."""
+    rt = _tiny_cls_runtime()
+    imgs = [jax.random.normal(jax.random.key(0), (1, 64, 64, 3)) * 0.25,
+            jax.random.normal(jax.random.key(1), (1, 64, 64, 3)) * 0.25,
+            jax.random.normal(jax.random.key(2), (1, 64, 96, 3)) * 0.25]
+    host_logits = [np.asarray(rt(x)) for x in imgs]
+    rt.activate_analysis()
+    rt.stream_deploy_device(imgs, depth=2, workers=2, num_lanes=64)
+    sizes_per_image = list(rt.analyzers[0].file_size_list)
+    rt.analyzers[0].clear()
+    batched = rt.stream_deploy_device(imgs, depth=2, workers=2,
+                                      num_lanes=64, wire_batch=2)
+    sizes_batched = list(rt.analyzers[0].file_size_list)
+    rt.deactivate_analysis()
+    assert sizes_batched == sizes_per_image
+    for h, d in zip(host_logits, batched):
+        np.testing.assert_allclose(h, np.asarray(d), rtol=2e-5, atol=2e-5)
