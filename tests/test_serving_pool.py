@@ -48,3 +48,31 @@ def test_pool_matches_single_chip(model_and_vars, wire):
     summary = pool.summarize()
     assert summary['num_samples'] == len(imgs)
     assert summary['mean'] > 0
+
+
+def test_pool_device_wire_batch_matches_single_chip(model_and_vars):
+    """`wire_batch=k` through the pool: per-replica grouped dispatches,
+    per-image outputs and pooled accounting identical to single-chip
+    serving; requesting it on the host wire is rejected."""
+    model, variables = model_and_vars
+    single = SplitClassifierRuntime(model, variables)
+    single.update()
+    single.eval()
+    imgs = [jax.random.normal(jax.random.key(i), (1, 64, 64, 3)) * 0.25
+            for i in range(6)]
+    expected = [np.asarray(single(x)) for x in imgs]
+
+    pool = ServingPool(
+        lambda v: SplitClassifierRuntime(model, v), variables,
+        devices=jax.local_devices()[:2], wire='device')
+    pool.activate_analysis()
+    got = pool.stream(imgs, depth=2, workers=2, wire_batch=2)
+    for e, g in zip(expected, got):
+        np.testing.assert_allclose(e, np.asarray(g), rtol=2e-5, atol=2e-5)
+    assert pool.summarize()['num_samples'] == len(imgs)
+
+    host_pool = ServingPool(
+        lambda v: SplitClassifierRuntime(model, v), variables,
+        devices=jax.local_devices()[:1], wire='host')
+    with pytest.raises(ValueError):
+        host_pool.stream(imgs, wire_batch=2)
