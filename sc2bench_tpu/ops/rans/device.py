@@ -92,11 +92,16 @@ def _probe_pallas_kernels() -> bool:
 def _run_pallas_probe() -> bool:
     try:
         # The gate fires at jit-TRACE time (inside the user's enc/dec
-        # program trace); without this, omnistaging would stage the
-        # probe's internals into that trace and device_get would raise —
-        # poisoning the verdict to False forever.
-        with jax.ensure_compile_time_eval():
-            return _run_pallas_probe_body()
+        # program trace). JAX trace contexts are thread-local, so running
+        # the probe on a worker thread gives it a clean eval context —
+        # its jits execute eagerly instead of staging into the caller's
+        # trace (where device_get would raise and poison the verdict).
+        # NOT ensure_compile_time_eval: under that, zero-operand ops
+        # (iota/full/zeros) inside the KERNEL trace also evaluate eagerly
+        # and surface as Mosaic 'captures constants' lowering errors.
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(1) as pool:
+            return pool.submit(_run_pallas_probe_body).result()
     except Exception as e:  # noqa: BLE001 — any failure means fall back
         _warn_probe_failed(repr(e))
         return False
@@ -181,9 +186,16 @@ def _resolve_backend(backend: str) -> str:
 
 
 def _use_pallas(backend: str, cols: int, lanes: int, lmax: int,
-                steps: int, mode: str = 'decode') -> bool:
+                steps: int, mode: str = 'decode',
+                cyc: int = 0) -> bool:
     """Trace-time backend gate for the cyclic encode/decode fast paths.
-    `backend` must already be resolved via `_resolve_backend`."""
+    `backend` must already be resolved via `_resolve_backend`. Under
+    'auto' the verdict is a per-shape AUTOTUNE: after the one-time
+    bit-exactness probe, both backends are timed at this exact
+    (cols, lanes, lmax, steps) on device and the faster one is cached —
+    the kernel wins big on VMEM-bound decode shapes but can lose to the
+    XLA scan on small-lane encodes, so a static heuristic would leave
+    throughput on the table in one direction or the other."""
     if backend in ('pallas', 'pallas-interpret'):
         return True
     if backend != 'auto':
@@ -197,7 +209,107 @@ def _use_pallas(backend: str, cols: int, lanes: int, lmax: int,
     else:
         applies = pick_lane_block(int(cols), int(lanes), int(lmax),
                                   int(steps)) is not None
-    return applies and _probe_pallas_kernels()
+    return (applies and _probe_pallas_kernels()
+            and _autotune_pallas(mode, int(cols), int(lanes), int(lmax),
+                                 int(steps), int(cyc)))
+
+
+_PALLAS_TUNE_CHOICE: dict = {}
+
+
+def _autotune_pallas(mode: str, cols: int, lanes: int, lmax: int,
+                     steps: int, cyc: int) -> bool:
+    """Measured per-shape backend choice, cached for the process. Runs on
+    a worker thread (clean trace context — see `_run_pallas_probe`); any
+    failure falls back to the XLA scan for that shape."""
+    key = (mode, cols, lanes, lmax, steps, cyc)
+    hit = _PALLAS_TUNE_CHOICE.get(key)
+    if hit is not None:
+        return hit
+    with _PALLAS_PROBE_LOCK:
+        hit = _PALLAS_TUNE_CHOICE.get(key)
+        if hit is not None:
+            return hit
+        from concurrent.futures import ThreadPoolExecutor
+        try:
+            with ThreadPoolExecutor(1) as pool:
+                t_xla, t_pal = pool.submit(
+                    _time_pallas_vs_xla, mode, cols, lanes, lmax, steps,
+                    cyc).result()
+            # scan wins ties: it has no Mosaic-toolchain risk surface
+            choice = t_pal < 0.95 * t_xla
+            import logging
+            logging.getLogger(__name__).info(
+                'rANS autotune %s cols=%d lanes=%d lmax=%d steps=%d: '
+                'xla %.3f ms, pallas %.3f ms -> %s', mode, cols, lanes,
+                lmax, steps, t_xla * 1e3, t_pal * 1e3,
+                'pallas' if choice else 'xla')
+        except Exception as e:  # noqa: BLE001 — timing failure => scan
+            _warn_probe_failed(f'autotune {mode} {key}: {e!r}')
+            choice = False
+        _PALLAS_TUNE_CHOICE[key] = choice
+    return choice
+
+
+def _time_pallas_vs_xla(mode, cols, lanes, lmax, steps, cyc):
+    """Median per-call seconds of (xla, pallas) at a synthetic case of the
+    given shape. Uses dispatch-pipelined timing (one final block) so the
+    remote-tunnel per-call latency doesn't swamp the device time."""
+    import time
+    C = max(cyc, 1)
+    support = max(cols - 3, 2)
+    rng = np.random.default_rng(0)
+    cdf = np.zeros((C, cols), np.int32)
+    cdf_len = np.full((C,), support + 2, np.int32)
+    off = np.zeros((C,), np.int32)
+    for c in range(C):
+        w = rng.uniform(0.05, 1.0, support + 1)
+        freqs = np.maximum((w / w.sum() * (1 << 16)).astype(np.int64), 1)
+        freqs[-1] += (1 << 16) - freqs.sum()
+        cdf[c, 1:support + 2] = np.cumsum(freqs)
+    n = lanes * steps
+    idx = (np.arange(n, dtype=np.int32) % lanes) % C
+    sym = rng.integers(0, support, n).astype(np.int32)
+
+    if mode == 'encode':
+        def run(backend):
+            fn = jax.jit(lambda s: device_rans_encode(
+                s, idx, cdf, cdf_len, off, num_lanes=lanes,
+                cyclic_channels=C, backend=backend)['states'])
+            return fn, (jnp.asarray(sym),)
+    else:
+        enc = device_rans_encode(sym, idx, cdf, cdf_len, off,
+                                 num_lanes=lanes, cyclic_channels=C,
+                                 backend='xla')
+        streams = np.zeros((lanes, lmax), np.uint16)
+        src = np.asarray(jax.device_get(enc['streams']))
+        w = min(lmax, src.shape[1])
+        streams[:, :w] = src[:, :w]
+        states = np.asarray(jax.device_get(enc['states']))
+
+        def run(backend):
+            fn = jax.jit(lambda st, xs: device_rans_decode(
+                st, xs, idx, cdf, cdf_len, off, n_symbols=n,
+                num_lanes=lanes, cyclic_channels=C, backend=backend)[0])
+            return fn, (jnp.asarray(streams), jnp.asarray(states))
+
+    # Compile/warm both first, then INTERLEAVE trials: the remote-tunnel
+    # load drifts minute to minute, and timing one backend fully before
+    # the other would let that drift decide the verdict.
+    fns = []
+    for backend in ('xla', 'pallas'):
+        fn, args = run(backend)
+        jax.block_until_ready(fn(*args))          # compile + warm
+        fns.append((fn, args))
+    reps, trials = 8, ([], [])
+    for _ in range(5):
+        for i, (fn, args) in enumerate(fns):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                r = fn(*args)
+            jax.block_until_ready(r)
+            trials[i].append((time.perf_counter() - t0) / reps)
+    return (float(np.median(trials[0])), float(np.median(trials[1])))
 
 
 def _blocks(symbols, indexes, num_lanes):
@@ -268,7 +380,7 @@ def device_rans_encode(symbols, indexes, quantized_cdf, cdf_length, offset,
     ok = jnp.all((v >= 0) & (v < maxv))
     vc = jnp.clip(v, 0, maxv - 1)
     if cyc and _use_pallas(backend, cdf.shape[1], lanes, 0, steps,
-                           mode='encode'):
+                           mode='encode', cyc=cyc):
         from .pallas_kernel import pallas_cyclic_encode_scan
         chunks, masks, x_final = pallas_cyclic_encode_scan(
             cdf_lane, vc, steps,
@@ -343,8 +455,9 @@ def device_rans_decode(streams, states, indexes, quantized_cdf, cdf_length,
     general path on TPU).
 
     `backend`: 'auto' (VMEM-resident Pallas kernel on TPU when the
-    cyclic layout applies and the working set fits — ~10x the XLA scan;
-    else the XLA scan), 'xla', 'pallas' (force compiled kernel),
+    cyclic layout applies, the working set fits, and a per-shape timing
+    autotune measures it faster — else the XLA scan), 'xla', 'pallas'
+    (force compiled kernel),
     'pallas-interpret' (kernel in interpret mode, for CPU tests). The
     SC2_RANS_BACKEND env var overrides 'auto'."""
     backend = _resolve_backend(backend)
@@ -358,7 +471,8 @@ def device_rans_decode(streams, states, indexes, quantized_cdf, cdf_length,
     if cyc and lanes % cyc != 0:
         cyc = 0
     if cyc and _use_pallas(backend, cdf.shape[1], lanes,
-                           jnp.asarray(streams).shape[-1], steps):
+                           jnp.asarray(streams).shape[-1], steps,
+                           cyc=cyc):
         from .pallas_kernel import pallas_cyclic_decode
         return pallas_cyclic_decode(
             streams, states, cdf, cdf_len, off, n_symbols, lanes, cyc,

@@ -6,8 +6,10 @@ plus a one-hot stream-chunk read. XLA lowers each step to several
 full-size HBM-roundtrip ops; this kernel keeps the CDF table, the
 renorm streams, the lane states and the output block resident in VMEM
 for the whole scan, so each step is pure VPU work on registers/VMEM.
-Measured on v5e it is ~10x the XLA scan at FP-bottleneck deploy shapes
-(see docs/performance.md).
+Measured on v5e: encode 1.30x / decode 1.77x the XLA scan at the
+flagship 55x55x24 deploy shape (see docs/performance.md); the `auto`
+gate autotunes per shape so the kernel is only used where it measures
+faster.
 
 Gather-free by construction (Mosaic's `dynamic_gather` only supports a
 single (8, 128) tile on this toolchain — mapped empirically):
@@ -98,6 +100,26 @@ def vmem_bytes_estimate(cols: int, lanes: int, lmax: int,
     return 4 * lanes * (2 * cols_p + lmax_p + steps_p)
 
 
+# XLA:TPU places a Mosaic custom call's full operand/result arrays in
+# scoped VMEM (observed on this toolchain: 'Scoped allocation ... exceeded
+# scoped vmem limit' at 16M for a 3072-lane encode). Refuse the kernel
+# when the call's total array bytes approach that stack limit — the XLA
+# scan handles those shapes (and is competitive there anyway).
+_SCOPED_VMEM_CALL_LIMIT = 14 << 20
+
+
+def _full_call_bytes_encode(cols: int, lanes: int, steps: int) -> int:
+    lanes_p = _round_up(lanes, 128)
+    return 4 * lanes_p * (_round_up(cols, 8) + 3 * _round_up(steps, 8) + 1)
+
+
+def _full_call_bytes_decode(cols: int, lanes: int, lmax: int,
+                            steps: int) -> int:
+    lanes_p = _round_up(lanes, 128)
+    return 4 * lanes_p * (_round_up(cols, 8) + _round_up(max(lmax, 8), 8)
+                          + _round_up(steps, 8) + 2)
+
+
 def _lane_blocks(lanes: int):
     """Candidate lane blocks for the PADDED lane count (a multiple of
     128), largest first: 128*d for every divisor d of lanes_p/128. The
@@ -113,6 +135,9 @@ def pick_lane_block(cols: int, lanes: int, lmax: int, steps: int,
     count) whose working set fits a v5e core's VMEM; None if the kernel
     doesn't apply. Lanes decode independently, so blocking the lane dim
     over a grid is exact."""
+    if _full_call_bytes_decode(cols, lanes, lmax,
+                               steps) > _SCOPED_VMEM_CALL_LIMIT:
+        return None
     for b in _lane_blocks(lanes):
         if vmem_bytes_estimate(cols, b, lmax, steps) <= vmem_limit:
             return b
@@ -188,9 +213,14 @@ def _encode_kernel(cdf_ref, vc_ref, chunks_ref, masks_ref, xend_ref,
         renorm = x >= (fr << 16)
         chunk = (x & 0xFFFF).astype(jnp.int32)
         x = jnp.where(renorm, x >> 16, x)
-        # exact x // fr via f32 (q < 2^16 fits the mantissa) + correction
-        q = (x.astype(jnp.float32) / fr.astype(jnp.float32)) \
-            .astype(jnp.uint32)
+        # exact x // fr via f32 (q < 2^16 fits the mantissa) + correction.
+        # Mosaic on this toolchain can't cast u32->f32 directly; split x
+        # into 16-bit halves (each exact in f32 via i32) and recombine —
+        # the recombined f32 has the same 2^-24 relative error as a
+        # direct u32->f32 cast, which the +-2 correction below absorbs.
+        as_f32 = lambda u: u.astype(jnp.int32).astype(jnp.float32)  # noqa: E731
+        xf = as_f32(x >> 16) * 65536.0 + as_f32(x & 0xFFFF)
+        q = (xf / as_f32(fr)).astype(jnp.int32).astype(jnp.uint32)
         r = x - q * fr
         too_big = r >= fr
         q = jnp.where(too_big, q - 1, q)
@@ -217,6 +247,9 @@ def _encode_kernel(cdf_ref, vc_ref, chunks_ref, masks_ref, xend_ref,
 def pick_lane_block_encode(cols: int, lanes: int, steps: int,
                            vmem_limit: int = 10 << 20) -> int | None:
     """Encode working set: cdf + vc + chunks + masks (+ mask temps)."""
+    if _full_call_bytes_encode(cols, lanes,
+                               steps) > _SCOPED_VMEM_CALL_LIMIT:
+        return None
     cols_p = _round_up(cols, 8)
     steps_p = _round_up(steps, 8)
     per_lane = 4 * (2 * cols_p + 3 * steps_p)

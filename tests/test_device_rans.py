@@ -555,8 +555,14 @@ def test_pallas_decode_lane_blocked_grid():
     assert np.all(np.asarray(xend) == (1 << 16))
     # gate sanity: applicable shapes return a 128-multiple divisor
     assert pick_lane_block(256, 384, 200, 196) == 384
-    b = pick_lane_block(256, 3072, 540, 525)
-    assert b is not None and b % 128 == 0 and 3072 % b == 0
+    b = pick_lane_block(64, 1536, 540, 525)
+    assert b is not None and b % 128 == 0 and 1536 % b == 0
+    # shapes whose FULL operand/result bytes would overflow XLA's 16M
+    # scoped-VMEM stack for the custom call (observed OOM on v5e at the
+    # 3072-lane detection latent) are refused -> XLA scan fallback
+    assert pick_lane_block(256, 3072, 540, 525) is None
+    from sc2bench_tpu.ops.rans.pallas_kernel import pick_lane_block_encode
+    assert pick_lane_block_encode(59, 3072, 525) is None
 
 
 @pytest.mark.slow
