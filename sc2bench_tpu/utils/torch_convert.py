@@ -128,6 +128,30 @@ SPLITTABLE_SHP_RESNET_RULES = [
 # torch ConvTranspose2d weights needing the spatial flip on conversion
 SHP_DECONV_PATHS = ('bottleneck_layer.h_s.0', 'bottleneck_layer.h_s.2')
 
+# CompressAI mbt2018 (JointAutoregressiveHierarchicalPriors) key space ->
+# `models/zoo_jahp.py::JointAutoregressiveCodec` scopes (named Sequential
+# children sit at the parent's top level in flax param trees).
+JAHP_RULES = [
+    (r'^g_a\.0$', 'g_a0'), (r'^g_a\.1$', 'g_a_gdn0'),
+    (r'^g_a\.2$', 'g_a1'), (r'^g_a\.3$', 'g_a_gdn1'),
+    (r'^g_a\.4$', 'g_a2'), (r'^g_a\.5$', 'g_a_gdn2'),
+    (r'^g_a\.6$', 'g_a3'),
+    (r'^g_s\.0$', 'g_s0'), (r'^g_s\.1$', 'g_s_igdn0'),
+    (r'^g_s\.2$', 'g_s1'), (r'^g_s\.3$', 'g_s_igdn1'),
+    (r'^g_s\.4$', 'g_s2'), (r'^g_s\.5$', 'g_s_igdn2'),
+    (r'^g_s\.6$', 'g_s3'),
+    (r'^h_a\.0$', 'h_a0'), (r'^h_a\.2$', 'h_a1'), (r'^h_a\.4$', 'h_a2'),
+    (r'^h_s\.0$', 'h_s0'), (r'^h_s\.2$', 'h_s1'), (r'^h_s\.4$', 'h_s2'),
+    (r'^entropy_parameters\.0$', 'ep0'),
+    (r'^entropy_parameters\.2$', 'ep1'),
+    (r'^entropy_parameters\.4$', 'ep2'),
+    (r'^context_prediction$', 'context_prediction'),
+    (r'^entropy_bottleneck$', 'entropy_bottleneck'),
+]
+
+JAHP_DECONV_PATHS = ('g_s.0', 'g_s.2', 'g_s.4', 'g_s.6',
+                     'h_s.0', 'h_s.2')
+
 
 def convert_state_dict(state_dict: Dict[str, 'np.ndarray'],
                        rules: Iterable[Tuple[str, str]],
@@ -141,7 +165,9 @@ def convert_state_dict(state_dict: Dict[str, 'np.ndarray'],
     for key, value in state_dict.items():
         module_path, _, leaf = key.rpartition('.')
         if leaf in ('_quantized_cdf', '_offset', '_cdf_length',
-                    'scale_table', 'num_batches_tracked'):
+                    'scale_table', 'num_batches_tracked', 'mask'):
+            # coding tables are rebuilt by update(); the masked-conv mask
+            # buffer is structural (both frameworks apply it at call time)
             continue
         flax_scope = None
         for pattern, repl in rules:

@@ -128,10 +128,12 @@ class TorchSplittableResNet(nn.Module):
         return self.fc(z)
 
 
-def randomize_for_parity(model: TorchSplittableResNet, seed=0):
+def randomize_for_parity(model: nn.Module, seed=0):
     """Non-degenerate weights + running stats (a fresh BatchNorm has
     mean 0 / var 1 — real checkpoints don't), and quantiles spread so the
-    entropy tables have realistic support."""
+    entropy tables have realistic support. Works on any of the torch
+    replica families (the factorized bottleneck is found by module
+    scan)."""
     g = torch.Generator().manual_seed(seed)
     with torch.no_grad():
         for m in model.modules():
@@ -144,9 +146,9 @@ def randomize_for_parity(model: TorchSplittableResNet, seed=0):
                 m.running_var.uniform_(0.7, 1.5, generator=g)
                 m.weight.normal_(1.0, 0.1, generator=g)
                 m.bias.normal_(0, 0.1, generator=g)
-        eb = model.bottleneck_layer.entropy_bottleneck
-        eb.quantiles[:, 0, 0] -= 2.0
-        eb.quantiles[:, 0, 2] += 2.0
+            elif isinstance(m, GoldenEntropyBottleneck):
+                m.quantiles[:, 0, 0] -= 2.0
+                m.quantiles[:, 0, 2] += 2.0
     model.eval()
     return model
 
@@ -306,3 +308,121 @@ def torch_deploy_forward_shp(model, z_coder, y_coder, ggc, z_medians,
         y_hat = y_hat + means
     feat = bl.g_s(y_hat)
     return model.forward_tail(feat).numpy(), y_bits, z_bits
+
+
+class TorchMaskedConv2d(nn.Conv2d):
+    """CompressAI 'A'-mask MaskedConv2d replica: output position (i, j)
+    sees only strictly-previous raster positions (same state-dict leaves:
+    weight/bias + a `mask` buffer)."""
+
+    def __init__(self, in_ch, out_ch, kernel_size=5, stride=1, padding=2):
+        super().__init__(in_ch, out_ch, kernel_size, stride, padding)
+        k = self.kernel_size[0]
+        mask = torch.ones(1, 1, k, k)
+        mask[:, :, k // 2, k // 2:] = 0
+        mask[:, :, k // 2 + 1:] = 0
+        self.register_buffer('mask', mask)
+
+    def forward(self, x):
+        return nn.functional.conv2d(x, self.weight * self.mask, self.bias,
+                                    self.stride, self.padding)
+
+
+class TorchJointAutoregressiveCodec(nn.Module):
+    """mbt2018 (joint autoregressive + hierarchical prior) replica with
+    CompressAI's exact state-dict key space — the 4th neural codec family
+    the reference resolves from the zoo
+    (`/root/reference/sc2bench/models/registry.py:12-14`, config family
+    `joint_autoregressive_hierarchical_prior`). Keys: g_a.0..6, g_s.0..6,
+    h_a.0/2/4, h_s.0/2/4, context_prediction, entropy_parameters.0/2/4,
+    entropy_bottleneck, matching compressai JointAutoregressive-
+    HierarchicalPriors so released checkpoints convert with the same
+    rules."""
+
+    def __init__(self, n=192, m=192):
+        super().__init__()
+        from .torch_golden import GoldenGaussianConditional
+        self.n, self.m = n, m
+        self.g_a = nn.Sequential(
+            nn.Conv2d(3, n, 5, 2, 2), TorchGDN1(n),
+            nn.Conv2d(n, n, 5, 2, 2), TorchGDN1(n),
+            nn.Conv2d(n, n, 5, 2, 2), TorchGDN1(n),
+            nn.Conv2d(n, m, 5, 2, 2))
+        self.g_s = nn.Sequential(
+            nn.ConvTranspose2d(m, n, 5, 2, 2, output_padding=1),
+            TorchGDN1(n, inverse=True),
+            nn.ConvTranspose2d(n, n, 5, 2, 2, output_padding=1),
+            TorchGDN1(n, inverse=True),
+            nn.ConvTranspose2d(n, n, 5, 2, 2, output_padding=1),
+            TorchGDN1(n, inverse=True),
+            nn.ConvTranspose2d(n, 3, 5, 2, 2, output_padding=1))
+        self.h_a = nn.Sequential(
+            nn.Conv2d(m, n, 3, 1, 1), nn.LeakyReLU(),
+            nn.Conv2d(n, n, 5, 2, 2), nn.LeakyReLU(),
+            nn.Conv2d(n, n, 5, 2, 2))
+        self.h_s = nn.Sequential(
+            nn.ConvTranspose2d(n, m, 5, 2, 2, output_padding=1),
+            nn.LeakyReLU(),
+            nn.ConvTranspose2d(m, m * 3 // 2, 5, 2, 2, output_padding=1),
+            nn.LeakyReLU(),
+            nn.Conv2d(m * 3 // 2, m * 2, 3, 1, 1))
+        self.context_prediction = TorchMaskedConv2d(m, 2 * m)
+        self.entropy_parameters = nn.Sequential(
+            nn.Conv2d(m * 12 // 3, m * 10 // 3, 1), nn.LeakyReLU(),
+            nn.Conv2d(m * 10 // 3, m * 8 // 3, 1), nn.LeakyReLU(),
+            nn.Conv2d(m * 8 // 3, m * 6 // 3, 1))
+        self.entropy_bottleneck = GoldenEntropyBottleneck(n)
+        self.gaussian_conditional = GoldenGaussianConditional()
+
+
+@torch.no_grad()
+def torch_deploy_forward_jahp(model: TorchJointAutoregressiveCodec,
+                              z_coder, z_medians, img_nchw: np.ndarray):
+    """The mbt2018 deploy path as CompressAI runs it — a SERIAL per-pixel
+    raster scan (compressai `_compress_ar` semantics: per position,
+    masked-conv context over already-quantized neighbors + hyper params
+    -> entropy_parameters -> Gaussian scales/means; symbol =
+    round(y - mean)). This is the oracle the JAX runtime's
+    wavefront-PARALLEL schedule must agree with symbol-for-symbol.
+
+    Returns (x_hat NCHW, sym_grid (h, w, m) int32, idx_grid (h, w, m)
+    int32, y_hat (h, w, m) float32, z_bits)."""
+    zmed = torch.from_numpy(np.asarray(z_medians, np.float32)).view(
+        1, -1, 1, 1)
+    y = model.g_a(torch.from_numpy(img_nchw))
+    z = model.h_a(y)
+    z_sym = torch.round(z - zmed).to(torch.int32).numpy()[0]
+    cz, hz, wz = z_sym.shape
+    z_idx = np.repeat(np.arange(cz, dtype=np.int32), hz * wz)
+    z_bits = z_coder.encode_with_indexes(
+        z_sym.reshape(cz, -1).ravel(), z_idx)
+    z_dec = z_coder.decode_with_indexes(z_bits, z_idx).reshape(cz, hz, wz)
+    z_hat = torch.from_numpy(z_dec.astype(np.float32))[None] + zmed
+    hyper = model.h_s(z_hat)
+    ggc = model.gaussian_conditional
+    m = model.m
+    k = model.context_prediction.kernel_size[0]
+    k2 = k // 2
+    _, _, h, w = y.shape
+    y_hat = torch.zeros(1, m, h + 2 * k2, w + 2 * k2)
+    sym_grid = np.zeros((h, w, m), np.int32)
+    idx_grid = np.zeros((h, w, m), np.int32)
+    wm = model.context_prediction.weight * model.context_prediction.mask
+    for i in range(h):
+        for j in range(w):
+            patch = y_hat[:, :, i:i + k, j:j + k]
+            ctx = nn.functional.conv2d(patch, wm,
+                                       model.context_prediction.bias)
+            feat = torch.cat([hyper[:, :, i:i + 1, j:j + 1], ctx], dim=1)
+            params = model.entropy_parameters(feat)
+            scales, means = params.chunk(2, 1)
+            mu = means[0, :, 0, 0]
+            sym = torch.round(y[0, :, i, j] - mu)
+            y_hat[0, :, i + k2, j + k2] = sym + mu
+            sym_grid[i, j] = sym.to(torch.int32).numpy()
+            idx_grid[i, j] = np.asarray(
+                ggc.build_indexes(scales)).reshape(-1)
+    y_final = y_hat[:, :, k2:k2 + h, k2:k2 + w]
+    x_hat = model.g_s(y_final)
+    return (x_hat.numpy(), sym_grid, idx_grid,
+            y_final.numpy()[0].transpose(1, 2, 0), z_bits)

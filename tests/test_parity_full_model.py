@@ -280,3 +280,104 @@ def test_mshp_bitstreams_and_logits_match(mshp_pipelines):
         f_logits = np.asarray(rt.decode(**compressed))
         np.testing.assert_allclose(f_logits, t_logits, rtol=2e-3, atol=2e-3)
         assert int(np.argmax(f_logits)) == int(np.argmax(t_logits))
+
+
+# ---------------------------------------------------------------------------
+# JAHP (joint autoregressive + hierarchical prior, mbt2018): 4th family.
+# The torch oracle codes SERIALLY per pixel in raster order (CompressAI
+# `_compress_ar` semantics); the JAX runtime codes WAVEFRONT-PARALLEL.
+# Parity here proves the wavefront schedule computes the exact same
+# symbols/indexes as the serial scan, cross-framework, and that the
+# z stream is byte-identical.
+# ---------------------------------------------------------------------------
+
+JN, JM, JHW = 8, 12, 64
+
+
+@pytest.fixture(scope='module')
+def jahp_pipelines():
+    from sc2bench_tpu.models.zoo_jahp import (JointAutoregressiveCodec,
+                                              JointAutoregressiveRuntime)
+    from sc2bench_tpu.ops.rans.coder import RansCoder
+    from sc2bench_tpu.utils.torch_convert import (JAHP_DECONV_PATHS,
+                                                  JAHP_RULES)
+    from sc2bench_tpu.utils.torch_ref_model import (
+        TorchJointAutoregressiveCodec)
+    tm = randomize_for_parity(TorchJointAutoregressiveCodec(n=JN, m=JM),
+                              seed=13)
+    z_cdf, z_len, z_off, z_med = tm.entropy_bottleneck.update()
+    g_cdf, g_len, g_off, _st = tm.gaussian_conditional.update()
+    z_coder = RansCoder(z_cdf, z_len, z_off)
+    y_coder = RansCoder(g_cdf, g_len, g_off)
+    golden = {'z': (z_cdf, z_len, z_off, z_med),
+              'g': (g_cdf, g_len, g_off)}
+
+    fm = JointAutoregressiveCodec(n=JN, m=JM)
+    x0 = jnp.zeros((1, JHW, JHW, 3))
+    variables = jax.jit(lambda r, x: fm.init(r, x, mode='train'))(
+        {'params': jax.random.key(0), 'noise': jax.random.key(1)}, x0)
+    variables = {'params': variables['params']}
+    converted = convert_state_dict(tm.state_dict(), JAHP_RULES,
+                                   deconv_paths=JAHP_DECONV_PATHS)
+    variables = merge_into_variables(variables, converted)
+    rt = JointAutoregressiveRuntime(fm, variables)
+    assert rt.update()
+    return tm, (z_coder, y_coder, golden), rt
+
+
+def _jahp_images(n=2):
+    rng = np.random.default_rng(17)
+    return [rng.uniform(0, 1, (1, JHW, JHW, 3)).astype(np.float32)
+            for _ in range(n)]
+
+
+def test_jahp_tables_bit_identical(jahp_pipelines):
+    _, (_, _, golden), rt = jahp_pipelines
+    z_cdf, z_len, z_off, z_med = golden['z']
+    np.testing.assert_array_equal(rt.codec.tables.quantized_cdf, z_cdf)
+    np.testing.assert_array_equal(rt.codec.tables.cdf_length, z_len)
+    np.testing.assert_array_equal(rt.codec.tables.offset, z_off)
+    np.testing.assert_allclose(rt.codec.tables.medians, z_med,
+                               rtol=0, atol=1e-6)
+    g_cdf, g_len, g_off = golden['g']
+    np.testing.assert_array_equal(rt.g_tables.quantized_cdf, g_cdf)
+    np.testing.assert_array_equal(rt.g_tables.cdf_length, g_len)
+    np.testing.assert_array_equal(rt.g_tables.offset, g_off)
+
+
+def test_jahp_wavefront_matches_serial_raster(jahp_pipelines):
+    """Per image: the JAX wavefront-parallel coder must produce the same
+    symbols, gaussian indexes, byte-identical y AND z streams, and a
+    matching reconstruction as the torch SERIAL raster-scan oracle — the
+    cross-framework proof that the anti-diagonal schedule preserves
+    mbt2018's autoregressive semantics exactly."""
+    from sc2bench_tpu.utils.torch_ref_model import torch_deploy_forward_jahp
+    tm, (z_coder, y_coder, golden), rt = jahp_pipelines
+    z_med = golden['z'][3]
+    for img in _jahp_images():
+        x_hat_t, sym_grid, idx_grid, y_hat_t, z_bits = \
+            torch_deploy_forward_jahp(
+                tm, z_coder, z_med, np.transpose(img, (0, 3, 1, 2)).copy())
+        compressed = rt.compress(jnp.asarray(img))
+        assert compressed['strings'][1][0] == z_bits, 'z stream mismatch'
+        # re-serialize the torch raster grids in the runtime's wavefront
+        # order: byte-identical y streams <=> identical symbols+indexes
+        h, w, _ = sym_grid.shape
+        fronts = rt._wavefronts(h, w)
+        sym_seq = np.concatenate(
+            [sym_grid[ii, jj].ravel() for ii, jj in fronts])
+        idx_seq = np.concatenate(
+            [idx_grid[ii, jj].ravel() for ii, jj in fronts]).astype(
+            np.int32)
+        t_y_bits = y_coder.encode_with_indexes(sym_seq, idx_seq)
+        assert compressed['strings'][0][0] == t_y_bits, 'y stream mismatch'
+        # quantized latents agree across frameworks and schedules
+        np.testing.assert_allclose(rt._last_y_hat, y_hat_t,
+                                   rtol=1e-4, atol=1e-4)
+        x_hat = np.asarray(rt.decompress(compressed['strings'],
+                                         compressed['shape']))
+        np.testing.assert_allclose(rt._last_y_hat_dec, rt._last_y_hat,
+                                   rtol=0, atol=0)
+        np.testing.assert_allclose(
+            x_hat[0], np.transpose(x_hat_t[0], (1, 2, 0)),
+            rtol=2e-3, atol=2e-3)
