@@ -152,15 +152,103 @@ JAHP_RULES = [
 JAHP_DECONV_PATHS = ('g_s.0', 'g_s.2', 'g_s.4', 'g_s.6',
                      'h_s.0', 'h_s.2')
 
+# Faster R-CNN + FPN over the splittable backbone: torchvision>=0.15.1
+# key space as the reference builds it (`create_faster_rcnn_fpn`,
+# `/root/reference/sc2bench/models/detection/rcnn.py:113-166`:
+# UpdatableBackboneWithFPN(body=FeatureExtractionBackbone) + torchvision
+# FasterRCNN) -> `models/detection/rcnn.py::FasterRCNN` scopes.
+DETECTION_RULES = [
+    (rf'^backbone\.body\.bottleneck_layer\.{pat[1:]}',
+     'backbone/bottleneck_layer/' + repl)
+    for pat, repl in FP_BOTTLENECK_RULES
+] + [
+    (r'^backbone\.body\.layer(\d)\.(\d+)\.conv(\d)$',
+     r'backbone/layer\1/block\2/conv\3'),
+    (r'^backbone\.body\.layer(\d)\.(\d+)\.bn(\d)$',
+     r'backbone/layer\1/block\2/bn\3'),
+    (r'^backbone\.body\.layer(\d)\.(\d+)\.downsample\.0$',
+     r'backbone/layer\1/block\2/downsample_conv'),
+    (r'^backbone\.body\.layer(\d)\.(\d+)\.downsample\.1$',
+     r'backbone/layer\1/block\2/downsample_bn'),
+    # torchvision FPN (Conv2dNormActivation without norm: .0 = Conv2d)
+    (r'^backbone\.fpn\.inner_blocks\.(\d)\.0$', r'fpn/inner_\1'),
+    (r'^backbone\.fpn\.layer_blocks\.(\d)\.0$', r'fpn/layer_\1'),
+    # torchvision RPNHead (conv = Sequential[Conv2dNormActivation])
+    (r'^rpn\.head\.conv\.0\.0$', 'rpn_head/conv'),
+    (r'^rpn\.head\.cls_logits$', 'rpn_head/cls_logits'),
+    (r'^rpn\.head\.bbox_pred$', 'rpn_head/bbox_pred'),
+    (r'^roi_heads\.box_head\.fc6$', 'box_head/fc6'),
+    (r'^roi_heads\.box_head\.fc7$', 'box_head/fc7'),
+    (r'^roi_heads\.box_predictor\.cls_score$', 'box_predictor/cls_score'),
+    (r'^roi_heads\.box_predictor\.bbox_pred$', 'box_predictor/bbox_pred'),
+]
+
+
+def convert_box_head_fc6(value, pooled_hw=(7, 7), channels=256):
+    """torchvision TwoMLPHead.fc6 flattens pooled RoIs in NCHW order
+    (c, h, w); the flax head flattens NHWC (h, w, c). Permute the input
+    axis of the (out, c*h*w) torch weight accordingly -> (h*w*c, out)."""
+    v = _to_np(value)
+    out = v.shape[0]
+    h, w = pooled_hw
+    return v.reshape(out, channels, h, w).transpose(2, 3, 1, 0) \
+        .reshape(h * w * channels, out)
+
+
+DETECTION_WEIGHT_TRANSFORMS = {
+    'roi_heads.box_head.fc6': convert_box_head_fc6,
+}
+
+# DeepLabv3 over the splittable backbone: the reference stores
+# FeatureExtractionBackbone children under `backbone.<name>`
+# (`/root/reference/sc2bench/models/backbone.py:123-124`) and uses
+# torchvision DeepLabHead/FCNHead Sequentials
+# (`segmentation/deeplabv3.py:19-41`).
+SEGMENTATION_RULES = [
+    (rf'^backbone\.bottleneck_layer\.{pat[1:]}',
+     'backbone/bottleneck_layer/' + repl)
+    for pat, repl in FP_BOTTLENECK_RULES
+] + [
+    (r'^backbone\.layer(\d)\.(\d+)\.conv(\d)$',
+     r'backbone/layer\1/block\2/conv\3'),
+    (r'^backbone\.layer(\d)\.(\d+)\.bn(\d)$',
+     r'backbone/layer\1/block\2/bn\3'),
+    (r'^backbone\.layer(\d)\.(\d+)\.downsample\.0$',
+     r'backbone/layer\1/block\2/downsample_conv'),
+    (r'^backbone\.layer(\d)\.(\d+)\.downsample\.1$',
+     r'backbone/layer\1/block\2/downsample_bn'),
+    # DeepLabHead: classifier.0 = ASPP, .1 conv, .2 bn, .4 final conv
+    (r'^classifier\.0\.convs\.0\.0$', 'classifier/aspp/b0_conv'),
+    (r'^classifier\.0\.convs\.0\.1$', 'classifier/aspp/b0_bn'),
+    (r'^classifier\.0\.convs\.([123])\.0$', r'classifier/aspp/b\1/conv'),
+    (r'^classifier\.0\.convs\.([123])\.1$', r'classifier/aspp/b\1/bn'),
+    (r'^classifier\.0\.convs\.4\.1$', 'classifier/aspp/pool/conv'),
+    (r'^classifier\.0\.convs\.4\.2$', 'classifier/aspp/pool/bn'),
+    (r'^classifier\.0\.project\.0$', 'classifier/aspp/proj_conv'),
+    (r'^classifier\.0\.project\.1$', 'classifier/aspp/proj_bn'),
+    (r'^classifier\.1$', 'classifier/conv'),
+    (r'^classifier\.2$', 'classifier/bn'),
+    (r'^classifier\.4$', 'classifier/classifier'),
+    # FCNHead aux: .0 conv, .1 bn, .4 final conv
+    (r'^aux_classifier\.0$', 'aux_classifier/conv'),
+    (r'^aux_classifier\.1$', 'aux_classifier/bn'),
+    (r'^aux_classifier\.4$', 'aux_classifier/classifier'),
+]
+
 
 def convert_state_dict(state_dict: Dict[str, 'np.ndarray'],
                        rules: Iterable[Tuple[str, str]],
-                       deconv_paths: Iterable[str] = ()) -> dict:
+                       deconv_paths: Iterable[str] = (),
+                       weight_transforms: Dict[str, Callable] = None) -> dict:
     """Torch state_dict -> {'params': ..., 'batch_stats': ...} nested dict.
     Unmatched keys are skipped (CompressAI registered buffers like
-    _quantized_cdf are rebuilt by `update()`, SURVEY.md §5.4)."""
+    _quantized_cdf are rebuilt by `update()`, SURVEY.md §5.4).
+    `weight_transforms` maps a torch module path to a callable replacing
+    the default layout transform for its `weight` leaf (e.g. the box
+    head's NCHW->NHWC flatten-order permutation)."""
     out = {'params': {}, 'batch_stats': {}}
     deconv_paths = set(deconv_paths)
+    weight_transforms = weight_transforms or {}
     skipped = []
     for key, value in state_dict.items():
         module_path, _, leaf = key.rpartition('.')
@@ -183,6 +271,8 @@ def convert_state_dict(state_dict: Dict[str, 'np.ndarray'],
         leaf_name, arr, coll = convert_tensor(leaf, value)
         if module_path in deconv_paths and leaf == 'weight':
             arr = convert_deconv_tensor(value)
+        elif module_path in weight_transforms and leaf == 'weight':
+            arr = weight_transforms[module_path](value)
         node = out[coll]
         parts = flax_scope.split('/')
         for p in parts:

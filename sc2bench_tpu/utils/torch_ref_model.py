@@ -78,12 +78,13 @@ class TorchBottleneckBlock(nn.Module):
 
     expansion = 4
 
-    def __init__(self, inplanes, planes, stride=1):
+    def __init__(self, inplanes, planes, stride=1, dilation=1):
         super().__init__()
         out = planes * self.expansion
         self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
         self.bn1 = nn.BatchNorm2d(planes)
-        self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride, dilation,
+                               dilation=dilation, bias=False)
         self.bn2 = nn.BatchNorm2d(planes)
         self.conv3 = nn.Conv2d(planes, out, 1, bias=False)
         self.bn3 = nn.BatchNorm2d(out)
@@ -426,3 +427,225 @@ def torch_deploy_forward_jahp(model: TorchJointAutoregressiveCodec,
     x_hat = model.g_s(y_final)
     return (x_hat.numpy(), sym_grid, idx_grid,
             y_final.numpy()[0].transpose(1, 2, 0), z_bits)
+
+
+class TorchSplittableFasterRCNN(nn.Module):
+    """Faster R-CNN + FPN over the splittable backbone with the reference's
+    exact state-dict key space (torchvision>=0.15.1 as `create_faster_rcnn_fpn`
+    composes it, `/root/reference/sc2bench/models/detection/rcnn.py:113-166`):
+    backbone.body.{bottleneck_layer,layer2..4}, backbone.fpn.inner_blocks/
+    layer_blocks.{i}.0, rpn.head.conv.0.0/cls_logits/bbox_pred,
+    roi_heads.box_head.fc6/fc7, roi_heads.box_predictor.cls_score/bbox_pred.
+    BatchNorm in eval mode is numerically FrozenBatchNorm2d (same eps)."""
+
+    def __init__(self, bch=24, target=256, stage_sizes=(3, 4, 6, 3),
+                 num_classes=91, num_anchors=3, out_channels=256):
+        super().__init__()
+
+        class _Body(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.bottleneck_layer = TorchFPBottleneck(bch, target)
+                self.layer2 = _stage(target, 128, stage_sizes[1], 2)
+                self.layer3 = _stage(512, 256, stage_sizes[2], 2)
+                self.layer4 = _stage(1024, 512, stage_sizes[3], 2)
+
+        class _FPN(nn.Module):
+            def __init__(self):
+                super().__init__()
+                ch = [target, 512, 1024, 2048]
+                # torchvision Conv2dNormActivation without norm: index .0
+                self.inner_blocks = nn.ModuleList(
+                    [nn.Sequential(nn.Conv2d(c, out_channels, 1))
+                     for c in ch])
+                self.layer_blocks = nn.ModuleList(
+                    [nn.Sequential(nn.Conv2d(out_channels, out_channels,
+                                             3, 1, 1))
+                     for _ in ch])
+
+        class _Backbone(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.body = _Body()
+                self.fpn = _FPN()
+
+        class _RPNHead(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv = nn.Sequential(nn.Sequential(
+                    nn.Conv2d(out_channels, out_channels, 3, 1, 1)))
+                self.cls_logits = nn.Conv2d(out_channels, num_anchors, 1)
+                self.bbox_pred = nn.Conv2d(out_channels, num_anchors * 4, 1)
+
+        class _RPN(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.head = _RPNHead()
+
+        class _BoxHead(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.fc6 = nn.Linear(out_channels * 7 * 7, 1024)
+                self.fc7 = nn.Linear(1024, 1024)
+
+        class _BoxPredictor(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.cls_score = nn.Linear(1024, num_classes)
+                self.bbox_pred = nn.Linear(1024, num_classes * 4)
+
+        class _RoIHeads(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.box_head = _BoxHead()
+                self.box_predictor = _BoxPredictor()
+
+        self.backbone = _Backbone()
+        self.rpn = _RPN()
+        self.roi_heads = _RoIHeads()
+
+
+@torch.no_grad()
+def torch_detection_stage_forward(model: TorchSplittableFasterRCNN,
+                                  medians, img_nchw: np.ndarray):
+    """Stage-wise torch forward for cross-framework detection parity
+    (deploy dequantize path): bottleneck round-trip -> C2..C5 ->
+    FPN P2..P6 (nearest top-down upsample + LastLevelMaxPool, torchvision
+    semantics) -> RPN head maps per level. Returns
+    (bottleneck symbols int32 NCHW, [C2..C5], [P2..P6],
+    [per-level (cls, reg)]) as numpy NCHW arrays."""
+    body = model.backbone.body
+    med = torch.from_numpy(np.asarray(medians, np.float32)).view(
+        1, -1, 1, 1)
+    y = body.bottleneck_layer.encoder(torch.from_numpy(img_nchw))
+    sym = torch.round(y - med)
+    c2 = body.bottleneck_layer.decoder(sym + med)
+    c3 = body.layer2(c2)
+    c4 = body.layer3(c3)
+    c5 = body.layer4(c4)
+    cs = [c2, c3, c4, c5]
+    fpn = model.backbone.fpn
+    laterals = [blk(c) for blk, c in zip(fpn.inner_blocks, cs)]
+    for i in range(len(laterals) - 2, -1, -1):
+        laterals[i] = laterals[i] + nn.functional.interpolate(
+            laterals[i + 1], size=laterals[i].shape[-2:], mode='nearest')
+    ps = [blk(l) for blk, l in zip(fpn.layer_blocks, laterals)]
+    ps.append(nn.functional.max_pool2d(ps[-1], 1, 2))
+    head = model.rpn.head
+    rpn_out = []
+    for p in ps:
+        t = torch.relu(head.conv(p))
+        rpn_out.append((head.cls_logits(t).numpy(),
+                        head.bbox_pred(t).numpy()))
+    return (sym.to(torch.int32).numpy(), [c.numpy() for c in cs],
+            [p.numpy() for p in ps], rpn_out)
+
+
+@torch.no_grad()
+def torch_box_head_forward(model: TorchSplittableFasterRCNN,
+                           pooled_nchw: np.ndarray):
+    """Box head + predictor on a fixed pooled tensor (N, 256, 7, 7) —
+    isolates the MLP head (the NCHW flatten order fc6 expects)."""
+    rh = model.roi_heads
+    x = torch.from_numpy(pooled_nchw).flatten(1)
+    x = torch.relu(rh.box_head.fc6(x))
+    x = torch.relu(rh.box_head.fc7(x))
+    return (rh.box_predictor.cls_score(x).numpy(),
+            rh.box_predictor.bbox_pred(x).numpy())
+
+
+def _dilated_stage(inplanes, planes, blocks, prev_dilation, new_dilation):
+    """torchvision `_make_layer` with `replace_stride_with_dilation`:
+    stride-1 blocks, first block at the incoming dilation, the rest at the
+    doubled one (DeepLabv3 backbone semantics)."""
+    layers = [TorchBottleneckBlock(inplanes, planes, 1, prev_dilation)]
+    layers += [TorchBottleneckBlock(planes * 4, planes, 1, new_dilation)
+               for _ in range(blocks - 1)]
+    return nn.Sequential(*layers)
+
+
+class _TorchASPP(nn.Module):
+    """torchvision ASPP key space: convs.0 (1x1), convs.1..3 (dilated 3x3),
+    convs.4 (pooling branch: pool at .0, conv at .1, bn at .2), project."""
+
+    def __init__(self, in_ch=2048, out=256, rates=(12, 24, 36)):
+        super().__init__()
+        convs = [nn.Sequential(nn.Conv2d(in_ch, out, 1, bias=False),
+                               nn.BatchNorm2d(out), nn.ReLU())]
+        for r in rates:
+            convs.append(nn.Sequential(
+                nn.Conv2d(in_ch, out, 3, padding=r, dilation=r, bias=False),
+                nn.BatchNorm2d(out), nn.ReLU()))
+        convs.append(nn.Sequential(
+            nn.AdaptiveAvgPool2d(1), nn.Conv2d(in_ch, out, 1, bias=False),
+            nn.BatchNorm2d(out), nn.ReLU()))
+        self.convs = nn.ModuleList(convs)
+        self.project = nn.Sequential(
+            nn.Conv2d(len(convs) * out, out, 1, bias=False),
+            nn.BatchNorm2d(out), nn.ReLU(), nn.Dropout(0.5))
+
+    def forward(self, x):
+        size = x.shape[-2:]
+        res = [c(x) for c in self.convs[:-1]]
+        pooled = self.convs[-1](x)
+        res.append(nn.functional.interpolate(
+            pooled, size=size, mode='bilinear', align_corners=False))
+        return self.project(torch.cat(res, dim=1))
+
+
+class TorchSplittableDeepLabV3(nn.Module):
+    """DeepLabv3 over the splittable backbone with the reference's exact
+    key space (`/root/reference/sc2bench/models/segmentation/base.py:42-65`
+    stores FeatureExtractionBackbone children under `backbone.<name>`;
+    heads are torchvision DeepLabHead/FCNHead Sequentials:
+    classifier.0 (ASPP) .1 (conv) .2 (bn) .4 (final), aux_classifier
+    .0/.1/.4). layer3/4 are dilated (stride replaced), stride-8 'out'."""
+
+    def __init__(self, bch=24, target=256, stage_sizes=(3, 4, 6, 3),
+                 num_classes=21):
+        super().__init__()
+
+        class _Backbone(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.bottleneck_layer = TorchFPBottleneck(bch, target)
+                self.layer2 = _stage(target, 128, stage_sizes[1], 2)
+                self.layer3 = _dilated_stage(512, 256, stage_sizes[2], 1, 2)
+                self.layer4 = _dilated_stage(1024, 512, stage_sizes[3],
+                                             2, 4)
+
+        self.backbone = _Backbone()
+        self.classifier = nn.Sequential(
+            _TorchASPP(2048, 256),
+            nn.Conv2d(256, 256, 3, padding=1, bias=False),
+            nn.BatchNorm2d(256), nn.ReLU(),
+            nn.Conv2d(256, num_classes, 1))
+        self.aux_classifier = nn.Sequential(
+            nn.Conv2d(1024, 256, 3, padding=1, bias=False),
+            nn.BatchNorm2d(256), nn.ReLU(), nn.Dropout(0.1),
+            nn.Conv2d(256, num_classes, 1))
+
+
+@torch.no_grad()
+def torch_segmentation_forward(model: TorchSplittableDeepLabV3, medians,
+                               img_nchw: np.ndarray):
+    """Deploy dequantize path: bottleneck round-trip -> dilated stages ->
+    DeepLab head -> bilinear upsample to input (align_corners=False,
+    reference `segmentation/base.py:66-82`). Returns (out, aux) NCHW."""
+    body = model.backbone
+    med = torch.from_numpy(np.asarray(medians, np.float32)).view(
+        1, -1, 1, 1)
+    x = torch.from_numpy(img_nchw)
+    y = body.bottleneck_layer.encoder(x)
+    c2 = body.bottleneck_layer.decoder(torch.round(y - med) + med)
+    c3 = body.layer2(c2)
+    aux_feat = body.layer3(c3)
+    out_feat = body.layer4(aux_feat)
+    size = x.shape[-2:]
+    out = nn.functional.interpolate(
+        model.classifier(out_feat), size=size, mode='bilinear',
+        align_corners=False)
+    aux = nn.functional.interpolate(
+        model.aux_classifier(aux_feat), size=size, mode='bilinear',
+        align_corners=False)
+    return out.numpy(), aux.numpy()
