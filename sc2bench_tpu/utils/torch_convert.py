@@ -199,6 +199,31 @@ DETECTION_WEIGHT_TRANSFORMS = {
     'roi_heads.box_head.fc6': convert_box_head_fc6,
 }
 
+# Mask / Keypoint R-CNN heads (reference hub `custom_maskrcnn_resnet_fpn`
+# / `custom_keypointrcnn_resnet_fpn`, `hubconf.py:210-246`; torchvision
+# >=0.15 key spaces: MaskRCNNHeads of Conv2dNormActivation -> .{i}.0,
+# MaskRCNNPredictor named children, KeypointRCNNHeads flat Sequential with
+# interleaved ReLUs -> even indices).
+MASKRCNN_RULES = DETECTION_RULES + [
+    (rf'^roi_heads\.mask_head\.{i}\.0$', f'mask_head/mask_fcn{i + 1}')
+    for i in range(4)
+] + [
+    (r'^roi_heads\.mask_predictor\.conv5_mask$', 'mask_head/mask_deconv'),
+    (r'^roi_heads\.mask_predictor\.mask_fcn_logits$',
+     'mask_head/mask_predictor'),
+]
+MASKRCNN_DECONV_PATHS = ('roi_heads.mask_predictor.conv5_mask',)
+
+KEYPOINTRCNN_RULES = DETECTION_RULES + [
+    (rf'^roi_heads\.keypoint_head\.{2 * i}$', f'keypoint_head/kp_fcn{i + 1}')
+    for i in range(8)
+] + [
+    (r'^roi_heads\.keypoint_predictor\.kps_score_lowres$',
+     'keypoint_head/kp_deconv'),
+]
+KEYPOINTRCNN_DECONV_PATHS = (
+    'roi_heads.keypoint_predictor.kps_score_lowres',)
+
 # DeepLabv3 over the splittable backbone: the reference stores
 # FeatureExtractionBackbone children under `backbone.<name>`
 # (`/root/reference/sc2bench/models/backbone.py:123-124`) and uses

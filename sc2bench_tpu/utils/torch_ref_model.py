@@ -649,3 +649,68 @@ def torch_segmentation_forward(model: TorchSplittableDeepLabV3, medians,
         model.aux_classifier(aux_feat), size=size, mode='bilinear',
         align_corners=False)
     return out.numpy(), aux.numpy()
+
+
+class TorchSplittableMaskRCNN(TorchSplittableFasterRCNN):
+    """+ torchvision>=0.15 mask head key space: roi_heads.mask_head.{i}.0
+    (Conv2dNormActivation) and roi_heads.mask_predictor.conv5_mask /
+    mask_fcn_logits."""
+
+    def __init__(self, num_classes=91, **kwargs):
+        super().__init__(num_classes=num_classes, **kwargs)
+        self.roi_heads.mask_head = nn.Sequential(*[
+            nn.Sequential(nn.Conv2d(256, 256, 3, padding=1), nn.ReLU())
+            for _ in range(4)])
+
+        class _MaskPredictor(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv5_mask = nn.ConvTranspose2d(256, 256, 2, 2)
+                self.mask_fcn_logits = nn.Conv2d(256, num_classes, 1)
+
+        self.roi_heads.mask_predictor = _MaskPredictor()
+
+
+class TorchSplittableKeypointRCNN(TorchSplittableFasterRCNN):
+    """+ torchvision keypoint head key space: roi_heads.keypoint_head
+    (flat Sequential, convs at even indices) and
+    roi_heads.keypoint_predictor.kps_score_lowres."""
+
+    def __init__(self, num_keypoints=17, **kwargs):
+        super().__init__(**kwargs)
+        layers = []
+        for i in range(8):
+            layers += [nn.Conv2d(256 if i == 0 else 512, 512, 3,
+                                 padding=1), nn.ReLU()]
+        self.roi_heads.keypoint_head = nn.Sequential(*layers)
+
+        class _KpPredictor(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.kps_score_lowres = nn.ConvTranspose2d(
+                    512, num_keypoints, 4, 2, 1)
+
+        self.roi_heads.keypoint_predictor = _KpPredictor()
+
+
+@torch.no_grad()
+def torch_mask_head_forward(model: TorchSplittableMaskRCNN,
+                            pooled_nchw: np.ndarray):
+    """(N, 256, 14, 14) pooled -> (N, K, 28, 28) mask logits."""
+    rh = model.roi_heads
+    x = rh.mask_head(torch.from_numpy(pooled_nchw))
+    x = torch.relu(rh.mask_predictor.conv5_mask(x))
+    return rh.mask_predictor.mask_fcn_logits(x).numpy()
+
+
+@torch.no_grad()
+def torch_keypoint_head_forward(model: TorchSplittableKeypointRCNN,
+                                pooled_nchw: np.ndarray):
+    """(N, 256, 14, 14) pooled -> (N, K, 56, 56) heatmaps (deconv + 2x
+    bilinear upsample, align_corners=False — torchvision predictor)."""
+    rh = model.roi_heads
+    x = rh.keypoint_head(torch.from_numpy(pooled_nchw))
+    x = rh.keypoint_predictor.kps_score_lowres(x)
+    return nn.functional.interpolate(
+        x, scale_factor=2, mode='bilinear', align_corners=False,
+        recompute_scale_factor=False).numpy()

@@ -138,3 +138,76 @@ def test_detection_box_head_parity(det_pipelines):
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(d_j), t_deltas,
                                rtol=2e-3, atol=2e-3)
+
+
+def test_mask_head_parity():
+    """Mask head + predictor (torchvision>=0.15 Conv2dNormActivation key
+    space) converts and matches on a fixed pooled tensor."""
+    import re
+    from sc2bench_tpu.models.detection.heads import MaskHead
+    from sc2bench_tpu.utils.torch_convert import (MASKRCNN_DECONV_PATHS,
+                                                  MASKRCNN_RULES)
+    from sc2bench_tpu.utils.torch_ref_model import (
+        TorchSplittableMaskRCNN, torch_mask_head_forward)
+    tm = randomize_for_parity(
+        TorchSplittableMaskRCNN(bch=BCH, target=TARGET,
+                                stage_sizes=STAGES, num_classes=K),
+        seed=41)
+    skip = {'_quantized_cdf', '_offset', '_cdf_length', 'scale_table',
+            'num_batches_tracked', 'mask'}
+    for key in tm.state_dict():
+        path, _, leaf = key.rpartition('.')
+        if leaf in skip:
+            continue
+        assert any(re.fullmatch(p, path) for p, r in MASKRCNN_RULES
+                   if r is not None), f'unmatched torch key: {key}'
+    head = MaskHead(num_classes=K)
+    pooled = np.random.default_rng(43).normal(
+        0, 1, (3, 14, 14, 256)).astype(np.float32)
+    variables = jax.jit(head.init)(jax.random.key(0), jnp.asarray(pooled))
+    conv = convert_state_dict(tm.state_dict(), MASKRCNN_RULES,
+                              deconv_paths=MASKRCNN_DECONV_PATHS)
+    variables = merge_into_variables(
+        variables, {'params': conv['params']['mask_head']})
+    f_logits = head.apply(variables, jnp.asarray(pooled))
+    t_logits = torch_mask_head_forward(
+        tm, np.transpose(pooled, (0, 3, 1, 2)).copy())
+    np.testing.assert_allclose(np.asarray(f_logits), _nhwc(t_logits),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_keypoint_head_parity():
+    """Keypoint head + predictor (flat Sequential key space, deconv +
+    2x bilinear upsample) converts and matches on a fixed pooled tensor."""
+    import re
+    from sc2bench_tpu.models.detection.heads import KeypointHead
+    from sc2bench_tpu.utils.torch_convert import (
+        KEYPOINTRCNN_DECONV_PATHS, KEYPOINTRCNN_RULES)
+    from sc2bench_tpu.utils.torch_ref_model import (
+        TorchSplittableKeypointRCNN, torch_keypoint_head_forward)
+    tm = randomize_for_parity(
+        TorchSplittableKeypointRCNN(bch=BCH, target=TARGET,
+                                    stage_sizes=STAGES, num_classes=K,
+                                    num_keypoints=17),
+        seed=47)
+    skip = {'_quantized_cdf', '_offset', '_cdf_length', 'scale_table',
+            'num_batches_tracked', 'mask'}
+    for key in tm.state_dict():
+        path, _, leaf = key.rpartition('.')
+        if leaf in skip:
+            continue
+        assert any(re.fullmatch(p, path) for p, r in KEYPOINTRCNN_RULES
+                   if r is not None), f'unmatched torch key: {key}'
+    head = KeypointHead(num_keypoints=17)
+    pooled = np.random.default_rng(53).normal(
+        0, 1, (2, 14, 14, 256)).astype(np.float32)
+    variables = jax.jit(head.init)(jax.random.key(0), jnp.asarray(pooled))
+    conv = convert_state_dict(tm.state_dict(), KEYPOINTRCNN_RULES,
+                              deconv_paths=KEYPOINTRCNN_DECONV_PATHS)
+    variables = merge_into_variables(
+        variables, {'params': conv['params']['keypoint_head']})
+    f_maps = head.apply(variables, jnp.asarray(pooled))
+    t_maps = torch_keypoint_head_forward(
+        tm, np.transpose(pooled, (0, 3, 1, 2)).copy())
+    np.testing.assert_allclose(np.asarray(f_maps), _nhwc(t_maps),
+                               rtol=2e-3, atol=2e-3)
