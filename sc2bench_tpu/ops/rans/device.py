@@ -117,17 +117,10 @@ def _warn_probe_failed(reason: str) -> None:
 
 
 def _run_pallas_probe_body() -> bool:
-    C, k, cols, steps = 8, 8, 12, 24
-    rng = np.random.default_rng(0)
-    cdf = np.zeros((C, cols), np.int32)
-    cdf_len = np.full((C,), k + 2, np.int32)
+    C, cols, steps = 8, 12, 24
+    cdf, cdf_len, off, k, rng = _synthetic_cyclic_tables(C, cols)
+    # nonzero per-channel offsets: the probe must cover the v + off path
     off = np.arange(C, dtype=np.int32) - 4
-    for c in range(C):
-        freqs = np.maximum(
-            (rng.uniform(0.05, 1.0, k + 1) * (1 << 16)).astype(np.int64)
-            >> 4, 1)
-        freqs[-1] += (1 << 16) - freqs.sum()
-        cdf[c, 1:k + 2] = np.cumsum(freqs)
     ok = True
     # 128 = the pure kernel layout; 96 = the inert-lane-padded
     # lowering that non-multiple-of-128 deploy shapes take
@@ -215,18 +208,23 @@ def _use_pallas(backend: str, cols: int, lanes: int, lmax: int,
 
 
 _PALLAS_TUNE_CHOICE: dict = {}
+_PALLAS_TUNE_LOCKS: dict = {}
 
 
 def _autotune_pallas(mode: str, cols: int, lanes: int, lmax: int,
                      steps: int, cyc: int) -> bool:
     """Measured per-shape backend choice, cached for the process. Runs on
     a worker thread (clean trace context — see `_run_pallas_probe`); any
-    failure falls back to the XLA scan for that shape."""
+    failure falls back to the XLA scan for that shape. Timing runs under
+    a PER-KEY lock so concurrent first-traces of different deploy shapes
+    don't serialize behind one shape's (slow, tunnel-bound) measurement."""
     key = (mode, cols, lanes, lmax, steps, cyc)
     hit = _PALLAS_TUNE_CHOICE.get(key)
     if hit is not None:
         return hit
-    with _PALLAS_PROBE_LOCK:
+    with _PALLAS_PROBE_LOCK:   # only guards the tiny lock-registry op
+        key_lock = _PALLAS_TUNE_LOCKS.setdefault(key, threading.Lock())
+    with key_lock:
         hit = _PALLAS_TUNE_CHOICE.get(key)
         if hit is not None:
             return hit
@@ -237,7 +235,7 @@ def _autotune_pallas(mode: str, cols: int, lanes: int, lmax: int,
                     _time_pallas_vs_xla, mode, cols, lanes, lmax, steps,
                     cyc).result()
             # scan wins ties: it has no Mosaic-toolchain risk surface
-            choice = t_pal < 0.95 * t_xla
+            choice = bool(t_pal < 0.95 * t_xla)
             import logging
             logging.getLogger(__name__).info(
                 'rANS autotune %s cols=%d lanes=%d lmax=%d steps=%d: '
@@ -251,14 +249,11 @@ def _autotune_pallas(mode: str, cols: int, lanes: int, lmax: int,
     return choice
 
 
-def _time_pallas_vs_xla(mode, cols, lanes, lmax, steps, cyc):
-    """Median per-call seconds of (xla, pallas) at a synthetic case of the
-    given shape. Uses dispatch-pipelined timing (one final block) so the
-    remote-tunnel per-call latency doesn't swamp the device time."""
-    import time
-    C = max(cyc, 1)
+def _synthetic_cyclic_tables(C: int, cols: int, seed: int = 0):
+    """Random normalized-to-2^16 cyclic CDF tables (shared by the
+    bit-exactness probe and the autotune timer)."""
+    rng = np.random.default_rng(seed)
     support = max(cols - 3, 2)
-    rng = np.random.default_rng(0)
     cdf = np.zeros((C, cols), np.int32)
     cdf_len = np.full((C,), support + 2, np.int32)
     off = np.zeros((C,), np.int32)
@@ -267,16 +262,35 @@ def _time_pallas_vs_xla(mode, cols, lanes, lmax, steps, cyc):
         freqs = np.maximum((w / w.sum() * (1 << 16)).astype(np.int64), 1)
         freqs[-1] += (1 << 16) - freqs.sum()
         cdf[c, 1:support + 2] = np.cumsum(freqs)
+    return cdf, cdf_len, off, support, rng
+
+
+def _time_pallas_vs_xla(mode, cols, lanes, lmax, steps, cyc):
+    """Median per-call seconds of (xla, pallas) at a synthetic case of the
+    given shape. Uses dispatch-pipelined timing (one final block) so the
+    remote-tunnel per-call latency doesn't swamp the device time."""
+    import time
+    C = max(cyc, 1)
+    cdf, cdf_len, off, support, rng = _synthetic_cyclic_tables(C, cols)
     n = lanes * steps
     idx = (np.arange(n, dtype=np.int32) % lanes) % C
     sym = rng.integers(0, support, n).astype(np.int32)
 
     if mode == 'encode':
         def run(backend):
-            fn = jax.jit(lambda s: device_rans_encode(
-                s, idx, cdf, cdf_len, off, num_lanes=lanes,
-                cyclic_channels=C, backend=backend)['states'])
-            return fn, (jnp.asarray(sym),)
+            # the timed program must DEPEND on every encode output:
+            # returning only 'states' would let XLA dead-code-eliminate
+            # the scan's chunk/mask emission and the stream compaction
+            # from the 'xla' candidate while the (DCE-opaque) Pallas
+            # custom call still computes them — a biased A/B
+            def full(s):
+                out = device_rans_encode(
+                    s, idx, cdf, cdf_len, off, num_lanes=lanes,
+                    cyclic_channels=C, backend=backend)
+                return (jnp.sum(out['states'])
+                        + jnp.sum(out['streams'].astype(jnp.uint32))
+                        + jnp.sum(out['lengths'].astype(jnp.uint32)))
+            return jax.jit(full), (jnp.asarray(sym),)
     else:
         enc = device_rans_encode(sym, idx, cdf, cdf_len, off,
                                  num_lanes=lanes, cyclic_channels=C,
@@ -288,10 +302,12 @@ def _time_pallas_vs_xla(mode, cols, lanes, lmax, steps, cyc):
         states = np.asarray(jax.device_get(enc['states']))
 
         def run(backend):
-            fn = jax.jit(lambda st, xs: device_rans_decode(
-                st, xs, idx, cdf, cdf_len, off, n_symbols=n,
-                num_lanes=lanes, cyclic_channels=C, backend=backend)[0])
-            return fn, (jnp.asarray(streams), jnp.asarray(states))
+            def full(st, xs):
+                flat, valid = device_rans_decode(
+                    st, xs, idx, cdf, cdf_len, off, n_symbols=n,
+                    num_lanes=lanes, cyclic_channels=C, backend=backend)
+                return jnp.sum(flat) + valid.astype(jnp.int32)
+            return jax.jit(full), (jnp.asarray(streams), jnp.asarray(states))
 
     # Compile/warm both first, then INTERLEAVE trials: the remote-tunnel
     # load drifts minute to minute, and timing one backend fully before

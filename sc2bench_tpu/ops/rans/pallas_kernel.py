@@ -6,10 +6,10 @@ plus a one-hot stream-chunk read. XLA lowers each step to several
 full-size HBM-roundtrip ops; this kernel keeps the CDF table, the
 renorm streams, the lane states and the output block resident in VMEM
 for the whole scan, so each step is pure VPU work on registers/VMEM.
-Measured on v5e: encode 1.30x / decode 1.77x the XLA scan at the
-flagship 55x55x24 deploy shape (see docs/performance.md); the `auto`
-gate autotunes per shape so the kernel is only used where it measures
-faster.
+Measured on v5e: decode 1.15-1.77x the XLA scan at the flagship
+55x55x24 deploy shape, encode at parity or scan-favored (see
+docs/performance.md); the `auto` gate autotunes per shape so each
+kernel is only used where it measures faster.
 
 Gather-free by construction (Mosaic's `dynamic_gather` only supports a
 single (8, 128) tile on this toolchain — mapped empirically):
@@ -100,11 +100,15 @@ def vmem_bytes_estimate(cols: int, lanes: int, lmax: int,
     return 4 * lanes * (2 * cols_p + lmax_p + steps_p)
 
 
-# XLA:TPU places a Mosaic custom call's full operand/result arrays in
-# scoped VMEM (observed on this toolchain: 'Scoped allocation ... exceeded
-# scoped vmem limit' at 16M for a 3072-lane encode). Refuse the kernel
-# when the call's total array bytes approach that stack limit — the XLA
-# scan handles those shapes (and is competitive there anyway).
+# XLA:TPU places an UNBATCHED Mosaic custom call's full operand/result
+# arrays in scoped VMEM (observed on this toolchain: 'Scoped allocation
+# ... exceeded scoped vmem limit' at 16M for a 3072-lane encode). Refuse
+# the kernel when the call's total array bytes approach that stack
+# limit — the XLA scan handles those shapes (and is competitive there
+# anyway). Under vmap (wire_batch) the batch dim becomes a Mosaic grid
+# dim and the batched operands stay in HBM — measured on v5e: an 8-wide
+# vmap of a 7 MB decode call (56 MB of batched operands) compiles and
+# runs — so the estimate is correctly per-call, not times the batch.
 _SCOPED_VMEM_CALL_LIMIT = 14 << 20
 
 
