@@ -587,3 +587,38 @@ def test_bf16_detection_head_agrees_with_f32():
         mbf.apply(v, x, mode='finetune', train=False)))()
     assert bool(np.isfinite(np.asarray(dbf['boxes'])).all())
     assert np.asarray(dbf['boxes']).dtype == np.float32
+
+
+def test_tiled_nms_matches_serial_greedy():
+    """The tiled closed-form NMS must reproduce the sequential greedy
+    oracle exactly — kept indices, order, and validity — on clustered
+    boxes that force multi-step suppression chains across tile
+    boundaries."""
+    from sc2bench_tpu.ops.boxes import _nms_mask_serial, nms_mask
+    rng = np.random.default_rng(61)
+    for trial in range(4):
+        # clusters of heavily-overlapping boxes -> deep chains
+        centers = rng.uniform(0, 400, (40, 2))
+        boxes, scores = [], []
+        for cx, cy in centers:
+            for _ in range(30):
+                w, h = rng.uniform(20, 60, 2)
+                dx, dy = rng.normal(0, 6, 2)
+                boxes.append([cx + dx - w / 2, cy + dy - h / 2,
+                              cx + dx + w / 2, cy + dy + h / 2])
+                scores.append(rng.uniform(0, 1))
+        boxes = jnp.asarray(np.asarray(boxes, np.float32))
+        scores = jnp.asarray(np.asarray(scores, np.float32))
+        # mark a few as out-of-support (padding semantics)
+        scores = scores.at[::97].set(-jnp.inf)
+        for max_out in (50, 400):
+            i_new, v_new = jax.jit(nms_mask, static_argnums=(2, 3))(
+                boxes, scores, 0.5, max_out)
+            i_old, v_old = jax.jit(_nms_mask_serial,
+                                   static_argnums=(2, 3))(
+                boxes, scores, 0.5, max_out)
+            np.testing.assert_array_equal(np.asarray(v_new),
+                                          np.asarray(v_old))
+            np.testing.assert_array_equal(
+                np.asarray(i_new)[np.asarray(v_new)],
+                np.asarray(i_old)[np.asarray(v_old)])
