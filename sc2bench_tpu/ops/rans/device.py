@@ -195,13 +195,13 @@ def _use_pallas(backend: str, cols: int, lanes: int, lmax: int,
         return False
     if jax.default_backend() != 'tpu':
         return False
-    from .pallas_kernel import pick_lane_block, pick_lane_block_encode
+    from .pallas_kernel import pick_decode_plan, pick_encode_plan
     if mode == 'encode':
-        applies = pick_lane_block_encode(int(cols), int(lanes),
-                                         int(steps)) is not None
+        applies = pick_encode_plan(int(cols), int(lanes),
+                                   int(steps)) is not None
     else:
-        applies = pick_lane_block(int(cols), int(lanes), int(lmax),
-                                  int(steps)) is not None
+        applies = pick_decode_plan(int(cols), int(lanes), int(lmax),
+                                   int(steps)) is not None
     return (applies and _probe_pallas_kernels()
             and _autotune_pallas(mode, int(cols), int(lanes), int(lmax),
                                  int(steps), int(cyc)))

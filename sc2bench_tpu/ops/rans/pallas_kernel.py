@@ -139,13 +139,76 @@ def pick_lane_block(cols: int, lanes: int, lmax: int, steps: int,
     count) whose working set fits a v5e core's VMEM; None if the kernel
     doesn't apply. Lanes decode independently, so blocking the lane dim
     over a grid is exact."""
-    if _full_call_bytes_decode(cols, lanes, lmax,
-                               steps) > _SCOPED_VMEM_CALL_LIMIT:
-        return None
     for b in _lane_blocks(lanes):
         if vmem_bytes_estimate(cols, b, lmax, steps) <= vmem_limit:
             return b
     return None
+
+
+def _divisors_ascending(m: int):
+    return [d for d in range(1, m + 1) if m % d == 0]
+
+
+def pick_decode_plan(cols: int, lanes: int, lmax: int,
+                     steps: int) -> tuple[int, int] | None:
+    """(groups, lane_block) for the decode call, or None if no plan
+    fits. `groups` > 1 splits the padded lanes into equal contiguous
+    sub-calls driven by `jax.vmap`: the batch dim becomes a Mosaic grid
+    dim, so the big operands/results stay in HBM instead of the
+    scoped-VMEM stack where XLA places an UNBATCHED call's full arrays
+    (observed on this toolchain: a 13.3 MB unbatched decode call at the
+    800x1344 detection latent OOMs the 16 MB scoped stack; the same
+    data as 2 vmapped 6.7 MB sub-calls runs). The stack check charges
+    the full arrays only for groups == 1, plus 2x the lane-block
+    working set (double-buffered DMA) either way."""
+    lanes_p = _round_up(lanes, 128)
+    for g in _divisors_ascending(lanes_p // 128):
+        ng = lanes_p // g
+        stacked = _full_call_bytes_decode(cols, ng, lmax, steps) \
+            if g == 1 else 0
+        if stacked > _SCOPED_VMEM_CALL_LIMIT:
+            continue
+        for b in _lane_blocks(ng):
+            est = vmem_bytes_estimate(cols, b, lmax, steps)
+            if est <= (10 << 20) and \
+                    stacked + 2 * est <= _SCOPED_VMEM_CALL_LIMIT:
+                return g, b
+    return None
+
+
+def _encode_block_bytes(cols: int, b: int, steps: int) -> int:
+    return 4 * b * (2 * _round_up(cols, 8) + 3 * _round_up(steps, 8))
+
+
+def pick_encode_plan(cols: int, lanes: int,
+                     steps: int) -> tuple[int, int] | None:
+    """(groups, lane_block) for the encode call, or None — same
+    grouped-vmap scheme as `pick_decode_plan`."""
+    lanes_p = _round_up(lanes, 128)
+    for g in _divisors_ascending(lanes_p // 128):
+        ng = lanes_p // g
+        stacked = _full_call_bytes_encode(cols, ng, steps) \
+            if g == 1 else 0
+        if stacked > _SCOPED_VMEM_CALL_LIMIT:
+            continue
+        for b in _lane_blocks(ng):
+            est = _encode_block_bytes(cols, b, steps)
+            if est <= (10 << 20) and \
+                    stacked + 2 * est <= _SCOPED_VMEM_CALL_LIMIT:
+                return g, b
+    return None
+
+
+def _grouped(call, g: int, *arrays):
+    """Run `call` over `g` equal contiguous lane groups via vmap. Each
+    array is (..., N) with the lane dim LAST; outputs likewise."""
+    def split(a):
+        n = a.shape[-1]
+        return jnp.moveaxis(a.reshape(*a.shape[:-1], g, n // g), -2, 0)
+
+    outs = jax.vmap(call)(*[split(a) for a in arrays])
+    return tuple(
+        jnp.moveaxis(o, 0, -2).reshape(*o.shape[1:-1], -1) for o in outs)
 
 
 @functools.partial(jax.jit,
@@ -251,9 +314,6 @@ def _encode_kernel(cdf_ref, vc_ref, chunks_ref, masks_ref, xend_ref,
 def pick_lane_block_encode(cols: int, lanes: int, steps: int,
                            vmem_limit: int = 10 << 20) -> int | None:
     """Encode working set: cdf + vc + chunks + masks (+ mask temps)."""
-    if _full_call_bytes_encode(cols, lanes,
-                               steps) > _SCOPED_VMEM_CALL_LIMIT:
-        return None
     cols_p = _round_up(cols, 8)
     steps_p = _round_up(steps, 8)
     per_lane = 4 * (2 * cols_p + 3 * steps_p)
@@ -326,17 +386,22 @@ def pallas_cyclic_encode_scan(cdf_lane, vc, steps: int,
     that are not multiples of 128 are padded with inert lanes inside the
     kernel call (wire format unchanged)."""
     cdf_lane, vc, lanes = _pad_lanes_encode(cdf_lane, vc)
-    block = pick_lane_block_encode(int(cdf_lane.shape[1]), lanes, steps)
-    if block is None and not interpret:
+    plan = pick_encode_plan(int(cdf_lane.shape[1]), lanes, steps)
+    if plan is None and not interpret:
         # only reachable when the backend is FORCED to 'pallas' (the auto
         # gate consults the same picker first): fail with a clear message
         # instead of an obscure Mosaic tiling/VMEM error
         raise ValueError(
-            f'no VMEM-fitting lane block for the Pallas rANS encode '
+            f'no VMEM-fitting call plan for the Pallas rANS encode '
             f'kernel (lanes={lanes}, steps={steps}); use backend="xla"')
-    chunks, masks, xend = _pallas_encode_call(
-        jnp.asarray(cdf_lane, jnp.int32).T, vc,
-        steps, lane_block=block, interpret=interpret)
+    groups, block = plan if plan is not None else (1, None)
+    call = functools.partial(_pallas_encode_call, steps=steps,
+                             lane_block=block, interpret=interpret)
+    cdf_t = jnp.asarray(cdf_lane, jnp.int32).T
+    if groups == 1:
+        chunks, masks, xend = call(cdf_t, vc)
+    else:
+        chunks, masks, xend = _grouped(call, groups, cdf_t, vc)
     return (chunks[:, :lanes].astype(jnp.uint16),
             masks[:, :lanes].astype(jnp.bool_), xend[:lanes])
 
@@ -375,16 +440,22 @@ def pallas_cyclic_decode(streams, states, quantized_cdf, cdf_length,
         streams = jnp.pad(streams, ((0, lanes_p - lanes), (0, 0)))
         states = jnp.concatenate(
             [states, jnp.full((lanes_p - lanes,), _RANS_L, jnp.uint32)])
-    block = pick_lane_block(int(cdf.shape[1]), lanes,
+    plan = pick_decode_plan(int(cdf.shape[1]), lanes,
                             int(streams.shape[-1]), steps)
-    if block is None and not interpret:
+    if plan is None and not interpret:
         raise ValueError(
-            f'no VMEM-fitting lane block for the Pallas rANS decode '
+            f'no VMEM-fitting call plan for the Pallas rANS decode '
             f'kernel (lanes={lanes}, steps={steps}, '
             f'lmax={int(streams.shape[-1])}); use backend="xla"')
-    out, xend = _pallas_decode_call(
-        cdf_lane.T, streams.astype(jnp.int32).T, states, steps,
-        lane_block=block, interpret=interpret)
+    groups, block = plan if plan is not None else (1, None)
+    call = functools.partial(_pallas_decode_call, steps=steps,
+                             lane_block=block, interpret=interpret)
+    cdf_t = cdf_lane.T
+    streams_t = streams.astype(jnp.int32).T
+    if groups == 1:
+        out, xend = call(cdf_t, streams_t, states)
+    else:
+        out, xend = _grouped(call, groups, cdf_t, streams_t, states)
     valid = jnp.all(xend[:lanes] == _RANS_L)
     flat = (out[:, :lanes] + off[lane_ch][None, :]) \
         .reshape(-1)[:n_symbols]

@@ -558,11 +558,17 @@ def test_pallas_decode_lane_blocked_grid():
     b = pick_lane_block(64, 1536, 540, 525)
     assert b is not None and b % 128 == 0 and 1536 % b == 0
     # shapes whose FULL operand/result bytes would overflow XLA's 16M
-    # scoped-VMEM stack for the custom call (observed OOM on v5e at the
-    # 3072-lane detection latent) are refused -> XLA scan fallback
-    assert pick_lane_block(256, 3072, 540, 525) is None
-    from sc2bench_tpu.ops.rans.pallas_kernel import pick_lane_block_encode
-    assert pick_lane_block_encode(59, 3072, 525) is None
+    # scoped-VMEM stack as ONE call (observed OOM on v5e at the
+    # 3072-lane detection latent) get a grouped-vmap plan: batching
+    # keeps the operands in HBM, so the kernel still applies
+    from sc2bench_tpu.ops.rans.pallas_kernel import (
+        pick_decode_plan, pick_encode_plan)
+    g, blk = pick_decode_plan(256, 3072, 540, 525)
+    assert g > 1 and blk % 128 == 0 and (3072 // g) % blk == 0
+    g_e, blk_e = pick_encode_plan(59, 3072, 525)
+    assert g_e > 1 and blk_e % 128 == 0 and (3072 // g_e) % blk_e == 0
+    # small shapes keep the single-call plan
+    assert pick_decode_plan(256, 384, 200, 196) == (1, 384)
 
 
 @pytest.mark.slow
@@ -593,6 +599,49 @@ def test_pallas_encode_bit_exact_interpret():
         backend='pallas-interpret')
     assert bool(valid)
     np.testing.assert_array_equal(np.asarray(dec), sym)
+
+
+@pytest.mark.slow
+def test_pallas_grouped_lane_vmap_is_exact():
+    """The grouped-vmap dispatch (big latents whose full call arrays
+    would overflow the scoped-VMEM stack) must reproduce the single
+    call bit-for-bit — same symbols, states, chunks, masks."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from sc2bench_tpu.ops.rans.pallas_kernel import (
+        _grouped, _pallas_decode_call, _pallas_encode_call)
+    cdf, cdf_length, offset, idx, sym = _cyclic_case(
+        C=8, lanes=256, n=20480, seed=11)
+    C, lanes, n = 8, 256, len(sym)
+    enc = device_rans_encode(sym, idx, cdf, cdf_length, offset,
+                             num_lanes=lanes, cyclic_channels=C)
+    lane_ch = np.arange(lanes) % C
+    col = np.arange(cdf.shape[1])
+    cdf_lane = np.where(col[None, :] < cdf_length[lane_ch][:, None],
+                        cdf[lane_ch], 1 << 20).astype(np.int32)
+    steps = -(-n // lanes)
+    cdf_t = jnp.asarray(cdf_lane.T)
+    streams_t = jnp.asarray(enc['streams']).astype(jnp.int32).T
+    states = jnp.asarray(enc['states'])
+    call = functools.partial(_pallas_decode_call, steps=steps,
+                             lane_block=128, interpret=True)
+    out1, xend1 = call(cdf_t, streams_t, states)
+    out2, xend2 = _grouped(call, 2, cdf_t, streams_t, states)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    np.testing.assert_array_equal(np.asarray(xend1), np.asarray(xend2))
+    # encode side: forward-order in-support values per lane
+    vc = np.zeros((steps, lanes), np.int32)
+    flat = sym - offset[idx]
+    vc.reshape(-1)[:n] = flat  # lane-major: position p -> (p//lanes, p%lanes)
+    ecall = functools.partial(_pallas_encode_call, steps=steps,
+                              lane_block=128, interpret=True)
+    c1, m1, x1 = ecall(cdf_t, jnp.asarray(vc))
+    c2, m2, x2 = _grouped(ecall, 2, cdf_t, jnp.asarray(vc))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
 
 
 @pytest.mark.slow
