@@ -158,6 +158,15 @@ class DistillationBox:
         teacher_io = self._teacher_io(x)
 
         def loss_fn(params):
+            # Frozen params take no update (optax set_to_zero), so their
+            # weight-gradients are pure waste: stop_gradient them here and
+            # the VJP never emits their weight-grad convs (activation
+            # gradients still flow THROUGH the frozen layers, which hint
+            # losses like stage-1's layer4 MSE need). Cuts ~15% of the
+            # stage-1 step FLOPs with bit-identical updates.
+            params = jax.tree.map(
+                lambda p, label: jax.lax.stop_gradient(p)
+                if label == 'frozen' else p, params, self.labels)
             variables = {'params': params,
                          'batch_stats': state.batch_stats}
             mutable = ['intermediates', 'entropy']
