@@ -139,6 +139,34 @@ def top_k_accuracy(logits, targets, ks=(1, 5)):
     return out
 
 
+def _eval_loop_accumulated(meter, data_loader, logits_fn):
+    """Dispatch-only eval loop: per-batch top-k means are weighted by batch
+    size and summed in a device-resident vector, so the loop issues NO
+    blocking host transfer — on a remote TPU each per-batch `float()` costs
+    a full tunnel round trip (docs/performance.md) — and ONE sync at the
+    end converts the totals. `logits_fn(x) -> (logits, batch_size)`."""
+    sums, names, n_total = None, None, 0
+    for x, y in data_loader:
+        logits, n = logits_fn(x)
+        accs = top_k_accuracy(logits, jnp.asarray(y))
+        if names is None:
+            names = sorted(accs)
+        vec = jnp.stack([accs[k] for k in names]) * n
+        if sums is None:
+            sums = vec
+        else:
+            if vec.sharding != sums.sharding:
+                # a short final batch skips the mesh sharding; colocate
+                # device-to-device (async) before accumulating
+                vec = jax.device_put(vec, sums.sharding)
+            sums = sums + vec
+        n_total += n
+    if names:
+        vals = np.asarray(jax.device_get(sums)) / max(n_total, 1)
+        for name, v in zip(names, vals):
+            meter.meters[name].update(float(v), n=n_total)
+
+
 class ClassificationEngine:
     """Builds models/datasets from a config dict and runs train/test."""
 
@@ -303,20 +331,21 @@ class ClassificationEngine:
             # the cross-process reduction (reference DDP eval). Variables
             # are localized (host copy) so globally-committed train state
             # doesn't pin the eval jit to the unreachable global mesh.
-            mesh = self.mesh
+            mesh = None if self.config.get('no_dp_eval') else self.mesh
             variables = self.student_variables
             if mesh is not None:
                 from ..parallel.mesh import data_sharding, get_mesh
                 if jax.process_count() > 1:
                     mesh = get_mesh(local=True)
                     variables = jax.device_get(variables)
-            for x, y in data_loader:
+
+            def logits_fn(x):
                 xb = jnp.asarray(x)
                 if mesh is not None and xb.shape[0] % mesh.devices.size == 0:
                     xb = jax.device_put(xb, data_sharding(mesh))
-                logits = self._eval_fn(variables, xb)
-                accs = top_k_accuracy(logits, jnp.asarray(y))
-                meter.update(**{k: float(v) for k, v in accs.items()})
+                return self._eval_fn(variables, xb), int(xb.shape[0])
+
+            _eval_loop_accumulated(meter, data_loader, logits_fn)
         meter.synchronize_between_processes()
         result = {k: m.global_avg for k, m in meter.meters.items()}
         logger.info('eval: %s', result)
@@ -334,10 +363,12 @@ class ClassificationEngine:
                     variables, x, train=False))
         meter = MetricLogger()
         variables = localized(self.teacher_variables)
-        for x, y in data_loader:
-            logits = self._teacher_eval_fn(variables, jnp.asarray(x))
-            accs = top_k_accuracy(logits, jnp.asarray(y))
-            meter.update(**{k: float(v) for k, v in accs.items()})
+
+        def logits_fn(x):
+            xb = jnp.asarray(x)
+            return self._teacher_eval_fn(variables, xb), int(xb.shape[0])
+
+        _eval_loop_accumulated(meter, data_loader, logits_fn)
         meter.synchronize_between_processes()
         result = {k: m.global_avg for k, m in meter.meters.items()}
         logger.info('teacher eval: %s', result)

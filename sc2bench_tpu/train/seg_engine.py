@@ -134,13 +134,34 @@ class SegmentationEngine:
             variables = localized(self.teacher_variables if use_teacher
                                   else self.student_variables)
             if key not in self._eval_fn:
-                self._eval_fn[key] = jax.jit(
-                    lambda v, x: module.apply(
-                        v, x, mode='finetune', train=False))
+                n = self.num_classes
+
+                def _conf(v, x, y, _module=module, _n=n):
+                    # Fused forward + confusion-matrix histogram: the eval
+                    # loop then transfers one (n, n) matrix per batch
+                    # asynchronously instead of a full int pred map + a
+                    # blocking host bincount (each blocking read costs a
+                    # tunnel round trip on remote TPU). 255-ignore pixels
+                    # land in an overflow bin that is sliced away. int32
+                    # counts: fine through ~2e9 pixels (VOC val is ~4e8).
+                    out = _module.apply(v, x, mode='finetune', train=False)
+                    pred = jnp.argmax(out['out'], -1)
+                    t = y.reshape(-1).astype(jnp.int32)
+                    p = pred.reshape(-1).astype(jnp.int32)
+                    valid = (t >= 0) & (t < _n)
+                    idx = jnp.where(valid, _n * t + p, _n * _n)
+                    return jnp.bincount(
+                        idx, length=_n * _n + 1)[:-1].reshape(_n, _n)
+
+                self._eval_fn[key] = jax.jit(_conf)
+            mat = None
             for x, y in data_loader:
-                out = self._eval_fn[key](variables, jnp.asarray(x))
-                pred = np.asarray(jnp.argmax(out['out'], -1))
-                evaluator.update(y, pred)
+                m = self._eval_fn[key](variables, jnp.asarray(x),
+                                       jnp.asarray(np.asarray(y)))
+                mat = m if mat is None else mat + m
+            if mat is not None:
+                evaluator.mat += np.asarray(
+                    jax.device_get(mat)).astype(np.int64)
         evaluator.reduce_from_all_processes()
         acc_global, acc, iou = evaluator.compute()
         miou = float(iou.mean())

@@ -41,6 +41,12 @@ def get_argparser():
     parser.add_argument('-adjust_lr', action='store_true',
                         help='multiply training lr by the data-parallel '
                         'world size (reference -adjust_lr)')
+    parser.add_argument('-no_dp_eval', action='store_true',
+                        help='disable sharding eval batches over the device '
+                        'mesh (reference -no_dp_eval; the batch-1 data-size '
+                        'protocol is single-device regardless)')
+    parser.add_argument('-log_config', action='store_true',
+                        help='log the resolved config (reference -log_config)')
     parser.add_argument('--profile_dir',
                         help='capture a jax.profiler trace of the test phase')
     return parser
@@ -58,6 +64,10 @@ def main(args):
     config = load_config(args.config, args.json)
     if args.adjust_lr:
         config['adjust_lr'] = True
+    if args.no_dp_eval:
+        config['no_dp_eval'] = True
+    if args.log_config:
+        logger.info('config: %s', config)
     import_dependencies(config.get('dependencies'))
     engine = ClassificationEngine(
         config, image_size=config.get('image_size', (224, 224)),

@@ -34,6 +34,8 @@ def get_argparser():
     parser.add_argument('-adjust_lr', action='store_true',
                         help='multiply training lr by the data-parallel '
                         'world size (reference -adjust_lr)')
+    parser.add_argument('-log_config', action='store_true',
+                        help='log the resolved config (reference -log_config)')
     return parser
 
 
@@ -51,6 +53,8 @@ def main(args):
         config['iou_types'] = args.iou_types
     if args.adjust_lr:
         config['adjust_lr'] = True
+    if args.log_config:
+        logger.info('config: %s', config)
     # default geometry: reference 800/1333 with bucketed canvases
     # (engine resolves config canvas_size/min_size/canvas_buckets)
     engine = DetectionEngine(config)

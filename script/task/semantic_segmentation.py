@@ -31,6 +31,8 @@ def get_argparser():
     parser.add_argument('-adjust_lr', action='store_true',
                         help='multiply training lr by the data-parallel '
                         'world size (reference -adjust_lr)')
+    parser.add_argument('-log_config', action='store_true',
+                        help='log the resolved config (reference -log_config)')
     return parser
 
 
@@ -46,6 +48,8 @@ def main(args):
     config = load_config(args.config, args.json)
     if args.adjust_lr:
         config['adjust_lr'] = True
+    if args.log_config:
+        logger.info('config: %s', config)
     engine = SegmentationEngine(
         config, image_size=config.get('image_size', (512, 512)),
         num_classes=config.get('num_classes', 21))
