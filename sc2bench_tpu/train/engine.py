@@ -331,13 +331,20 @@ class ClassificationEngine:
             # the cross-process reduction (reference DDP eval). Variables
             # are localized (host copy) so globally-committed train state
             # doesn't pin the eval jit to the unreachable global mesh.
-            mesh = None if self.config.get('no_dp_eval') else self.mesh
+            # Localization (host copy off the global mesh) and batch
+            # sharding are independent concerns: after multi-process
+            # training the student variables are committed to the global
+            # mesh, so they must be pulled local even when `-no_dp_eval`
+            # disables batch sharding — otherwise the eval jit is pinned
+            # to a mesh this process cannot address alone.
             variables = self.student_variables
+            if jax.process_count() > 1:
+                variables = jax.device_get(variables)
+            mesh = None if self.config.get('no_dp_eval') else self.mesh
             if mesh is not None:
                 from ..parallel.mesh import data_sharding, get_mesh
                 if jax.process_count() > 1:
                     mesh = get_mesh(local=True)
-                    variables = jax.device_get(variables)
 
             def logits_fn(x):
                 xb = jnp.asarray(x)

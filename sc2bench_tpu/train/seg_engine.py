@@ -154,11 +154,21 @@ class SegmentationEngine:
                         idx, length=_n * _n + 1)[:-1].reshape(_n, _n)
 
                 self._eval_fn[key] = jax.jit(_conf)
+            # Device matrix is int32; fold into the host int64 evaluator
+            # matrix every 256 batches so a dominant cell can never wrap
+            # (int32 overflows past ~2.1e9 pixels — VOC val is ~4e8, but
+            # this engine must stay safe on larger/higher-res val sets).
             mat = None
+            pending = 0
             for x, y in data_loader:
                 m = self._eval_fn[key](variables, jnp.asarray(x),
                                        jnp.asarray(np.asarray(y)))
                 mat = m if mat is None else mat + m
+                pending += 1
+                if pending >= 256:
+                    evaluator.mat += np.asarray(
+                        jax.device_get(mat)).astype(np.int64)
+                    mat, pending = None, 0
             if mat is not None:
                 evaluator.mat += np.asarray(
                     jax.device_get(mat)).astype(np.int64)

@@ -358,20 +358,27 @@ class CocoEvaluator:
             md: self._accumulate(cat_ids, 'all', md)[1] for md in MAX_DETS}
 
     def summarize(self):
+        def nm(a):
+            # pycocotools convention: an area bucket with no GT objects
+            # yields -1, not a RuntimeWarning-spewing nanmean of empties.
+            a = np.asarray(a, np.float64)
+            valid = a[~np.isnan(a)]
+            return float(valid.mean()) if valid.size else -1.0
+
         ap = self._ap_all
         stats = {
-            'AP': float(np.nanmean(ap['all'])),
+            'AP': nm(ap['all']),
             'AP50': float(ap['all'][0]),
             'AP75': float(ap['all'][5]),
-            'AP_small': float(np.nanmean(ap['small'])),
-            'AP_medium': float(np.nanmean(ap['medium'])),
-            'AP_large': float(np.nanmean(ap['large'])),
-            'AR_1': float(np.nanmean(self._ar_maxdets[1])),
-            'AR_10': float(np.nanmean(self._ar_maxdets[10])),
-            'AR_100': float(np.nanmean(self._ar_maxdets[100])),
-            'AR_small': float(np.nanmean(self._ar_all['small'])),
-            'AR_medium': float(np.nanmean(self._ar_all['medium'])),
-            'AR_large': float(np.nanmean(self._ar_all['large'])),
+            'AP_small': nm(ap['small']),
+            'AP_medium': nm(ap['medium']),
+            'AP_large': nm(ap['large']),
+            'AR_1': nm(self._ar_maxdets[1]),
+            'AR_10': nm(self._ar_maxdets[10]),
+            'AR_100': nm(self._ar_maxdets[100]),
+            'AR_small': nm(self._ar_all['small']),
+            'AR_medium': nm(self._ar_all['medium']),
+            'AR_large': nm(self._ar_all['large']),
         }
         return stats
 

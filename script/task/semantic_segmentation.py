@@ -31,6 +31,10 @@ def get_argparser():
     parser.add_argument('-adjust_lr', action='store_true',
                         help='multiply training lr by the data-parallel '
                         'world size (reference -adjust_lr)')
+    parser.add_argument('-no_dp_eval', action='store_true',
+                        help='disable data-parallel eval (reference '
+                        '-no_dp_eval; seg eval is batch-1 per the data-size '
+                        'protocol, so this only pins eval to one device)')
     parser.add_argument('-log_config', action='store_true',
                         help='log the resolved config (reference -log_config)')
     return parser
@@ -48,6 +52,8 @@ def main(args):
     config = load_config(args.config, args.json)
     if args.adjust_lr:
         config['adjust_lr'] = True
+    if args.no_dp_eval:
+        config['no_dp_eval'] = True
     if args.log_config:
         logger.info('config: %s', config)
     engine = SegmentationEngine(

