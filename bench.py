@@ -15,17 +15,19 @@ runs. Symbols cross the host<->device boundary as int16 (lossless;
 runtime._to_wire).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-"value" is the fastest recorded deploy mode with strictly BATCH-1
+"value" is the MEDIAN of the fastest deploy mode with strictly BATCH-1
 DISPATCH (named in "headline_mode" — the host-coder pipelined loop or
 the per-image device-rANS wire, where entropy coding is fused
-on-device). The host-coder loop — the format-identical apples-to-apples
-number vs the torch baseline — is always recorded as "host_coder_ips";
-micro-batched modes (decode_batch=8 / wire_batch=8, per-image
-bitstreams and accounting unchanged) are informational fields only.
+on-device); best-of-trials is kept as "best_ips". The host-coder loop —
+the format-identical apples-to-apples number vs the torch baseline — is
+always recorded as "host_coder_ips"; micro-batched modes (decode_batch=8
+/ wire_batch=8/32, per-image bitstreams and accounting unchanged) are
+informational fields, with "throughput_mode_*" recording the
+chip-saturation serving numbers at wire_batch=32.
 Also recorded:
-  - trials/median: 5 pipelined trials (the remote-TPU tunnel's load varies
-    by 2-3x between minutes; value = max = least-noisy sustained estimate,
-    median reported alongside)
+  - trials + per-mode medians: the remote-TPU tunnel's load varies
+    by 2-3x between minutes; the median is the typical number, max the
+    least-noisy sustained estimate
   - serving_mode_ips_decode_batch8: best of 3 (fused decoder+tail over 8
     consecutive images; per-image bitstreams/accounting unchanged)
   - device_wire_rans_ips / device_wire_batch8_ips: device-rANS wire mode
@@ -204,6 +206,61 @@ def bench_device_programs(rt, image):
     }
 
 
+def bench_throughput_mode(rt, images, wire_batch=32, n_iter=256,
+                          n_trials=3):
+    """Throughput-mode serving: the device-rANS wire grouped `wire_batch`
+    images per fused dispatch (per-image bitstreams + byte accounting
+    unchanged — the batch-1 protocol constrains *measurement*, not
+    serving, reference README.md:99-103). Records end-to-end images/sec
+    plus the device-loop rate/MFU of the fused encode+code and
+    decode+tail programs at this group size (the chip-saturation
+    number, free of tunnel latency)."""
+    rt.stream_deploy_device([images[i % len(images)]
+                             for i in range(wire_batch * 2)],
+                            wire_batch=wire_batch)  # warm/compile
+    trials = []
+    for _ in range(n_trials):
+        stream = [images[i % len(images)] for i in range(n_iter)]
+        t0 = time.perf_counter()
+        rt.stream_deploy_device(stream, depth=8, workers=8,
+                                wire_batch=wire_batch)
+        trials.append(n_iter / (time.perf_counter() - t0))
+
+    # device-loop rates of the fused batched programs (one dispatch = k
+    # images), decoupled from the host/tunnel: this is the MFU claim.
+    grp = [images[i % len(images)] for i in range(wire_batch)]
+    ops = rt.encode_device_wire_batch(grp)
+    enc_key = next(k for k in rt._jit_cache
+                   if str(k).startswith(f'encode_devwire_b{wire_batch}_'))
+    enc = rt._jit_cache[enc_key]
+    cdf, cdf_len, off = rt._device_tables()
+    enc_args = (rt.variables, rt._medians_dev, cdf, cdf_len, off, *grp)
+    enc_flops = program_flops(enc, *enc_args)
+    logits, valid = rt.decode_device_streams_batch(
+        ops['streams'], ops['states'], ops['shape'])
+    jax.block_until_ready(logits)
+    dec_key = next(k for k in rt._jit_cache
+                   if str(k).startswith(f'decode_devwire_b{wire_batch}_'))
+    dec = rt._jit_cache[dec_key]
+    dec_args = (rt.variables, ops['streams'], ops['states'],
+                rt._medians_dev, cdf, cdf_len, off)
+    dec_flops = program_flops(dec, *dec_args)
+    enc_rate = device_loop_rate(lambda: enc(*enc_args), n=10) * wire_batch
+    dec_rate = device_loop_rate(lambda: dec(*dec_args), n=10) * wire_batch
+    pair_rate = 1.0 / (1.0 / enc_rate + 1.0 / dec_rate)
+    flops_per_img = (enc_flops + dec_flops) / wire_batch
+    return {
+        'throughput_mode_wire_batch': wire_batch,
+        'throughput_mode_ips': round(max(trials), 2),
+        'throughput_mode_trials': [round(t, 2) for t in trials],
+        'throughput_mode_median_ips': round(float(np.median(trials)), 2),
+        'throughput_device_ips': round(pair_rate, 1),
+        'throughput_device_mfu_vs_bf16_peak':
+            round(flops_per_img * pair_rate / V5E_PEAK_BF16_FLOPS, 4),
+        'throughput_gflops_per_image': round(flops_per_img / 1e9, 2),
+    }
+
+
 def bench_train(batch=128, image=224, steps=8):
     """Flagship stage-1 distillation step, bf16 tails, with cost-analysis
     FLOPs -> train MFU."""
@@ -290,48 +347,62 @@ def main():
     fresh_ips = _section('fresh_upload', bench_fresh_upload, None)
     device = _section('device_programs',
                       lambda: bench_device_programs(rt, images[0]), {})
+    throughput = _section('throughput_mode',
+                          lambda: bench_throughput_mode(rt, images), {})
     train = _section('train', bench_train, {})
 
     n_iter = 120
     baseline = measured_baseline_ips()
     rnd = lambda v: round(v, 2) if v is not None else None  # noqa: E731
-    # headline = the fastest recorded deploy mode whose DISPATCH is
+    med = lambda ts: float(np.median(ts)) if ts else None  # noqa: E731
+    # headline = the MEDIAN of the fastest deploy mode whose DISPATCH is
     # strictly batch-1 (one image per device program call — the metric
-    # name's contract): the host-coder pipelined loop and the per-image
-    # device-rANS wire. Micro-batched modes (decode_batch=8 /
-    # wire_batch=8) keep per-image bitstreams+accounting but fuse 8
-    # images per dispatch, so they stay informational fields only.
-    modes = {'host_coder_pipelined': ips}
+    # name's contract): the host-coder pipelined loop or the per-image
+    # device-rANS wire. The winning mode is chosen by median (the typical
+    # number over a load-varying tunnel); its best-of-trials is kept as
+    # "best_ips". Micro-batched modes (decode_batch=8 / wire_batch=8/32)
+    # keep per-image bitstreams+accounting but fuse k images per
+    # dispatch, so they stay informational fields only.
+    modes = {'host_coder_pipelined': med(trials)}
     if device_wire_trials:
-        modes['device_wire_rans'] = max(device_wire_trials)
+        modes['device_wire_rans'] = med(device_wire_trials)
     headline_mode = max(modes, key=modes.get)
     headline = modes[headline_mode]
+    best_of = {'host_coder_pipelined': max(trials),
+               'device_wire_rans':
+                   max(device_wire_trials) if device_wire_trials else None}
     print(json.dumps({
         'metric': 'deploy_images_per_sec_batch1',
         'value': round(headline, 2),
         'unit': 'images/sec',
         'vs_baseline': round(headline / baseline, 2),
         'headline_mode': headline_mode,
-        'host_coder_ips': round(ips, 2),
+        'headline_is_median': True,
+        'best_ips': rnd(best_of[headline_mode]),
+        'host_coder_ips': round(max(trials), 2),
+        'host_coder_median_ips': rnd(med(trials)),
         'baseline_ips_torch_cpu': baseline,
         'trials': [round(t, 2) for t in trials],
-        'median_ips': round(float(np.median(trials)), 2),
         'serving_mode_ips_decode_batch8':
             rnd(max(serving_trials) if serving_trials else None),
+        'serving_mode_median_ips': rnd(med(serving_trials)),
         'serving_trials': [round(t, 2) for t in serving_trials],
         'fresh_upload_uint8_ips': rnd(fresh_ips),
         'device_wire_rans_backend': rans_backend,
         'device_wire_rans_ips':
             rnd(max(device_wire_trials) if device_wire_trials else None),
+        'device_wire_median_ips': rnd(med(device_wire_trials)),
         'device_wire_trials': [round(t, 2) for t in device_wire_trials],
         'device_wire_batch8_ips':
             rnd(max(wire_batch_trials) if wire_batch_trials else None),
+        'device_wire_batch8_median_ips': rnd(med(wire_batch_trials)),
         'device_wire_batch8_trials':
             [round(t, 2) for t in wire_batch_trials],
         'stage_ms_per_image': {
             k: round(v / n_iter * 1000, 2)
             for k, v in sorted(best_timings.items())},
         **device,
+        **throughput,
         **train,
     }))
 
