@@ -96,7 +96,8 @@ class RegNetStage(nn.Module):
 
 class SplittableRegNet(nn.Module):
     """Bottleneck (replacing stem+s1) + RegNet s2-s4 + head
-    (reference `backbone.py:487-563`)."""
+    (reference `backbone.py:487-563`). `forward_tail` is the deploy-path
+    server side (bottleneck output -> logits) the split runtime jits."""
 
     bottleneck_layer: nn.Module
     stage_widths: tuple = (288, 576, 1296)   # s2..s4 (regnety_064)
@@ -105,18 +106,29 @@ class SplittableRegNet(nn.Module):
     num_classes: int = 1000
     sow_intermediates: bool = True
 
-    @nn.compact
+    def setup(self):
+        self.s2 = RegNetStage(self.stage_widths[0], self.stage_depths[0],
+                              self.group_width)
+        self.s3 = RegNetStage(self.stage_widths[1], self.stage_depths[1],
+                              self.group_width)
+        self.s4 = RegNetStage(self.stage_widths[2], self.stage_depths[2],
+                              self.group_width)
+        self.head_fc = nn.Dense(self.num_classes)
+
     def __call__(self, x, mode: str = 'train', train: bool = False):
         z = self.bottleneck_layer(x, mode=mode, train=train)
         if self.sow_intermediates:
             self.sow('intermediates', 'bottleneck_layer_out', z)
-        for i, (w, d) in enumerate(zip(self.stage_widths,
-                                       self.stage_depths), start=2):
-            z = RegNetStage(w, d, self.group_width, name=f's{i}')(z, train)
-            if self.sow_intermediates:
+        return self.forward_tail(z, train=train, sow=self.sow_intermediates)
+
+    def forward_tail(self, feature, train: bool = False, sow: bool = False):
+        z = feature
+        for i, stage in ((2, self.s2), (3, self.s3), (4, self.s4)):
+            z = stage(z, train)
+            if sow:
                 self.sow('intermediates', f's{i}_out', z)
         z = jnp.mean(z, axis=(1, 2))
-        return nn.Dense(self.num_classes, name='head_fc')(z)
+        return self.head_fc(z)
 
 
 class RegNet(nn.Module):

@@ -46,12 +46,15 @@ class SplitAttentionConv(nn.Module):
         y = nn.relu(y)
         n, h, w, _ = y.shape
         splits = y.reshape(n, h, w, r, c)
-        gap = jnp.mean(jnp.sum(splits, axis=3), axis=(1, 2))       # (N, C)
+        # gap kept as a (N,1,1,C) map and fc1/fc2 as 1x1 convs — the timm
+        # SplAtConv2d parameter shapes (Conv2d 1x1), so reference weights
+        # convert with the uniform conv rule (utils/torch_convert.py)
+        gap = jnp.mean(jnp.sum(splits, axis=3), axis=(1, 2), keepdims=True)
         inter = max(c * r // self.reduction_factor, 32)
-        a = nn.Dense(inter, name='fc1')(gap)
+        a = nn.Conv(inter, (1, 1), name='fc1')(gap)
         a = _bn('bn1', self.dtype)(a, use_running_average=not train)
         a = nn.relu(a)
-        a = nn.Dense(c * r, name='fc2')(a).reshape(n, r, c)
+        a = nn.Conv(c * r, (1, 1), name='fc2')(a).reshape(n, r, c)
         attn = nn.softmax(a, axis=1) if r > 1 else nn.sigmoid(a)
         return jnp.einsum('nhwrc,nrc->nhwc', splits, attn)
 

@@ -261,6 +261,119 @@ SEGMENTATION_RULES = [
 ]
 
 
+# ---- timm-family rules (VERDICT r3 item 2) ---------------------------
+# ResNeSt: the reference wraps timm `resnest50d` layers in SplittableResNet
+# (`/root/reference/sc2bench/models/backbone.py:786-820` -> `:190-276`), so
+# the student key space is bottleneck_layer.* + timm layer2-4 (+ fc). timm
+# ResNestBottleneck: conv1/bn1, conv2 = SplAtConv2d(conv,bn0,fc1,bn1,fc2),
+# conv3/bn3, avg-down shortcut Sequential(pool, conv, bn) -> .1/.2.
+_RESNEST_STEM = [
+    (r'^conv1\.0$', 'stem_conv0'), (r'^conv1\.1$', 'stem_bn0'),
+    (r'^conv1\.3$', 'stem_conv1'), (r'^conv1\.4$', 'stem_bn1'),
+    (r'^conv1\.6$', 'stem_conv2'), (r'^bn1$', 'stem_bn2'),
+]
+_RESNEST_LAYERS = [
+    (r'^layer(\d)\.(\d+)\.conv1$', r'layer\1/block\2/conv1'),
+    (r'^layer(\d)\.(\d+)\.bn1$', r'layer\1/block\2/bn1'),
+    (r'^layer(\d)\.(\d+)\.conv2\.(conv|bn0|fc1|bn1|fc2)$',
+     r'layer\1/block\2/conv2/\3'),
+    (r'^layer(\d)\.(\d+)\.conv3$', r'layer\1/block\2/conv3'),
+    (r'^layer(\d)\.(\d+)\.bn3$', r'layer\1/block\2/bn3'),
+    (r'^layer(\d)\.(\d+)\.downsample\.1$', r'layer\1/block\2/downsample_conv'),
+    (r'^layer(\d)\.(\d+)\.downsample\.2$', r'layer\1/block\2/downsample_bn'),
+]
+RESNEST_RULES = _RESNEST_STEM + _RESNEST_LAYERS + [(r'^fc$', 'fc')]
+
+# the splittable student has no stem/layer1 (replaced by the bottleneck):
+# restrict to layer2-4 so a full-resnest state dict converts cleanly too
+SPLITTABLE_RESNEST_RULES = [
+    (rf'^bottleneck_layer\.{pat[1:]}', 'bottleneck_layer/' + repl)
+    for pat, repl in FP_BOTTLENECK_RULES
+] + [(pat.replace(r'layer(\d)', r'layer([234])'), repl)
+     for pat, repl in _RESNEST_LAYERS] + [(r'^fc$', 'fc')]
+
+
+def _regnet_block(m):
+    """timm `s2.b1...` (1-indexed blocks) -> flax `s2/block0/...`."""
+    tail = {'conv1.conv': 'conv1', 'conv1.bn': 'bn1',
+            'conv2.conv': 'conv2', 'conv2.bn': 'bn2',
+            'se.fc1': 'se/fc1', 'se.fc2': 'se/fc2',
+            'conv3.conv': 'conv3', 'conv3.bn': 'bn3',
+            'downsample.conv': 'down_conv', 'downsample.bn': 'down_bn',
+            }[m.group(3)]
+    return f's{m.group(1)}/block{int(m.group(2)) - 1}/{tail}'
+
+
+# RegNetY: reference SplittableRegNet keeps timm stages s2-s4 + head
+# (`backbone.py:487-563,823-854`). timm RegNet key space: stem.conv/bn,
+# s{i}.b{j} (1-indexed) with ConvNormAct (.conv/.bn), SEModule fc1/fc2
+# (1x1 convs), downsample.conv/.bn; head.fc.
+_REGNET_BLOCK_PAT = (r'^s(\d)\.b(\d+)\.'
+                     r'(conv1\.conv|conv1\.bn|conv2\.conv|conv2\.bn|'
+                     r'se\.fc1|se\.fc2|conv3\.conv|conv3\.bn|'
+                     r'downsample\.conv|downsample\.bn)$')
+REGNET_RULES = [
+    (r'^stem\.conv$', 'stem_conv'), (r'^stem\.bn$', 'stem_bn'),
+    (_REGNET_BLOCK_PAT, _regnet_block),
+    (r'^head\.fc$', 'head_fc'),
+]
+
+SPLITTABLE_REGNET_RULES = [
+    (rf'^bottleneck_layer\.{pat[1:]}', 'bottleneck_layer/' + repl)
+    for pat, repl in FP_BOTTLENECK_RULES
+] + [
+    # the splittable student keeps only timm stages s2-s4 + head
+    (_REGNET_BLOCK_PAT.replace(r's(\d)', r's([234])'), _regnet_block),
+    (r'^head\.fc$', 'head_fc'),
+]
+
+
+# Hybrid ViT (timm `vit_small_r26_s32_224`): ResNetV2-26 patch-embed
+# backbone (StdConv + GroupNorm, key space stem.conv/norm,
+# stages.{i}.blocks.{j}.{conv,norm}{1..3} + downsample.conv/.norm) + ViT-S
+# (cls_token/pos_embed top-level, blocks.{i}.attn.qkv/proj + mlp.fc1/fc2).
+_VIT_BLOCKS = [
+    (r'^blocks\.(\d+)\.norm1$', r'vit/block\1/norm1'),
+    (r'^blocks\.(\d+)\.attn\.qkv$', r'vit/block\1/qkv'),
+    (r'^blocks\.(\d+)\.attn\.proj$', r'vit/block\1/attn_proj'),
+    (r'^blocks\.(\d+)\.norm2$', r'vit/block\1/norm2'),
+    (r'^blocks\.(\d+)\.mlp\.fc1$', r'vit/block\1/mlp_fc1'),
+    (r'^blocks\.(\d+)\.mlp\.fc2$', r'vit/block\1/mlp_fc2'),
+    (r'^norm$', 'vit/norm'),
+    (r'^head$', 'vit/head'),
+    (r'^$', 'vit'),  # cls_token / pos_embed (top-level parameters)
+]
+
+_RESNETV2_BLOCK = (r'\.blocks\.(\d+)\.'
+                   r'(conv\d|norm\d|downsample\.conv|downsample\.norm)$')
+
+
+def _v2_leaf(g):
+    return g.replace('downsample.conv', 'downsample_conv') \
+            .replace('downsample.norm', 'downsample_norm')
+
+
+HYBRID_VIT_RULES = [
+    (r'^patch_embed\.backbone\.stem\.conv$', 'stem_conv'),
+    (r'^patch_embed\.backbone\.stem\.norm$', 'stem_norm'),
+    (r'^patch_embed\.backbone\.stages\.(\d)' + _RESNETV2_BLOCK,
+     lambda m: f'stage{m.group(1)}/block{m.group(2)}/{_v2_leaf(m.group(3))}'),
+    (r'^patch_embed\.proj$', 'vit/patch_proj'),
+] + _VIT_BLOCKS
+
+# Student key space (reference SplittableHybridViT, `backbone.py:565-655`):
+# torch Sequential slices preserve child names, so the kept stages stay at
+# their ORIGINAL indices `patch_embed_pruned_stages.{1..3}`.
+SPLITTABLE_HYBRID_VIT_RULES = [
+    (rf'^bottleneck_layer\.{pat[1:]}', 'bottleneck_layer/' + repl)
+    for pat, repl in FP_BOTTLENECK_RULES
+] + [
+    (r'^patch_embed_pruned_stages\.([123])' + _RESNETV2_BLOCK,
+     lambda m: f'stage{m.group(1)}/block{m.group(2)}/{_v2_leaf(m.group(3))}'),
+    (r'^patch_embed_proj$', 'vit/patch_proj'),
+] + _VIT_BLOCKS
+
+
 def convert_state_dict(state_dict: Dict[str, 'np.ndarray'],
                        rules: Iterable[Tuple[str, str]],
                        deconv_paths: Iterable[str] = (),
@@ -288,7 +401,9 @@ def convert_state_dict(state_dict: Dict[str, 'np.ndarray'],
                 continue
             m = re.fullmatch(pattern, module_path)
             if m:
-                flax_scope = m.expand(repl)
+                # replacement may be a callable (index arithmetic — e.g.
+                # timm's 1-indexed `b1..bN` blocks or pruned-stage shifts)
+                flax_scope = repl(m) if callable(repl) else m.expand(repl)
                 break
         if flax_scope is None:
             skipped.append(key)
@@ -299,8 +414,8 @@ def convert_state_dict(state_dict: Dict[str, 'np.ndarray'],
         elif module_path in weight_transforms and leaf == 'weight':
             arr = weight_transforms[module_path](value)
         node = out[coll]
-        parts = flax_scope.split('/')
-        for p in parts:
+        # '' scope = top-level parameter (e.g. ViT cls_token / pos_embed)
+        for p in (flax_scope.split('/') if flax_scope else ()):
             node = node.setdefault(p, {})
         node[leaf_name] = arr
     if skipped:
