@@ -152,6 +152,28 @@ JAHP_RULES = [
 JAHP_DECONV_PATHS = ('g_s.0', 'g_s.2', 'g_s.4', 'g_s.6',
                      'h_s.0', 'h_s.2')
 
+# CompressAI-zoo input-compression codecs (the reference resolves
+# bmshj2018_factorized / bmshj2018_hyperprior / mbt2018_mean from
+# compressai.zoo, `/root/reference/sc2bench/models/registry.py:12-80`)
+# -> `models/zoo.py::{FactorizedPrior,ScaleHyperprior}Codec` scopes.
+# The zoo g_a/g_s stacks share the mbt2018 naming (4 conv/deconv stages
+# with GDN/IGDN between), so the first 14 JAHP rules apply verbatim.
+_ZOO_GA_GS_RULES = JAHP_RULES[:14]
+
+ZOO_FACTORIZED_RULES = _ZOO_GA_GS_RULES + [
+    (r'^entropy_bottleneck$', 'entropy_bottleneck'),
+]
+
+ZOO_HYPERPRIOR_RULES = _ZOO_GA_GS_RULES + [
+    (r'^h_a\.0$', 'h_a0'), (r'^h_a\.2$', 'h_a1'), (r'^h_a\.4$', 'h_a2'),
+    (r'^h_s\.0$', 'h_s0'), (r'^h_s\.2$', 'h_s1'), (r'^h_s\.4$', 'h_s2'),
+    (r'^entropy_bottleneck$', 'entropy_bottleneck'),
+]
+
+ZOO_FACTORIZED_DECONV_PATHS = ('g_s.0', 'g_s.2', 'g_s.4', 'g_s.6')
+ZOO_HYPERPRIOR_DECONV_PATHS = ZOO_FACTORIZED_DECONV_PATHS + (
+    'h_s.0', 'h_s.2')
+
 # Faster R-CNN + FPN over the splittable backbone: torchvision>=0.15.1
 # key space as the reference builds it (`create_faster_rcnn_fpn`,
 # `/root/reference/sc2bench/models/detection/rcnn.py:113-166`:

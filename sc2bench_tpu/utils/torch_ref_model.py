@@ -714,3 +714,142 @@ def torch_keypoint_head_forward(model: TorchSplittableKeypointRCNN,
     return nn.functional.interpolate(
         x, scale_factor=2, mode='bilinear', align_corners=False,
         recompute_scale_factor=False).numpy()
+
+
+# ---------------------------------------------------------------------------
+# CompressAI-zoo image codecs (input-compression baselines). The reference
+# resolves these from compressai.zoo (`/root/reference/sc2bench/models/
+# registry.py:12-80`: bmshj2018_factorized, bmshj2018_hyperprior,
+# mbt2018_mean); these replicas reproduce the zoo key space + geometry so
+# `torch_convert.ZOO_*_RULES` can be pinned by a full-codec parity oracle.
+# ---------------------------------------------------------------------------
+
+def _zoo_g_a(n, m):
+    return nn.Sequential(
+        nn.Conv2d(3, n, 5, 2, 2), TorchGDN1(n),
+        nn.Conv2d(n, n, 5, 2, 2), TorchGDN1(n),
+        nn.Conv2d(n, n, 5, 2, 2), TorchGDN1(n),
+        nn.Conv2d(n, m, 5, 2, 2))
+
+
+def _zoo_g_s(n, m):
+    return nn.Sequential(
+        nn.ConvTranspose2d(m, n, 5, 2, 2, 1), TorchGDN1(n, inverse=True),
+        nn.ConvTranspose2d(n, n, 5, 2, 2, 1), TorchGDN1(n, inverse=True),
+        nn.ConvTranspose2d(n, n, 5, 2, 2, 1), TorchGDN1(n, inverse=True),
+        nn.ConvTranspose2d(n, 3, 5, 2, 2, 1))
+
+
+class TorchZooFactorizedPrior(nn.Module):
+    """bmshj2018_factorized replica (CompressAI FactorizedPrior key
+    space): 4-stage conv+GDN analysis/synthesis, factorized prior on y."""
+
+    def __init__(self, n=8, m=12):
+        super().__init__()
+        from .torch_golden import GoldenEntropyBottleneck
+        self.g_a = _zoo_g_a(n, m)
+        self.g_s = _zoo_g_s(n, m)
+        self.entropy_bottleneck = GoldenEntropyBottleneck(m)
+
+
+class TorchZooScaleHyperprior(nn.Module):
+    """bmshj2018_hyperprior replica: h_a over |y|, ReLU-terminated h_s
+    emitting scales only."""
+
+    mean_scale = False
+
+    def __init__(self, n=8, m=12):
+        super().__init__()
+        from .torch_golden import (GoldenEntropyBottleneck,
+                                   GoldenGaussianConditional)
+        self.g_a = _zoo_g_a(n, m)
+        self.g_s = _zoo_g_s(n, m)
+        self.h_a = nn.Sequential(
+            nn.Conv2d(m, n, 3, 1, 1), nn.ReLU(),
+            nn.Conv2d(n, n, 5, 2, 2), nn.ReLU(),
+            nn.Conv2d(n, n, 5, 2, 2))
+        self.h_s = nn.Sequential(
+            nn.ConvTranspose2d(n, n, 5, 2, 2, 1), nn.ReLU(),
+            nn.ConvTranspose2d(n, n, 5, 2, 2, 1), nn.ReLU(),
+            nn.Conv2d(n, m, 3, 1, 1), nn.ReLU())
+        self.entropy_bottleneck = GoldenEntropyBottleneck(n)
+        self.gaussian_conditional = GoldenGaussianConditional()
+
+
+class TorchZooMeanScaleHyperprior(TorchZooScaleHyperprior):
+    """mbt2018_mean replica: LeakyReLU hyper-nets over y directly; h_s
+    emits 2M channels chunked into (scales, means)."""
+
+    mean_scale = True
+
+    def __init__(self, n=8, m=12):
+        super().__init__(n, m)
+        self.h_a = nn.Sequential(
+            nn.Conv2d(m, n, 3, 1, 1), nn.LeakyReLU(),
+            nn.Conv2d(n, n, 5, 2, 2), nn.LeakyReLU(),
+            nn.Conv2d(n, n, 5, 2, 2))
+        self.h_s = nn.Sequential(
+            nn.ConvTranspose2d(n, m, 5, 2, 2, 1), nn.LeakyReLU(),
+            nn.ConvTranspose2d(m, m * 3 // 2, 5, 2, 2, 1), nn.LeakyReLU(),
+            nn.Conv2d(m * 3 // 2, m * 2, 3, 1, 1))
+
+
+@torch.no_grad()
+def torch_deploy_forward_zoo_fp(model, coder, medians,
+                                img_nchw: np.ndarray):
+    """CompressAI FactorizedPrior compress→decompress (reference wrapper
+    call sites `sc2bench/models/wrapper.py:126-129`): channel-major
+    factorized coding of round(y − medians), matching the JAX
+    `ImageCodecRuntime`/`FactorizedCodec.compress_symbols` layout.
+    Returns (x_hat (1, 3, H, W), bitstream bytes)."""
+    med = torch.from_numpy(np.asarray(medians, np.float32)).view(
+        1, -1, 1, 1)
+    y = model.g_a(torch.from_numpy(img_nchw))
+    sym = torch.round(y - med).to(torch.int32).numpy()[0]
+    c, h, w = sym.shape
+    indexes = np.repeat(np.arange(c, dtype=np.int32), h * w)
+    bits = coder.encode_with_indexes(sym.reshape(c, -1).ravel(), indexes)
+    out = coder.decode_with_indexes(bits, indexes)
+    y_hat = torch.from_numpy(
+        out.reshape(1, c, h, w).astype(np.float32)) + med
+    return model.g_s(y_hat).numpy(), bits
+
+
+@torch.no_grad()
+def torch_deploy_forward_zoo_hyper(model, z_coder, y_coder, z_medians,
+                                   img_nchw: np.ndarray):
+    """CompressAI (Mean)ScaleHyperprior compress→decompress. Layouts
+    match the JAX `ImageCodecRuntime`: z channel-major through the
+    factorized coder, y NHWC-ravel through the gaussian coder. Returns
+    (x_hat (1, 3, H, W), y bitstream, z bitstream)."""
+    mean_scale = model.mean_scale
+    zmed = torch.from_numpy(np.asarray(z_medians, np.float32)).view(
+        1, -1, 1, 1)
+    y = model.g_a(torch.from_numpy(img_nchw))
+    z = model.h_a(y if mean_scale else torch.abs(y))
+    z_sym = torch.round(z - zmed).to(torch.int32).numpy()[0]
+    cz, hz, wz = z_sym.shape
+    z_idx = np.repeat(np.arange(cz, dtype=np.int32), hz * wz)
+    z_bits = z_coder.encode_with_indexes(
+        z_sym.reshape(cz, -1).ravel(), z_idx)
+    z_dec = z_coder.decode_with_indexes(z_bits, z_idx).reshape(cz, hz, wz)
+    z_hat = torch.from_numpy(z_dec.astype(np.float32))[None] + zmed
+    params = model.h_s(z_hat)
+    if mean_scale:
+        scales, means = params.chunk(2, 1)
+    else:
+        scales, means = params, None
+    idx = model.gaussian_conditional.build_indexes(scales)[0]
+    y_sym = torch.round(y - means if means is not None else y)         .to(torch.int32).numpy()[0]
+    cy, hy, wy = y_sym.shape
+    y_sym_hwc = np.ascontiguousarray(
+        np.transpose(y_sym, (1, 2, 0))).ravel()
+    idx_hwc = np.ascontiguousarray(
+        np.transpose(idx, (1, 2, 0))).ravel().astype(np.int32)
+    y_bits = y_coder.encode_with_indexes(y_sym_hwc, idx_hwc)
+    y_dec = y_coder.decode_with_indexes(y_bits, idx_hwc)
+    y_hat = torch.from_numpy(np.transpose(
+        y_dec.reshape(hy, wy, cy), (2, 0, 1)).astype(np.float32))[None]
+    if means is not None:
+        y_hat = y_hat + means
+    return model.g_s(y_hat).numpy(), y_bits, z_bits
