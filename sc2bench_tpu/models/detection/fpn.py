@@ -56,10 +56,11 @@ def generate_anchors(feature_shapes, image_hw,
         stride_h = ih // fh
         stride_w = iw // fw
         cell = []
-        for size in level_sizes:
-            for ar in aspect_ratios:
-                h = size / np.sqrt(ar)
-                w = size * np.sqrt(ar)
+        for ar in aspect_ratios:
+            for size in level_sizes:
+                # torchvision convention: aspect_ratio = h / w
+                h = size * np.sqrt(ar)
+                w = size / np.sqrt(ar)
                 cell.append([-w / 2, -h / 2, w / 2, h / 2])
         cell = np.asarray(cell, np.float32).round()
         shifts_x = np.arange(fw, dtype=np.float32) * stride_w

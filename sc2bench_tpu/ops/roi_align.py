@@ -60,7 +60,10 @@ def roi_align(feature, boxes, output_size: int, spatial_scale: float,
                               (output_size, output_size, s, s))
         xs = jnp.broadcast_to(ix[None, :, None, :],
                               (output_size, output_size, s, s))
-        samples = _bilinear_sample(feature, ys - 0.5, xs - 0.5)
+        # aligned=False (torchvision detection default): the continuous
+        # sample coordinate IS the index-space coordinate — no half-pixel
+        # offset (aligned=True would subtract 0.5 here).
+        samples = _bilinear_sample(feature, ys, xs)
         return jnp.mean(samples, axis=(2, 3))
 
     return jax.vmap(one_roi)(boxes)
@@ -115,9 +118,10 @@ def multiscale_roi_align(features: list, boxes, output_size: int,
     ix = (jnp.arange(out)[None, :, None] * (roi_w / out)[:, None, None]
           + (jnp.arange(s)[None, None, :] + 0.5)
           * (roi_w / out)[:, None, None] / s + x1[:, None, None])
-    ys = jnp.broadcast_to(iy[:, :, None, :, None] - 0.5,
+    # aligned=False: sample at the raw continuous coordinate (see roi_align)
+    ys = jnp.broadcast_to(iy[:, :, None, :, None],
                           (boxes.shape[0], out, out, s, s))
-    xs = jnp.broadcast_to(ix[:, None, :, None, :] - 0.5,
+    xs = jnp.broadcast_to(ix[:, None, :, None, :],
                           (boxes.shape[0], out, out, s, s))
 
     hf = h_r.astype(jnp.float32)[:, None, None, None, None]

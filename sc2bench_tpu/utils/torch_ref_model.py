@@ -853,3 +853,254 @@ def torch_deploy_forward_zoo_hyper(model, z_coder, y_coder, z_medians,
     if means is not None:
         y_hat = y_hat + means
     return model.g_s(y_hat).numpy(), y_bits, z_bits
+
+
+# ---------------------------------------------------------------------------
+# Full detection deploy oracle: torchvision EVAL semantics in numpy/torch
+# (RegionProposalNetwork.filter_proposals + MultiScaleRoIAlign aligned=False
+# + RoIHeads.postprocess_detections), composed over the torch replica's
+# learned tensors. Pins the reference's entire `-test_only` detection path
+# (`/root/reference/sc2bench/models/backbone.py:130-144` +
+# `detection/base.py:98-101` + torchvision GeneralizedRCNN eval) against
+# the JAX SplitDetectionRuntime end to end — bitstream bytes and
+# postprocessed boxes/scores/labels.
+# ---------------------------------------------------------------------------
+
+_NP_BBOX_CLIP = float(np.log(1000.0 / 16))
+
+
+def _np_cell_anchors(level_sizes, aspect_ratios):
+    """torchvision AnchorGenerator.generate_anchors: ratio-major order,
+    aspect_ratio = h / w, rounded base anchors."""
+    cell = []
+    for ar in aspect_ratios:
+        hr = np.sqrt(ar)
+        wr = 1.0 / hr
+        for size in level_sizes:
+            ws, hs = wr * size, hr * size
+            cell.append([-ws / 2, -hs / 2, ws / 2, hs / 2])
+    return np.round(np.asarray(cell, np.float32))
+
+
+def _np_anchors(feature_shapes, image_hw, sizes, aspect_ratios):
+    ih, iw = image_hw
+    out = []
+    for (fh, fw), level_sizes in zip(feature_shapes, sizes):
+        sh, sw = ih // fh, iw // fw
+        cell = _np_cell_anchors(level_sizes, aspect_ratios)
+        sx, sy = np.meshgrid(np.arange(fw, dtype=np.float32) * sw,
+                             np.arange(fh, dtype=np.float32) * sh)
+        shifts = np.stack([sx.ravel(), sy.ravel(),
+                           sx.ravel(), sy.ravel()], axis=1)
+        out.append((shifts[:, None, :] + cell[None, :, :])
+                   .reshape(-1, 4).astype(np.float32))
+    return out
+
+
+def _np_decode_boxes(deltas, boxes, weights=(1.0, 1.0, 1.0, 1.0)):
+    wx, wy, ww, wh = weights
+    px = (boxes[..., 0] + boxes[..., 2]) / 2
+    py = (boxes[..., 1] + boxes[..., 3]) / 2
+    pw = boxes[..., 2] - boxes[..., 0]
+    ph = boxes[..., 3] - boxes[..., 1]
+    dx = deltas[..., 0] / wx
+    dy = deltas[..., 1] / wy
+    dw = np.minimum(deltas[..., 2] / ww, _NP_BBOX_CLIP)
+    dh = np.minimum(deltas[..., 3] / wh, _NP_BBOX_CLIP)
+    cx, cy = dx * pw + px, dy * ph + py
+    w, h = np.exp(dw) * pw, np.exp(dh) * ph
+    return np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
+                    axis=-1)
+
+
+def _np_clip_boxes(boxes, image_hw):
+    h, w = image_hw
+    return np.stack([boxes[..., 0].clip(0, w), boxes[..., 1].clip(0, h),
+                     boxes[..., 2].clip(0, w), boxes[..., 3].clip(0, h)],
+                    axis=-1)
+
+
+def _np_iou(a, b):
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area = lambda x: (x[:, 2] - x[:, 0]) * (x[:, 3] - x[:, 1])  # noqa: E731
+    union = area(a)[:, None] + area(b)[None, :] - inter
+    return inter / np.maximum(union, 1e-9)
+
+
+def _np_nms(boxes, scores, thresh):
+    """Greedy NMS, score-descending, first-index tie-break (torchvision
+    `nms`). Returns kept indices in selection order."""
+    order = np.argsort(-scores, kind='stable')
+    keep = []
+    while order.size:
+        i = order[0]
+        keep.append(int(i))
+        rest = order[1:]
+        iou = _np_iou(boxes[i:i + 1], boxes[rest])[0]
+        order = rest[iou <= thresh]
+    return np.asarray(keep, np.int64)
+
+
+def _np_batched_nms(boxes, scores, idxs, thresh):
+    if boxes.size == 0:
+        return np.zeros((0,), np.int64)
+    offs = idxs.astype(np.float32) * (boxes.max() + 1.0)
+    return _np_nms(boxes + offs[:, None], scores, thresh)
+
+
+def _np_roi_align(feature_hwc, boxes, out, scale, sampling_ratio=2):
+    """torchvision roi_align, aligned=False: raw continuous coordinates in
+    index space, roi size floored at 1, samples outside [-1, size] zeroed."""
+    h, w, _ = feature_hwc.shape
+    s = sampling_ratio
+    b = boxes * scale
+    x1, y1 = b[:, 0], b[:, 1]
+    rw = np.maximum(b[:, 2] - x1, 1.0)
+    rh = np.maximum(b[:, 3] - y1, 1.0)
+
+    def grid(start, size):
+        return (start[:, None, None]
+                + np.arange(out)[None, :, None] * (size / out)[:, None, None]
+                + (np.arange(s)[None, None, :] + 0.5)
+                * (size / out)[:, None, None] / s)
+
+    ys = grid(y1, rh)
+    xs = grid(x1, rw)
+    yy = np.broadcast_to(ys[:, :, None, :, None],
+                         (len(b), out, out, s, s))
+    xx = np.broadcast_to(xs[:, None, :, None, :],
+                         (len(b), out, out, s, s))
+    valid = (yy >= -1) & (yy <= h) & (xx >= -1) & (xx <= w)
+    y0, x0 = np.floor(yy), np.floor(xx)
+    wy1, wx1 = yy - y0, xx - x0
+    wy0, wx0 = 1 - wy1, 1 - wx1
+
+    def g(a, b_):
+        yi = np.clip(a.astype(np.int64), 0, h - 1)
+        xi = np.clip(b_.astype(np.int64), 0, w - 1)
+        return feature_hwc[yi, xi]
+
+    val = (g(y0, x0) * (wy0 * wx0)[..., None]
+           + g(y0, x0 + 1) * (wy0 * wx1)[..., None]
+           + g(y0 + 1, x0) * (wy1 * wx0)[..., None]
+           + g(y0 + 1, x0 + 1) * (wy1 * wx1)[..., None])
+    return (val * valid[..., None]).mean(axis=(3, 4))
+
+
+def _np_multiscale_roi_align(features_hwc, boxes, out, scales,
+                             sampling_ratio=2):
+    """FPN LevelMapper (k = floor(4 + log2(sqrt(area)/224 + 1e-6))) +
+    per-level roi_align."""
+    areas = (np.clip(boxes[:, 2] - boxes[:, 0], 0, None)
+             * np.clip(boxes[:, 3] - boxes[:, 1], 0, None))
+    k = np.floor(4 + np.log2(np.sqrt(areas) / 224 + 1e-6))
+    k = np.clip(k, 2, 2 + len(features_hwc) - 1).astype(np.int64) - 2
+    pooled = np.zeros((len(boxes), out, out, features_hwc[0].shape[-1]),
+                      np.float32)
+    for lvl, feat in enumerate(features_hwc):
+        sel = k == lvl
+        if sel.any():
+            pooled[sel] = _np_roi_align(feat, boxes[sel], out,
+                                        scales[lvl], sampling_ratio)
+    return pooled
+
+
+@torch.no_grad()
+def torch_deploy_forward_detection(
+        model: TorchSplittableFasterRCNN, coder, medians,
+        img_nchw: np.ndarray,
+        anchor_sizes=((32,), (64,), (128,), (256,), (512,)),
+        aspect_ratios=(0.5, 1.0, 2.0),
+        rpn_pre_nms=1000, rpn_post_nms=1000, rpn_nms_thresh=0.7,
+        score_thresh=0.05, nms_thresh=0.5, detections_per_img=100):
+    """Reference `-test_only` detection deploy at batch 1: bottleneck
+    encode → channel-major rANS bitstream → decode → C2..C5 → FPN →
+    torchvision-eval RPN filter_proposals → MultiScaleRoIAlign → box
+    head → postprocess_detections. Returns (boxes (D, 4), scores (D,),
+    labels (D,), bitstream bytes), D = valid detections, score-sorted."""
+    body = model.backbone.body
+    med = torch.from_numpy(np.asarray(medians, np.float32)).view(
+        1, -1, 1, 1)
+    y = body.bottleneck_layer.encoder(torch.from_numpy(img_nchw))
+    sym = torch.round(y - med).to(torch.int32).numpy()[0]
+    c, h, w = sym.shape
+    indexes = np.repeat(np.arange(c, dtype=np.int32), h * w)
+    bits = coder.encode_with_indexes(sym.reshape(c, -1).ravel(), indexes)
+    dec = coder.decode_with_indexes(bits, indexes).reshape(1, c, h, w)
+    c2 = body.bottleneck_layer.decoder(
+        torch.from_numpy(dec.astype(np.float32)) + med)
+    c3 = body.layer2(c2)
+    c4 = body.layer3(c3)
+    c5 = body.layer4(c4)
+    fpn = model.backbone.fpn
+    laterals = [blk(cf) for blk, cf in zip(fpn.inner_blocks,
+                                           [c2, c3, c4, c5])]
+    for i in range(len(laterals) - 2, -1, -1):
+        laterals[i] = laterals[i] + nn.functional.interpolate(
+            laterals[i + 1], size=laterals[i].shape[-2:], mode='nearest')
+    ps = [blk(lat) for blk, lat in zip(fpn.layer_blocks, laterals)]
+    ps.append(nn.functional.max_pool2d(ps[-1], 1, 2))
+    head = model.rpn.head
+    image_hw = img_nchw.shape[2:]
+    num_a = len(aspect_ratios)
+
+    obj_l, del_l = [], []
+    for p in ps:
+        t = torch.relu(head.conv(p))
+        cls = head.cls_logits(t).numpy()[0]          # (A, H, W)
+        reg = head.bbox_pred(t).numpy()[0]           # (A*4, H, W)
+        ah, aw = cls.shape[1:]
+        obj_l.append(np.transpose(cls, (1, 2, 0)).ravel())     # (H*W*A,)
+        del_l.append(reg.reshape(num_a, 4, ah, aw)
+                     .transpose(2, 3, 0, 1).reshape(-1, 4))
+    anchors_l = _np_anchors([p.shape[-2:] for p in ps], image_hw,
+                            anchor_sizes, aspect_ratios)
+
+    # --- RPN filter_proposals (eval mode) -------------------------------
+    cand_boxes, cand_scores, cand_levels = [], [], []
+    for lvl, (obj, dl, an) in enumerate(zip(obj_l, del_l, anchors_l)):
+        k = min(rpn_pre_nms, obj.shape[0])
+        top = np.argsort(-obj, kind='stable')[:k]
+        boxes = _np_clip_boxes(_np_decode_boxes(dl[top], an[top]),
+                               image_hw)
+        scores = 1.0 / (1.0 + np.exp(-obj[top]))
+        small = ((boxes[:, 2] - boxes[:, 0]) >= 1e-3) \
+            & ((boxes[:, 3] - boxes[:, 1]) >= 1e-3)
+        cand_boxes.append(boxes[small])
+        cand_scores.append(scores[small])
+        cand_levels.append(np.full(int(small.sum()), lvl, np.int64))
+    boxes = np.concatenate(cand_boxes)
+    scores = np.concatenate(cand_scores)
+    levels = np.concatenate(cand_levels)
+    keep = _np_batched_nms(boxes, scores, levels, rpn_nms_thresh)
+    proposals = boxes[keep[:rpn_post_nms]]
+
+    # --- box head over MultiScaleRoIAlign (P2..P5) ----------------------
+    feats_hwc = [np.transpose(p.numpy()[0], (1, 2, 0)) for p in ps[:4]]
+    scales = [f.shape[0] / image_hw[0] for f in feats_hwc]
+    pooled = _np_multiscale_roi_align(feats_hwc, proposals, 7, scales)
+    t_scores, t_deltas = torch_box_head_forward(
+        model, np.transpose(pooled, (0, 3, 1, 2)).copy())
+    cls_scores = torch.softmax(torch.from_numpy(t_scores), dim=-1).numpy()
+    num_classes = cls_scores.shape[-1]
+    deltas = t_deltas.reshape(-1, num_classes, 4)
+
+    # --- RoIHeads.postprocess_detections --------------------------------
+    dboxes = _np_clip_boxes(
+        _np_decode_boxes(deltas, proposals[:, None, :],
+                         weights=(10.0, 10.0, 5.0, 5.0)), image_hw)
+    fg_boxes = dboxes[:, 1:, :].reshape(-1, 4)
+    fg_scores = cls_scores[:, 1:].reshape(-1)
+    fg_labels = np.tile(np.arange(1, num_classes, dtype=np.int64),
+                        len(proposals))
+    ok = (fg_scores > score_thresh) \
+        & ((fg_boxes[:, 2] - fg_boxes[:, 0]) >= 1e-2) \
+        & ((fg_boxes[:, 3] - fg_boxes[:, 1]) >= 1e-2)
+    fg_boxes, fg_scores, fg_labels = \
+        fg_boxes[ok], fg_scores[ok], fg_labels[ok]
+    keep = _np_batched_nms(fg_boxes, fg_scores, fg_labels, nms_thresh)
+    keep = keep[:detections_per_img]
+    return fg_boxes[keep], fg_scores[keep], fg_labels[keep], bits

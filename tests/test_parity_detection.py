@@ -211,3 +211,47 @@ def test_keypoint_head_parity():
         tm, np.transpose(pooled, (0, 3, 1, 2)).copy())
     np.testing.assert_allclose(np.asarray(f_maps), _nhwc(t_maps),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_detection_deploy_bitstream_and_detections_match(det_pipelines):
+    """Item: full deploy parity through the wire. Converted weights →
+    encode → channel-major rANS bitstream (byte-identical to torch) →
+    decode → FPN/RPN/RoI → postprocess: boxes/scores/labels must match
+    the torchvision-eval-semantics numpy oracle (reference eval path
+    `/root/reference/sc2bench/models/backbone.py:130-144` +
+    `detection/base.py:98-101`)."""
+    from sc2bench_tpu.models.detection.wrapper import SplitDetectionRuntime
+    from sc2bench_tpu.ops.rans.coder import RansCoder
+    from sc2bench_tpu.utils.torch_ref_model import (
+        torch_deploy_forward_detection)
+    tm, medians, fm, variables = det_pipelines
+    cdf, cdf_len, off, _ = \
+        tm.backbone.body.bottleneck_layer.entropy_bottleneck.update()
+    coder = RansCoder(cdf, cdf_len, off)
+    rt = SplitDetectionRuntime(fm, variables)
+    assert rt.update()
+    np.testing.assert_array_equal(rt.codec.tables.quantized_cdf, cdf)
+
+    rng = np.random.default_rng(31)
+    img = rng.normal(0, 1, (1, HW, HW, 3)).astype(np.float32)
+    t_boxes, t_scores, t_labels, t_bits = torch_deploy_forward_detection(
+        tm, coder, medians, np.transpose(img, (0, 3, 1, 2)).copy(),
+        anchor_sizes=fm.anchor_sizes, aspect_ratios=fm.aspect_ratios)
+
+    # (a) protocol-format feature bitstream: byte-identical
+    enc = fm.apply(variables, jnp.asarray(img), jnp.asarray(medians),
+                   method=lambda m, x, med: m.encode_ops(x, med))
+    strings = rt.codec.compress_symbols(np.asarray(enc['symbols']))
+    assert strings[0] == t_bits, 'feature bitstream mismatch'
+
+    # (b) postprocessed detections through the deploy wire
+    dets = rt.detect(img)
+    valid = np.asarray(dets['valid'][0])
+    f_boxes = np.asarray(dets['boxes'][0])[valid]
+    f_scores = np.asarray(dets['scores'][0])[valid]
+    f_labels = np.asarray(dets['labels'][0])[valid]
+    assert len(f_boxes) == len(t_boxes), \
+        f'detection count {len(f_boxes)} vs torch {len(t_boxes)}'
+    np.testing.assert_array_equal(f_labels, t_labels)
+    np.testing.assert_allclose(f_scores, t_scores, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(f_boxes, t_boxes, rtol=0, atol=5e-2)

@@ -88,3 +88,47 @@ def test_segmentation_logits_parity(seg_pipelines):
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_array_equal(f_out.argmax(-1),
                                   t_out.argmax(1))
+
+
+def test_segmentation_deploy_bitstream_and_logits_match(seg_pipelines):
+    """Full deploy parity through the wire: converted weights → encode →
+    channel-major rANS bitstream (byte-identical to torch) → decode →
+    dilated tail → DeepLab head → upsampled logits matching the torch
+    replica, with identical per-pixel argmax (reference eval path
+    `segmentation/base.py:66-82` + `backbone.py:130-144`)."""
+    from sc2bench_tpu.models.segmentation.wrapper import (
+        SplitSegmentationRuntime)
+    from sc2bench_tpu.ops.rans.coder import RansCoder
+    tm, medians, fm, variables = seg_pipelines
+    cdf, cdf_len, off, _ = \
+        tm.backbone.bottleneck_layer.entropy_bottleneck.update()
+    coder = RansCoder(cdf, cdf_len, off)
+    rt = SplitSegmentationRuntime(fm, variables)
+    assert rt.update()
+    rt.eval()
+    np.testing.assert_array_equal(rt.codec.tables.quantized_cdf, cdf)
+
+    rng = np.random.default_rng(41)
+    img = rng.normal(0, 1, (1, HW, HW, 3)).astype(np.float32)
+    nchw = np.transpose(img, (0, 3, 1, 2)).copy()
+    t_out, _ = torch_segmentation_forward(tm, medians, nchw)
+
+    # torch-side channel-major bitstream of the bottleneck symbols
+    med = torch.from_numpy(np.asarray(medians, np.float32)).view(
+        1, -1, 1, 1)
+    y = tm.backbone.bottleneck_layer.encoder(torch.from_numpy(nchw))
+    sym = torch.round(y - med).to(torch.int32).numpy()[0]
+    c, h, w = sym.shape
+    indexes = np.repeat(np.arange(c, dtype=np.int32), h * w)
+    t_bits = coder.encode_with_indexes(sym.reshape(c, -1).ravel(), indexes)
+
+    enc = fm.apply(variables, jnp.asarray(img), jnp.asarray(medians),
+                   method=lambda m, x, m_: m.encode_ops(x, m_))
+    strings = rt.codec.compress_symbols(np.asarray(enc['symbols']))
+    assert strings[0] == t_bits, 'feature bitstream mismatch'
+
+    # deploy-wire logits: encode → wire coder round-trip → decode tail
+    f_out = np.asarray(rt(img))
+    np.testing.assert_allclose(f_out, np.transpose(t_out, (0, 2, 3, 1)),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_array_equal(f_out.argmax(-1), t_out.argmax(1))
