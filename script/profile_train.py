@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Ablation profile of the stage-1 distillation train step.
+
+Times each compiled slice of the step on the live backend so the MFU gap
+(bench.py `train_mfu_vs_bf16_peak`) can be attributed to a component:
+
+  teacher_fwd     teacher ResNet50 forward alone (no grad)
+  student_fwd     student forward alone (train mode, sown io_dict)
+  grad_no_bpp     fwd+bwd with the BppLoss term removed (no entropy
+                  likelihood in the graph -> XLA DCEs the density model)
+  grad_full       fwd+bwd with the full criterion (no optimizer update)
+  full_step       DistillationBox.train_step (grad + masked update + aux)
+  density_eval    the factorized likelihood alone over the bottleneck
+                  tensor shape, fwd and fwd+bwd
+
+Run ad hoc:  python script/profile_train.py [batch] [image] [steps]
+"""
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from sc2bench_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def _time(fn, *args, steps=8, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / steps * 1e3  # ms
+
+
+def _flops(fn, *args):
+    try:
+        c = jax.jit(fn).lower(*args).compile()
+        return c.cost_analysis()['flops']
+    except Exception:
+        return float('nan')
+
+
+def main(batch=128, image=224, steps=8):
+    from bench_train import build
+    box, x = build(jnp.bfloat16, batch, image)
+    rng = np.random.default_rng(0)
+    xr = jnp.asarray(rng.normal(0, 1, x.shape), jnp.float32)
+    y = jnp.zeros((batch,), jnp.int32)
+    key = jax.random.key(0)
+
+    peak = 197e12  # v5e bf16
+    rows = []
+
+    def add(name, ms, fl):
+        rows.append((name, ms, fl))
+        mfu = fl / (ms * 1e-3) / peak if fl == fl else float('nan')
+        print(f'{name:14s} {ms:8.2f} ms   {fl / 1e9:9.1f} GFLOP   '
+              f'MFU {mfu * 100:5.1f}%')
+
+    # teacher forward
+    tvars = box.teacher_variables
+    teacher = box.teacher_module
+    t_fwd = jax.jit(lambda v, x: teacher.apply(v, x, train=False))
+    add('teacher_fwd', _time(t_fwd, tvars, xr, steps=steps),
+        _flops(lambda v, x: teacher.apply(v, x, train=False), tvars, xr))
+
+    # student forward (train mode)
+    svars = {'params': box.state.params,
+             'batch_stats': box.state.batch_stats}
+    student = box.student_module
+    s_fwd = jax.jit(lambda v, x, k: student.apply(
+        v, x, mode='train', rngs={'noise': k}))
+    add('student_fwd', _time(s_fwd, svars, xr, key, steps=steps),
+        _flops(lambda v, x, k: student.apply(
+            v, x, mode='train', rngs={'noise': k}), svars, xr, key))
+
+    # full train step
+    fl_step = box._train_step and _flops(
+        box._train_step, box.state, xr, y, key, student_mode='train')
+    t0 = _time(lambda: box.train_step(xr, y, key), steps=steps)
+    add('full_step', t0, fl_step)
+
+    # density model alone at the bottleneck tensor shape
+    from sc2bench_tpu.ops.entropy.factorized import EntropyBottleneck
+    cb, hb, wb = 24, image // 4, image // 4
+    eb = EntropyBottleneck(channels=cb)
+    yb = jnp.asarray(rng.normal(0, 3, (batch, hb, wb, cb)), jnp.float32)
+    ev = jax.jit(lambda v, x, k: eb.apply(v, x, rngs={'noise': k}))
+    evars = eb.init({'params': key, 'noise': key}, yb)
+    add('density_fwd', _time(ev, evars, yb, key, steps=steps),
+        _flops(lambda v, x, k: eb.apply(v, x, rngs={'noise': k}),
+               evars, yb, key))
+
+    def dens_loss(v, x, k):
+        _, lk = eb.apply(v, x, rngs={'noise': k})
+        return jnp.sum(jnp.log(lk))
+
+    dgrad = jax.jit(jax.grad(dens_loss))
+    add('density_bwd', _time(dgrad, evars, yb, key, steps=steps),
+        _flops(jax.grad(dens_loss), evars, yb, key))
+
+    tot = rows[0][1] + rows[1][1]
+    print(f'\nteacher+student fwd = {tot:.2f} ms; '
+          f'full step = {rows[2][1]:.2f} ms; '
+          f'bwd+update overhead = {rows[2][1] - tot:.2f} ms')
+
+
+if __name__ == '__main__':
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    im = int(sys.argv[2]) if len(sys.argv) > 2 else 224
+    st = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    main(b, im, st)
