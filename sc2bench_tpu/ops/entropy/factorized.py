@@ -66,26 +66,45 @@ class EntropyBottleneck(nn.Module):
     # ---- density model -------------------------------------------------
     def logits_cumulative(self, inputs, stop_gradient: bool = False):
         """c(x) logits; `inputs` shaped (C, 1, M). sigmoid(c(x)) is the CDF."""
-        logits = inputs
+        # The filter dim (<= 3) lives in a Python list of (C, M) planes:
+        # every device array then tiles cleanly as (sublane=C, lane=M),
+        # where a (C, 3, M) tensor pads its middle dim 3 -> 8 sublanes and
+        # nearly triples the HBM bytes of every materialized intermediate
+        # (and of every residual the backward pass saves). The tiny
+        # contraction is unrolled broadcast FMAs — no dot_general.
+        planes = [inputs[:, j, :] for j in range(inputs.shape[1])]
         for i, matrix in enumerate(self.matrices):
             m = jax.nn.softplus(matrix)
             b = self.biases[i]
             if stop_gradient:
                 m = jax.lax.stop_gradient(m)
                 b = jax.lax.stop_gradient(b)
-            logits = jnp.einsum('cij,cjm->cim', m, logits) + b
             if i < len(self.factors):
                 f = jnp.tanh(self.factors[i])
                 if stop_gradient:
                     f = jax.lax.stop_gradient(f)
-                logits = logits + f * jnp.tanh(logits)
-        return logits
+            else:
+                f = None
+            new = []
+            for o in range(m.shape[1]):
+                acc = b[:, o, :]  # (C, 1) broadcasts over (C, M)
+                for j, p in enumerate(planes):
+                    acc = acc + m[:, o, j, None] * p
+                if f is not None:
+                    acc = acc + f[:, o, :] * jnp.tanh(acc)
+                new.append(acc)
+            planes = new
+        return jnp.stack(planes, axis=1)
 
     def _likelihood(self, inputs):
         """P(y_hat) = c(y+.5) - c(y-.5), computed with the sign trick for
-        numerical stability in the tails. `inputs` shaped (C, 1, M)."""
-        lower = self.logits_cumulative(inputs - 0.5)
-        upper = self.logits_cumulative(inputs + 0.5)
+        numerical stability in the tails. `inputs` shaped (C, 1, M).
+        Both edges are evaluated in ONE stacked density pass (the stage
+        weights are shared; halves the kernel count)."""
+        m = inputs.shape[-1]
+        both = self.logits_cumulative(
+            jnp.concatenate([inputs - 0.5, inputs + 0.5], axis=-1))
+        lower, upper = both[..., :m], both[..., m:]
         sign = jax.lax.stop_gradient(-jnp.sign(lower + upper))
         return jnp.abs(
             jax.nn.sigmoid(sign * upper) - jax.nn.sigmoid(sign * lower))
@@ -109,7 +128,12 @@ class EntropyBottleneck(nn.Module):
             y_hat = jnp.round(x - medians) + medians
         else:
             raise ValueError(f'unknown mode: {mode}')
-        # (N,H,W,C) -> (C,1,NHW) for the channelwise density model
+        # (N,H,W,C) -> (C,1,NHW) for the channelwise density model.
+        # This path is transcendental-bound (~28 tanh/sigmoid per element
+        # across both interval edges), not memory- or fusion-bound: a fused
+        # Pallas kernel was measured SLOWER than this XLA form (see
+        # docs/performance.md "negative results"), so plain XLA is the
+        # optimal backend here.
         flat = jnp.transpose(y_hat.reshape(-1, c))[:, None, :]
         likelihood = self._likelihood(flat)
         likelihood = lower_bound(likelihood, self.likelihood_bound)

@@ -4,8 +4,10 @@ The reference uses CompressAI's `GDN1` (abs-variant of Generalized Divisive
 Normalization) inside every learned bottleneck encoder/decoder
 (`/root/reference/sc2bench/models/layer.py:478-494,594-607`). Here it is a
 Flax module over NHWC tensors: the channel mixing `|x| @ gamma^T` is a single
-MXU matmul that XLA fuses with the surrounding elementwise ops; a fused
-Pallas kernel is provided in `ops/pallas_kernels.py` for the hot path.
+MXU matmul that XLA fuses with the surrounding elementwise ops (abs, add,
+divide ride the matmul's fusion group). A hand-written Pallas GDN kernel was
+measured against this form in the full train step and removed: XLA's fusion
+is already optimal here (docs/performance.md, "negative results").
 
 Parameterization matches CompressAI's `NonNegativeParametrizer`:
 stored = sqrt(max(value + pedestal, pedestal)); effective =
@@ -33,14 +35,6 @@ def nonneg_forward(stored, minimum: float):
     return lower_bound(stored, bound) ** 2 - _PEDESTAL
 
 
-def _pallas_available() -> bool:
-    import jax
-    try:
-        return jax.default_backend() not in ('cpu',)
-    except Exception:
-        return False
-
-
 class GDN1(nn.Module):
     """Simplified GDN: y = x / (beta + sum_j gamma_ij |x_j|); inverse
     multiplies instead of divides. Input layout NHWC (or any (..., C))."""
@@ -49,7 +43,6 @@ class GDN1(nn.Module):
     inverse: bool = False
     beta_min: float = 1e-6
     gamma_init: float = 0.1
-    use_pallas: bool = False  # fused Pallas kernel (TPU only)
 
     @nn.compact
     def __call__(self, x):
@@ -62,9 +55,6 @@ class GDN1(nn.Module):
                 nonneg_init(self.gamma_init * np.eye(c)), jnp.float32))
         beta = nonneg_forward(beta_raw, self.beta_min)
         gamma = nonneg_forward(gamma_raw, 0.0)
-        if self.use_pallas and _pallas_available():
-            from .pallas_kernels import gdn_pallas
-            return gdn_pallas(x, gamma, beta, inverse=self.inverse)
         # norm_i = beta_i + sum_j gamma[i, j] * |x_j|  →  |x| @ gamma^T
         norm = jnp.abs(x) @ gamma.T + beta
         return x * norm if self.inverse else x / norm

@@ -30,20 +30,27 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
-def _time(fn, *args, steps=8, warmup=2):
+def _force(x):
+    """True execution barrier (the tunneled backend's block_until_ready
+    resolves without waiting): dependent 8-elem reduction fetched to host."""
+    leaf = jax.tree_util.tree_leaves(x)[-1]
+    return np.asarray(jnp.sum(jnp.ravel(leaf)[:8]))
+
+
+def _time(fn, *args, steps=8, warmup=2, **kw):
     for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        out = fn(*args, **kw)
+    _force(out)
     t0 = time.perf_counter()
     for _ in range(steps):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        out = fn(*args, **kw)
+    _force(out)
     return (time.perf_counter() - t0) / steps * 1e3  # ms
 
 
-def _flops(fn, *args):
+def _flops(fn, *args, **kw):
     try:
-        c = jax.jit(fn).lower(*args).compile()
+        c = jax.jit(fn).lower(*args, **kw).compile()
         return c.cost_analysis()['flops']
     except Exception:
         return float('nan')
@@ -84,10 +91,17 @@ def main(batch=128, image=224, steps=8):
             v, x, mode='train', rngs={'noise': k}), svars, xr, key))
 
     # full train step
-    fl_step = box._train_step and _flops(
-        box._train_step, box.state, xr, y, key, student_mode='train')
-    t0 = _time(lambda: box.train_step(xr, y, key), steps=steps)
-    add('full_step', t0, fl_step)
+    try:
+        c = box._train_step.lower(box.state, xr, y, key,
+                                  student_mode='train').compile()
+        fl_step = c.cost_analysis()['flops']
+    except Exception:
+        fl_step = float('nan')
+
+    def one_step():
+        box.train_step(xr, y, key)
+        return box.state.params
+    add('full_step', _time(one_step, steps=steps), fl_step)
 
     # density model alone at the bottleneck tensor shape
     from sc2bench_tpu.ops.entropy.factorized import EntropyBottleneck
