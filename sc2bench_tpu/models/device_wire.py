@@ -85,10 +85,14 @@ class FactorizedDeviceWire:
             return out
         return enc
 
-    def encode_device_wire(self, x, num_lanes=256):
+    def encode_device_wire(self, x, num_lanes=None):
         """One fused dispatch: bottleneck encode -> quantize -> device
         rANS. Returns the codec dict plus ``meta`` ([ok, nbytes] for the
-        8-byte host read) and ``lat_shape``."""
+        8-byte host read) and ``lat_shape``. ``num_lanes`` defaults to
+        the cyclic-compatible `_wire_lanes` (a fixed count that does not
+        divide by C disables the fast paths)."""
+        if num_lanes is None:
+            num_lanes = self._wire_lanes(tuple(x.shape))
         cdf, cdf_len, off = self._device_tables()
         out = self._jitted(f'enc_devwire{num_lanes}_{x.shape[1:3]}',
                            self._wire_enc_fn(num_lanes))(
@@ -96,11 +100,13 @@ class FactorizedDeviceWire:
         out['lat_shape'] = self._latent_shape(x.shape)
         return out
 
-    def encode_device_wire_batch(self, xs_list, num_lanes=256):
+    def encode_device_wire_batch(self, xs_list, num_lanes=None):
         """`encode_device_wire` vmapped over k same-shape canvases: per
         image streams/metas bit-identical to k batch-1 dispatches (the
         per-sample data-size protocol holds), one dispatch + one (k, 2)
         meta read per group."""
+        if num_lanes is None:
+            num_lanes = self._wire_lanes(tuple(xs_list[0].shape))
         cdf, cdf_len, off = self._device_tables()
         enc1 = self._wire_enc_fn(num_lanes)
 

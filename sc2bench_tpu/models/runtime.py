@@ -643,7 +643,18 @@ class SplitClassifierRuntime(AnalyzerHolder):
             ops['y']['streams'], ops['y']['states'], self._medians_dev,
             self._scale_table_dev, cdf, cdf_len, off, g_cdf, g_len, g_off)
 
-    def encode_device_wire(self, x, num_lanes=256):
+
+    def _auto_wire_lanes(self, latent_shape):
+        """Cyclic-compatible lane count for a latent shape. IMPORTANT:
+        a lane count that is not a multiple of C silently disables the
+        cyclic fast path AND the Pallas kernels in ops/rans/device.py
+        (measured 27x slower at wire_batch=32), so the device-wire APIs
+        default to this instead of a fixed 256."""
+        from ..ops.rans.device import auto_lanes
+        return auto_lanes(int(np.prod(latent_shape)),
+                          cyclic_channels=int(latent_shape[-1]))
+
+    def encode_device_wire(self, x, num_lanes=None):
         """Mobile-side program with the entropy coder FUSED into the same
         XLA program (`ops/rans/device.py`): one dispatch produces the
         per-lane rANS streams on-device. Nothing symbol-sized crosses the
@@ -651,6 +662,8 @@ class SplitClassifierRuntime(AnalyzerHolder):
         only for byte accounting, and the in-process decode consumes the
         device-resident streams directly."""
         from ..ops.rans.device import device_rans_encode
+        if num_lanes is None:
+            num_lanes = self._auto_wire_lanes(self._latent_shape(x.shape))
         cdf, cdf_len, off = self._device_tables()
 
         def enc(variables, x, medians, cdf, cdf_len, off):
@@ -677,7 +690,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
         out['shape'] = self._latent_shape(x.shape)
         return out
 
-    def encode_device_wire_batch(self, xs_list, num_lanes=256):
+    def encode_device_wire_batch(self, xs_list, num_lanes=None):
         """`encode_device_wire` vmapped over k images. Each image is
         entropy-coded INDEPENDENTLY inside the program — per-image
         streams, states, and [ok, nbytes] metas are bit-identical to k
@@ -686,6 +699,9 @@ class SplitClassifierRuntime(AnalyzerHolder):
         share ONE dispatch + ONE meta read (the stack happens inside the
         traced program, not as a separate device op)."""
         from ..ops.rans.device import device_rans_encode
+        if num_lanes is None:
+            num_lanes = self._auto_wire_lanes(
+                self._latent_shape(tuple(xs_list[0].shape)))
         cdf, cdf_len, off = self._device_tables()
 
         def enc1(variables, x, medians, cdf, cdf_len, off):
@@ -718,10 +734,12 @@ class SplitClassifierRuntime(AnalyzerHolder):
         return out
 
     def decode_device_streams_batch(self, streams, states, shape,
-                                    num_lanes=256):
+                                    num_lanes=None):
         """Batched server-side program: k images' device-resident streams
         -> k logits in one dispatch (vmap of `decode_device_streams`)."""
         from ..ops.rans.device import device_rans_decode
+        if num_lanes is None:
+            num_lanes = self._auto_wire_lanes(shape)
         cdf, cdf_len, off = self._device_tables()
         h, w, c = shape
         n_symbols = h * w * c
@@ -762,10 +780,12 @@ class SplitClassifierRuntime(AnalyzerHolder):
             self._jit_cache[key] = tuple(sym['symbols'].shape[1:])
         return self._jit_cache[key]
 
-    def decode_device_streams(self, streams, states, shape, num_lanes=256):
+    def decode_device_streams(self, streams, states, shape, num_lanes=None):
         """Server-side program from device-resident (or uploaded) rANS
         streams: decode symbols + bottleneck decode + tail, one dispatch."""
         from ..ops.rans.device import device_rans_decode
+        if num_lanes is None:
+            num_lanes = self._auto_wire_lanes(shape)
         cdf, cdf_len, off = self._device_tables()
         h, w, c = shape
         n_symbols = h * w * c

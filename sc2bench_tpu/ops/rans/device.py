@@ -311,11 +311,14 @@ def _time_pallas_vs_xla(mode, cols, lanes, lmax, steps, cyc):
 
     # Compile/warm both first, then INTERLEAVE trials: the remote-tunnel
     # load drifts minute to minute, and timing one backend fully before
-    # the other would let that drift decide the verdict.
+    # the other would let that drift decide the verdict. The timed
+    # programs return SCALARS, so the final np.asarray is a true 4-byte
+    # execution barrier — jax.block_until_ready resolves WITHOUT waiting
+    # on this tunnel (see bench.py:force) and would time dispatch only.
     fns = []
     for backend in ('xla', 'pallas'):
         fn, args = run(backend)
-        jax.block_until_ready(fn(*args))          # compile + warm
+        np.asarray(fn(*args))                     # compile + warm + sync
         fns.append((fn, args))
     reps, trials = 8, ([], [])
     for _ in range(5):
@@ -323,7 +326,7 @@ def _time_pallas_vs_xla(mode, cols, lanes, lmax, steps, cyc):
             t0 = time.perf_counter()
             for _ in range(reps):
                 r = fn(*args)
-            jax.block_until_ready(r)
+            np.asarray(r)
             trials[i].append((time.perf_counter() - t0) / reps)
     return (float(np.median(trials[0])), float(np.median(trials[1])))
 
@@ -397,11 +400,14 @@ def device_rans_encode(symbols, indexes, quantized_cdf, cdf_length, offset,
     vc = jnp.clip(v, 0, maxv - 1)
     if cyc and _use_pallas(backend, cdf.shape[1], lanes, 0, steps,
                            mode='encode', cyc=cyc):
-        from .pallas_kernel import pallas_cyclic_encode_scan
-        chunks, masks, x_final = pallas_cyclic_encode_scan(
+        from .pallas_kernel import pallas_cyclic_encode
+        streams, lengths, x_final = pallas_cyclic_encode(
             cdf_lane, vc, steps,
             interpret=(backend == 'pallas-interpret'))
-        return _finish_encode(chunks, masks, x_final, ok, lanes, n)
+        nbytes = 4 + 2 * lanes + 4 * lanes + 2 * jnp.sum(lengths)
+        return {'streams': streams, 'lengths': lengths,
+                'states': x_final, 'ok': ok,
+                'nbytes': nbytes.astype(jnp.int32), 'n_symbols': n}
     if cyc:
         # gather-free start/freq: fused onehot-reduce against the fixed
         # per-lane row (XLA fuses compare*row-sum; no (L,N,cols) buffer)

@@ -114,7 +114,7 @@ _SCOPED_VMEM_CALL_LIMIT = 14 << 20
 
 def _full_call_bytes_encode(cols: int, lanes: int, steps: int) -> int:
     lanes_p = _round_up(lanes, 128)
-    return 4 * lanes_p * (_round_up(cols, 8) + 3 * _round_up(steps, 8) + 1)
+    return 4 * lanes_p * (_round_up(cols, 8) + 2 * _round_up(steps, 8) + 1)
 
 
 def _full_call_bytes_decode(cols: int, lanes: int, lmax: int,
@@ -177,7 +177,9 @@ def pick_decode_plan(cols: int, lanes: int, lmax: int,
 
 
 def _encode_block_bytes(cols: int, b: int, steps: int) -> int:
-    return 4 * b * (2 * _round_up(cols, 8) + 3 * _round_up(steps, 8))
+    # cdf + vc + streams out + chunks/masks scratch (+1 headroom for the
+    # compaction's hit/where temporaries)
+    return 4 * b * (2 * _round_up(cols, 8) + 5 * _round_up(steps, 8))
 
 
 def pick_encode_plan(cols: int, lanes: int,
@@ -250,18 +252,23 @@ def _pallas_decode_call(cdf_t, streams_t, states, steps: int,
     return out[:steps], xend[0]
 
 
-def _encode_kernel(cdf_ref, vc_ref, chunks_ref, masks_ref, xend_ref,
-                   *, steps: int):
-    """Encode all `steps` symbol rows of a lane block in one grid step.
+def _encode_kernel(cdf_ref, vc_ref, streams_ref, lengths_ref, xend_ref,
+                   chunks_ref, masks_ref, *, steps: int):
+    """Encode AND compact all `steps` symbol rows of a lane block in one
+    grid step — the full wire-format producer, so no XLA post-pass
+    (the scan-only variant left `_finish_encode`'s argsort compaction in
+    XLA, which dominated batched encodes ~10:1).
 
-    cdf_ref    (cols_p, N) int32 — transposed lane-expanded CDF
-    vc_ref     (steps_p, N) int32 — in-support symbol values (v), forward
-               symbol order (the kernel walks them in reverse, as rANS
-               encodes last-symbol-first)
-    chunks_ref (steps_p, N) int32 — emitted 16-bit chunks, stored in
-               DECODE order (row t = forward symbol row t)
-    masks_ref  (steps_p, N) int32 — 1 where a chunk was emitted
-    xend_ref   (1, N) uint32      — final encoder states
+    cdf_ref     (cols_p, N) int32 — transposed lane-expanded CDF
+    vc_ref      (steps_p, N) int32 — in-support symbol values (v), forward
+                symbol order (the kernel walks them in reverse, as rANS
+                encodes last-symbol-first)
+    streams_ref (steps_p, N) int32 — per-lane emitted chunks compacted to
+                the FRONT of each column in forward (decode) order;
+                rows beyond a lane's length are 0
+    lengths_ref (1, N) int32      — emitted chunks per lane
+    xend_ref    (1, N) uint32     — final encoder states
+    chunks/masks_ref — (steps_p, N) int32 VMEM scratch
     """
     cdf = cdf_ref[:]
     cols_p = cdf.shape[0]
@@ -302,13 +309,25 @@ def _encode_kernel(cdf_ref, vc_ref, chunks_ref, masks_ref, xend_ref,
 
     n = cdf.shape[1]
     x0 = jnp.full((1, n), _RANS_L, jnp.uint32)
-    # zero the padding rows (steps..steps_p) so downstream masking is clean
-    steps_p = chunks_ref.shape[0]
-    if steps_p != steps:
-        zero = jnp.zeros((steps_p - steps, n), jnp.int32)
-        chunks_ref[pl.ds(steps, steps_p - steps), :] = zero
-        masks_ref[pl.ds(steps, steps_p - steps), :] = zero
     xend_ref[:] = jax.lax.fori_loop(0, steps, body, x0)
+
+    # phase 2: compact each lane's emitted chunks to the front of its
+    # column in forward order (the wire format). One-hot accumulate at a
+    # per-lane write pointer — the same gather-free trick the decode
+    # kernel uses for its stream reads; all VMEM-resident.
+    steps_p = streams_ref.shape[0]
+    streams_ref[:] = jnp.zeros((steps_p, n), jnp.int32)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (steps_p, n), 0)
+
+    def compact(t, wp):
+        ck = chunks_ref[pl.ds(t, 1), :]          # (1, N)
+        mk = masks_ref[pl.ds(t, 1), :]           # (1, N)
+        hit = (row_iota == wp) & (mk > 0)
+        streams_ref[:] = streams_ref[:] + jnp.where(hit, ck, 0)
+        return wp + mk
+
+    wp0 = jnp.zeros((1, n), jnp.int32)
+    lengths_ref[:] = jax.lax.fori_loop(0, steps, compact, wp0)
 
 
 def pick_lane_block_encode(cols: int, lanes: int, steps: int,
@@ -330,8 +349,9 @@ def _pallas_encode_call(cdf_t, vc, steps: int,
                         interpret: bool = False):
     """cdf_t (cols, N) int32 (per-lane tables; padding rows are never
     selected because vc is in-support); vc (steps, N) int32 forward
-    order. Returns (chunks (steps, N) int32 decode order,
-    masks (steps, N) int32, xend (N,) uint32)."""
+    order. Returns (streams (steps, N) int32 — per-lane compacted
+    chunks, forward order, zero beyond each lane's length — lengths
+    (N,) int32, xend (N,) uint32)."""
     cols, n = cdf_t.shape
     cols_p = _round_up(cols, 8)
     if cols_p != cols:
@@ -342,20 +362,22 @@ def _pallas_encode_call(cdf_t, vc, steps: int,
         vc = jnp.pad(vc, ((0, steps_p - vc.shape[0]), (0, 0)))
     b = n if lane_block is None else int(lane_block)
     lane_map = lambda i: (0, i)  # noqa: E731
-    chunks, masks, xend = pl.pallas_call(
+    streams, lengths, xend = pl.pallas_call(
         functools.partial(_encode_kernel, steps=steps),
         grid=(n // b,),
         out_shape=(jax.ShapeDtypeStruct((steps_p, n), jnp.int32),
-                   jax.ShapeDtypeStruct((steps_p, n), jnp.int32),
+                   jax.ShapeDtypeStruct((1, n), jnp.int32),
                    jax.ShapeDtypeStruct((1, n), jnp.uint32)),
         in_specs=[pl.BlockSpec((cols_p, b), lane_map),
                   pl.BlockSpec((steps_p, b), lane_map)],
         out_specs=(pl.BlockSpec((steps_p, b), lane_map),
-                   pl.BlockSpec((steps_p, b), lane_map),
+                   pl.BlockSpec((1, b), lane_map),
                    pl.BlockSpec((1, b), lane_map)),
+        scratch_shapes=[pltpu.VMEM((steps_p, b), jnp.int32),
+                        pltpu.VMEM((steps_p, b), jnp.int32)],
         interpret=interpret,
     )(cdf_t, vc)
-    return chunks[:steps], masks[:steps], xend[0]
+    return streams[:steps], lengths[0], xend[0]
 
 
 def _pad_lanes_encode(cdf_lane, vc):
@@ -377,14 +399,16 @@ def _pad_lanes_encode(cdf_lane, vc):
     return cdf_lane, vc, lanes
 
 
-def pallas_cyclic_encode_scan(cdf_lane, vc, steps: int,
-                              interpret: bool = False):
+def pallas_cyclic_encode(cdf_lane, vc, steps: int,
+                         interpret: bool = False):
     """Kernel wrapper used by `device.py`'s cyclic encode path: takes the
     (N, cols) lane-expanded CDF and forward-order in-support values
-    (steps, N); returns (chunks uint16 decode order, masks bool, states)
-    matching the XLA scan's post-flip layout bit-for-bit. Lane counts
-    that are not multiples of 128 are padded with inert lanes inside the
-    kernel call (wire format unchanged)."""
+    (steps, N); returns the COMPLETE wire triple
+    (streams (N, L) uint16 — compacted, forward decode order — lengths
+    (N,) int32, states (N,) uint32), byte-identical to the XLA scan +
+    `_finish_encode` path. Lane counts that are not multiples of 128 are
+    padded with inert lanes inside the kernel call (wire format
+    unchanged); inert pad lanes emit nothing and are sliced away."""
     cdf_lane, vc, lanes = _pad_lanes_encode(cdf_lane, vc)
     plan = pick_encode_plan(int(cdf_lane.shape[1]), lanes, steps)
     if plan is None and not interpret:
@@ -399,11 +423,11 @@ def pallas_cyclic_encode_scan(cdf_lane, vc, steps: int,
                              lane_block=block, interpret=interpret)
     cdf_t = jnp.asarray(cdf_lane, jnp.int32).T
     if groups == 1:
-        chunks, masks, xend = call(cdf_t, vc)
+        streams, lengths, xend = call(cdf_t, vc)
     else:
-        chunks, masks, xend = _grouped(call, groups, cdf_t, vc)
-    return (chunks[:, :lanes].astype(jnp.uint16),
-            masks[:, :lanes].astype(jnp.bool_), xend[:lanes])
+        streams, lengths, xend = _grouped(call, groups, cdf_t, vc)
+    return (streams[:, :lanes].astype(jnp.uint16).T,
+            lengths[:lanes], xend[:lanes])
 
 
 def pallas_cyclic_decode(streams, states, quantized_cdf, cdf_length,

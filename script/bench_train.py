@@ -21,6 +21,13 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
+def _force(x):
+    """True execution barrier: the tunneled backend's block_until_ready
+    resolves without waiting (bench.py:force)."""
+    leaf = jax.tree_util.tree_leaves(x)[-1]
+    return np.asarray(jnp.sum(jnp.ravel(leaf)[:8]))
+
+
 def build(dtype, batch, image=160):
     from sc2bench_tpu.models.backbone import SplittableResNet
     from sc2bench_tpu.models.layer import FPBasedResNetBottleneck
@@ -69,11 +76,11 @@ def measure(dtype, batch, steps):
         0, 1, x.shape), jnp.float32)
     y = jnp.zeros((x.shape[0],), jnp.int32)
     box.train_step(xr, y, jax.random.key(0))          # compile
-    jax.block_until_ready(box.state.params)
+    _force(box.state.params)
     t0 = time.perf_counter()
     for i in range(steps):
         box.train_step(xr, y, jax.random.key(i))
-    jax.block_until_ready(box.state.params)
+    _force(box.state.params)
     dt = time.perf_counter() - t0
     return batch * steps / dt
 
