@@ -168,7 +168,7 @@ class SplitDetectionRuntime(FactorizedDeviceWire, AnalyzerHolder):
     # programs, removing both: only an 8-byte [ok, nbytes] meta crosses
     # per image for byte accounting.
 
-    def _wire_dec_fn(self, lat_shape, hw, num_lanes):
+    def _wire_dec_fn(self, lat_shape, hw, num_lanes, batch_hint=1):
         from ...ops.rans.device import device_rans_decode
         from .rcnn import postprocess_detections
         h, w, c = lat_shape
@@ -178,7 +178,7 @@ class SplitDetectionRuntime(FactorizedDeviceWire, AnalyzerHolder):
             flat, valid = device_rans_decode(
                 streams, states, idx, cdf, cdf_len, off,
                 n_symbols=h * w * c, num_lanes=num_lanes,
-                cyclic_channels=c)
+                cyclic_channels=c, batch_hint=batch_hint)
 
             def m_fn(mod, s, med):
                 c2 = mod.decode_ops(s, med)

@@ -62,10 +62,11 @@ class FactorizedDeviceWire:
         lat = self._latent_shape(x_shape)
         return auto_lanes(int(np.prod(lat)), cyclic_channels=int(lat[-1]))
 
-    def _wire_enc_fn(self, num_lanes):
+    def _wire_enc_fn(self, num_lanes, batch_hint=1):
         """Per-image fused body: bottleneck encode -> quantize -> device
         rANS (+ the [ok, nbytes] meta). Shared by the per-image and the
-        vmapped (wire_batch) programs."""
+        vmapped (wire_batch) programs; `batch_hint` tells the rANS
+        backend autotune the vmap width it will actually run at."""
         from ..ops.rans.device import device_rans_encode
 
         def enc(v, x, m, cdf, cdf_len, off):
@@ -79,7 +80,8 @@ class FactorizedDeviceWire:
             # channel-cyclic indexes -> fast path whenever c | num_lanes
             out = device_rans_encode(flat, idx, cdf, cdf_len, off,
                                      num_lanes=num_lanes,
-                                     cyclic_channels=c)
+                                     cyclic_channels=c,
+                                     batch_hint=batch_hint)
             out['meta'] = jnp.stack([out['ok'].astype(jnp.int32),
                                      out['nbytes']])
             return out
@@ -108,7 +110,7 @@ class FactorizedDeviceWire:
         if num_lanes is None:
             num_lanes = self._wire_lanes(tuple(xs_list[0].shape))
         cdf, cdf_len, off = self._device_tables()
-        enc1 = self._wire_enc_fn(num_lanes)
+        enc1 = self._wire_enc_fn(num_lanes, batch_hint=len(xs_list))
 
         def enc_many(v, m, cdf, cdf_len, off, *xs):
             return jax.vmap(
@@ -261,10 +263,11 @@ class FactorizedDeviceWire:
             jax.block_until_ready(jax.tree.leaves(results[-1]))
         return results
 
-    def _wire_dec_fn(self, lat_shape, hw, num_lanes):
+    def _wire_dec_fn(self, lat_shape, hw, num_lanes, batch_hint=1):
         """Subclass hook: the per-image pure decode body
         (variables, streams, states, medians, cdf, cdf_len, off) ->
-        (task output, validity scalar)."""
+        (task output, validity scalar). `batch_hint` is the vmap width
+        the body will run at (rANS backend autotune)."""
         raise NotImplementedError
 
     def _wire_decode(self, ops, hw, num_lanes):
@@ -280,8 +283,9 @@ class FactorizedDeviceWire:
         """-> (stacked outputs, (k,) validity) via vmap of the per-image
         decode body."""
         cdf, cdf_len, off = self._device_tables()
-        k = ops['streams'].shape[0]
-        dec1 = self._wire_dec_fn(ops['lat_shape'], hw, num_lanes)
+        k = int(ops['streams'].shape[0])
+        dec1 = self._wire_dec_fn(ops['lat_shape'], hw, num_lanes,
+                                 batch_hint=k)
         return self._jitted(
             f'dec_devwire_b{k}_{hw[0]}x{hw[1]}_l{num_lanes}',
             jax.vmap(dec1, in_axes=(None, 0, 0, None, None, None, None)))(

@@ -512,7 +512,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
                                     tuple(shp['z_symbols'].shape[1:]))
         return self._jit_cache[key]
 
-    def _hyper_enc_fn(self, num_lanes, z_lanes):
+    def _hyper_enc_fn(self, num_lanes, z_lanes, batch_hint=1):
         """Per-image SHP/MSHP mobile-side body: bottleneck encode + BOTH
         entropy coders fused (z factorized/cyclic, y gaussian with
         device-computed scale indexes). Shared by the per-image and the
@@ -531,7 +531,8 @@ class SplitClassifierRuntime(AnalyzerHolder):
                              z.size // cz)
             z_out = device_rans_encode(z.reshape(-1), z_idx, cdf,
                                        cdf_len, off, num_lanes=z_lanes,
-                                       cyclic_channels=cz)
+                                       cyclic_channels=cz,
+                                       batch_hint=batch_hint)
             y_out = device_rans_encode(
                 ops['y_symbols'].reshape(-1),
                 ops['y_indexes'].reshape(-1).astype(jnp.int32),
@@ -542,7 +543,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
             return {'z': z_out, 'y': y_out, 'meta': meta}
         return enc
 
-    def _hyper_dec_fn(self, shapes, num_lanes, z_lanes):
+    def _hyper_dec_fn(self, shapes, num_lanes, z_lanes, batch_hint=1):
         """Per-image SHP/MSHP server-side body: decode z -> recompute
         gaussian indexes from z_hat (same deterministic ops as the
         encoder) -> decode y -> decoder + tail."""
@@ -555,7 +556,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
             z_flat, z_valid = device_rans_decode(
                 z_streams, z_states, z_idx, cdf, cdf_len, off,
                 n_symbols=hz * wz * cz, num_lanes=z_lanes,
-                cyclic_channels=cz)
+                cyclic_channels=cz, batch_hint=batch_hint)
             z_sym = z_flat.reshape(1, hz, wz, cz)
             y_idx, _means = self.module.apply(
                 variables, z_sym, z_med, st,
@@ -575,10 +576,23 @@ class SplitClassifierRuntime(AnalyzerHolder):
             return logits, z_valid & y_valid
         return dec
 
-    def encode_device_wire_hyper(self, x, num_lanes=256, z_lanes=64):
+    def _auto_hyper_lanes(self, x_shape):
+        """(y_lanes, z_lanes) for a hyperprior wire. y uses per-element
+        gaussian indexes (general path — plain power-of-two lanes); z is
+        factorized with channel-cyclic indexes, so its lane count MUST be
+        a multiple of cz or the cyclic fast path + Pallas kernels
+        silently disable (see _auto_wire_lanes)."""
+        return self._auto_hyper_lanes_from_shapes(
+            self._hyper_latent_shapes(tuple(x_shape)))
+
+    def encode_device_wire_hyper(self, x, num_lanes=None, z_lanes=None):
         """SHP/MSHP mobile-side program with BOTH entropy coders fused:
         z (factorized tables, cyclic channel indexes) and y (gaussian
         tables, per-element scale indexes computed on device)."""
+        if num_lanes is None or z_lanes is None:
+            auto_y, auto_z = self._auto_hyper_lanes(x.shape)
+            num_lanes = auto_y if num_lanes is None else num_lanes
+            z_lanes = auto_z if z_lanes is None else z_lanes
         cdf, cdf_len, off = self._device_tables()
         g_cdf, g_len, g_off = self._device_gaussian_tables()
         out = self._jitted(f'enc_devwire_hyper{num_lanes}_{z_lanes}',
@@ -588,15 +602,20 @@ class SplitClassifierRuntime(AnalyzerHolder):
         out['shapes'] = self._hyper_latent_shapes(x.shape)
         return out
 
-    def encode_device_wire_hyper_batch(self, xs_list, num_lanes=256,
-                                       z_lanes=64):
+    def encode_device_wire_hyper_batch(self, xs_list, num_lanes=None,
+                                       z_lanes=None):
         """`encode_device_wire_hyper` vmapped over k images — per-image
         z/y streams and [ok, nbytes] metas are bit-identical to k
         batch-1 dispatches (the per-sample data-size protocol holds),
         sharing ONE dispatch and ONE (k, 2) meta read."""
+        if num_lanes is None or z_lanes is None:
+            auto_y, auto_z = self._auto_hyper_lanes(tuple(xs_list[0].shape))
+            num_lanes = auto_y if num_lanes is None else num_lanes
+            z_lanes = auto_z if z_lanes is None else z_lanes
         cdf, cdf_len, off = self._device_tables()
         g_cdf, g_len, g_off = self._device_gaussian_tables()
-        enc1 = self._hyper_enc_fn(num_lanes, z_lanes)
+        enc1 = self._hyper_enc_fn(num_lanes, z_lanes,
+                                  batch_hint=len(xs_list))
 
         def enc_many(variables, z_med, st, cdf, cdf_len, off,
                      g_cdf, g_len, g_off, *xs):
@@ -612,11 +631,23 @@ class SplitClassifierRuntime(AnalyzerHolder):
         out['shapes'] = self._hyper_latent_shapes(tuple(xs_list[0].shape))
         return out
 
-    def decode_device_streams_hyper(self, ops, num_lanes=256, z_lanes=64):
+    def _auto_hyper_lanes_from_shapes(self, shapes):
+        from ..ops.rans.device import auto_lanes
+        (hy, wy, cy), (hz, wz, cz) = shapes
+        return (auto_lanes(hy * wy * cy),
+                auto_lanes(hz * wz * cz, cyclic_channels=cz))
+
+    def decode_device_streams_hyper(self, ops, num_lanes=None,
+                                    z_lanes=None):
         """Server-side program: decode z (factorized) -> recompute the
         gaussian indexes from z_hat (same deterministic ops as the
         encoder) -> decode y (gaussian) -> decoder + tail, one dispatch
         from the device-resident streams."""
+        if num_lanes is None or z_lanes is None:
+            auto_y, auto_z = self._auto_hyper_lanes_from_shapes(
+                ops['shapes'])
+            num_lanes = auto_y if num_lanes is None else num_lanes
+            z_lanes = auto_z if z_lanes is None else z_lanes
         cdf, cdf_len, off = self._device_tables()
         g_cdf, g_len, g_off = self._device_gaussian_tables()
         (hy, wy, cy), _ = ops['shapes']
@@ -627,15 +658,21 @@ class SplitClassifierRuntime(AnalyzerHolder):
             ops['y']['streams'], ops['y']['states'], self._medians_dev,
             self._scale_table_dev, cdf, cdf_len, off, g_cdf, g_len, g_off)
 
-    def decode_device_streams_hyper_batch(self, ops, num_lanes=256,
-                                          z_lanes=64):
+    def decode_device_streams_hyper_batch(self, ops, num_lanes=None,
+                                          z_lanes=None):
         """Batched server-side hyperprior program: k images' z/y streams
         -> k logits + k validity flags in one dispatch."""
+        if num_lanes is None or z_lanes is None:
+            auto_y, auto_z = self._auto_hyper_lanes_from_shapes(
+                ops['shapes'])
+            num_lanes = auto_y if num_lanes is None else num_lanes
+            z_lanes = auto_z if z_lanes is None else z_lanes
         cdf, cdf_len, off = self._device_tables()
         g_cdf, g_len, g_off = self._device_gaussian_tables()
         (hy, wy, cy), _ = ops['shapes']
-        dec1 = self._hyper_dec_fn(ops['shapes'], num_lanes, z_lanes)
-        k = ops['z']['streams'].shape[0]
+        k = int(ops['z']['streams'].shape[0])
+        dec1 = self._hyper_dec_fn(ops['shapes'], num_lanes, z_lanes,
+                                  batch_hint=k)
         return self._jitted(
             f'dec_devwire_hyper_b{k}_{hy}x{wy}x{cy}_{num_lanes}_{z_lanes}',
             jax.vmap(dec1, in_axes=(None, 0, 0, 0, 0) + (None,) * 8))(
@@ -716,7 +753,8 @@ class SplitClassifierRuntime(AnalyzerHolder):
                            flat.shape[0] // c)
             out = device_rans_encode(flat, idx, cdf, cdf_len, off,
                                      num_lanes=num_lanes,
-                                     cyclic_channels=c)
+                                     cyclic_channels=c,
+                                     batch_hint=len(xs_list))
             out['meta'] = jnp.stack([out['ok'].astype(jnp.int32),
                                      out['nbytes']])
             return out
@@ -744,12 +782,14 @@ class SplitClassifierRuntime(AnalyzerHolder):
         h, w, c = shape
         n_symbols = h * w * c
 
+        k = int(streams.shape[0])
+
         def dec1(variables, streams, states, medians, cdf, cdf_len, off):
             idx = jnp.tile(jnp.arange(c, dtype=jnp.int32), h * w)
             flat, valid = device_rans_decode(
                 streams, states, idx, cdf, cdf_len, off,
                 n_symbols=n_symbols, num_lanes=num_lanes,
-                cyclic_channels=c)
+                cyclic_channels=c, batch_hint=k)
             sym = flat.reshape(1, h, w, c)
 
             def m_fn(m, s, med):
@@ -757,8 +797,6 @@ class SplitClassifierRuntime(AnalyzerHolder):
                 return m.forward_tail(feat)
             return self.module.apply(variables, sym, medians,
                                      method=m_fn), valid
-
-        k = streams.shape[0]
         return self._jitted(
             f'decode_devwire_b{k}_{h}x{w}x{c}_l{num_lanes}',
             jax.vmap(dec1, in_axes=(None, 0, 0, None, None, None, None)))(

@@ -194,7 +194,7 @@ class SplitSegmentationRuntime(FactorizedDeviceWire, AnalyzerHolder):
                     self._jit[key] = jax.jit(fn)
         return self._jit[key]
 
-    def _wire_dec_fn(self, lat_shape, hw, num_lanes):
+    def _wire_dec_fn(self, lat_shape, hw, num_lanes, batch_hint=1):
         from ...ops.rans.device import device_rans_decode
         h, w, c = lat_shape
 
@@ -203,7 +203,7 @@ class SplitSegmentationRuntime(FactorizedDeviceWire, AnalyzerHolder):
             flat, valid = device_rans_decode(
                 streams, states, idx, cdf, cdf_len, off,
                 n_symbols=h * w * c, num_lanes=num_lanes,
-                cyclic_channels=c)
+                cyclic_channels=c, batch_hint=batch_hint)
             return self.module.apply(
                 v, flat.reshape(1, h, w, c), m, tuple(hw),
                 method=lambda mod, s, med, ihw:

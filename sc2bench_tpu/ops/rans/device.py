@@ -180,7 +180,7 @@ def _resolve_backend(backend: str) -> str:
 
 def _use_pallas(backend: str, cols: int, lanes: int, lmax: int,
                 steps: int, mode: str = 'decode',
-                cyc: int = 0) -> bool:
+                cyc: int = 0, batch: int = 1) -> bool:
     """Trace-time backend gate for the cyclic encode/decode fast paths.
     `backend` must already be resolved via `_resolve_backend`. Under
     'auto' the verdict is a per-shape AUTOTUNE: after the one-time
@@ -202,9 +202,17 @@ def _use_pallas(backend: str, cols: int, lanes: int, lmax: int,
     else:
         applies = pick_decode_plan(int(cols), int(lanes), int(lmax),
                                    int(steps)) is not None
-    return (applies and _probe_pallas_kernels()
-            and _autotune_pallas(mode, int(cols), int(lanes), int(lmax),
-                                 int(steps), int(cyc)))
+    if not (applies and _probe_pallas_kernels()):
+        return False
+    if int(batch) > 1:
+        # batched (vmapped) callers: the kernel is the static choice —
+        # the vmapped XLA scan collapses (measured 92 ms vs 1.8 ms for a
+        # 32-image flagship decode, 27x; encode ~6x) and timing the XLA
+        # candidate would force a multi-minute batched-scan compile at
+        # serving warmup for a verdict that never flips.
+        return True
+    return _autotune_pallas(mode, int(cols), int(lanes), int(lmax),
+                            int(steps), int(cyc), int(batch))
 
 
 _PALLAS_TUNE_CHOICE: dict = {}
@@ -212,13 +220,13 @@ _PALLAS_TUNE_LOCKS: dict = {}
 
 
 def _autotune_pallas(mode: str, cols: int, lanes: int, lmax: int,
-                     steps: int, cyc: int) -> bool:
+                     steps: int, cyc: int, batch: int = 1) -> bool:
     """Measured per-shape backend choice, cached for the process. Runs on
     a worker thread (clean trace context — see `_run_pallas_probe`); any
     failure falls back to the XLA scan for that shape. Timing runs under
     a PER-KEY lock so concurrent first-traces of different deploy shapes
     don't serialize behind one shape's (slow, tunnel-bound) measurement."""
-    key = (mode, cols, lanes, lmax, steps, cyc)
+    key = (mode, cols, lanes, lmax, steps, cyc, batch)
     hit = _PALLAS_TUNE_CHOICE.get(key)
     if hit is not None:
         return hit
@@ -233,15 +241,15 @@ def _autotune_pallas(mode: str, cols: int, lanes: int, lmax: int,
             with ThreadPoolExecutor(1) as pool:
                 t_xla, t_pal = pool.submit(
                     _time_pallas_vs_xla, mode, cols, lanes, lmax, steps,
-                    cyc).result()
+                    cyc, batch).result()
             # scan wins ties: it has no Mosaic-toolchain risk surface
             choice = bool(t_pal < 0.95 * t_xla)
             import logging
             logging.getLogger(__name__).info(
-                'rANS autotune %s cols=%d lanes=%d lmax=%d steps=%d: '
-                'xla %.3f ms, pallas %.3f ms -> %s', mode, cols, lanes,
-                lmax, steps, t_xla * 1e3, t_pal * 1e3,
-                'pallas' if choice else 'xla')
+                'rANS autotune %s cols=%d lanes=%d lmax=%d steps=%d '
+                'batch=%d: xla %.3f ms, pallas %.3f ms -> %s', mode,
+                cols, lanes, lmax, steps, batch, t_xla * 1e3,
+                t_pal * 1e3, 'pallas' if choice else 'xla')
         except Exception as e:  # noqa: BLE001 — timing failure => scan
             _warn_probe_failed(f'autotune {mode} {key}: {e!r}')
             choice = False
@@ -265,16 +273,26 @@ def _synthetic_cyclic_tables(C: int, cols: int, seed: int = 0):
     return cdf, cdf_len, off, support, rng
 
 
-def _time_pallas_vs_xla(mode, cols, lanes, lmax, steps, cyc):
+def _time_pallas_vs_xla(mode, cols, lanes, lmax, steps, cyc, batch=1):
     """Median per-call seconds of (xla, pallas) at a synthetic case of the
-    given shape. Uses dispatch-pipelined timing (one final block) so the
-    remote-tunnel per-call latency doesn't swamp the device time."""
+    given shape. With `batch` > 1 the candidates are timed UNDER a vmap
+    of that width — the per-image verdict does not transfer (measured:
+    xla ~= pallas per image at the flagship shape, but the vmapped XLA
+    scan collapses ~27x at batch 32 while the kernel scales), so a
+    batched caller must be tuned at its own batch."""
     import time
     C = max(cyc, 1)
     cdf, cdf_len, off, support, rng = _synthetic_cyclic_tables(C, cols)
     n = lanes * steps
     idx = (np.arange(n, dtype=np.int32) % lanes) % C
     sym = rng.integers(0, support, n).astype(np.int32)
+
+    def batched(fn):
+        return fn if batch <= 1 else jax.vmap(fn)
+
+    def tile(a):
+        a = jnp.asarray(a)
+        return a if batch <= 1 else jnp.stack([a] * batch)
 
     if mode == 'encode':
         def run(backend):
@@ -283,14 +301,15 @@ def _time_pallas_vs_xla(mode, cols, lanes, lmax, steps, cyc):
             # the scan's chunk/mask emission and the stream compaction
             # from the 'xla' candidate while the (DCE-opaque) Pallas
             # custom call still computes them — a biased A/B
-            def full(s):
+            def one(s):
                 out = device_rans_encode(
                     s, idx, cdf, cdf_len, off, num_lanes=lanes,
                     cyclic_channels=C, backend=backend)
                 return (jnp.sum(out['states'])
                         + jnp.sum(out['streams'].astype(jnp.uint32))
                         + jnp.sum(out['lengths'].astype(jnp.uint32)))
-            return jax.jit(full), (jnp.asarray(sym),)
+            full = lambda s: jnp.sum(batched(one)(s))  # noqa: E731
+            return jax.jit(full), (tile(sym),)
     else:
         enc = device_rans_encode(sym, idx, cdf, cdf_len, off,
                                  num_lanes=lanes, cyclic_channels=C,
@@ -302,12 +321,13 @@ def _time_pallas_vs_xla(mode, cols, lanes, lmax, steps, cyc):
         states = np.asarray(jax.device_get(enc['states']))
 
         def run(backend):
-            def full(st, xs):
+            def one(st, xs):
                 flat, valid = device_rans_decode(
                     st, xs, idx, cdf, cdf_len, off, n_symbols=n,
                     num_lanes=lanes, cyclic_channels=C, backend=backend)
                 return jnp.sum(flat) + valid.astype(jnp.int32)
-            return jax.jit(full), (jnp.asarray(streams), jnp.asarray(states))
+            full = lambda st, xs: jnp.sum(batched(one)(st, xs))  # noqa: E731
+            return jax.jit(full), (tile(streams), tile(states))
 
     # Compile/warm both first, then INTERLEAVE trials: the remote-tunnel
     # load drifts minute to minute, and timing one backend fully before
@@ -320,8 +340,8 @@ def _time_pallas_vs_xla(mode, cols, lanes, lmax, steps, cyc):
         fn, args = run(backend)
         np.asarray(fn(*args))                     # compile + warm + sync
         fns.append((fn, args))
-    reps, trials = 8, ([], [])
-    for _ in range(5):
+    reps, trials = (8 if batch <= 1 else 3), ([], [])
+    for _ in range(5 if batch <= 1 else 3):
         for i, (fn, args) in enumerate(fns):
             t0 = time.perf_counter()
             for _ in range(reps):
@@ -350,7 +370,7 @@ def _blocks(symbols, indexes, num_lanes):
 def device_rans_encode(symbols, indexes, quantized_cdf, cdf_length, offset,
                        num_lanes: int = 256,
                        cyclic_channels: int | None = None,
-                       backend: str = 'auto'):
+                       backend: str = 'auto', batch_hint: int = 1):
     """Encode flat int32 `symbols` with per-symbol distribution `indexes`
     against 16-bit-precision CDF tables (the same tables the host coder
     uses). Returns dict with:
@@ -399,7 +419,7 @@ def device_rans_encode(symbols, indexes, quantized_cdf, cdf_length, offset,
     ok = jnp.all((v >= 0) & (v < maxv))
     vc = jnp.clip(v, 0, maxv - 1)
     if cyc and _use_pallas(backend, cdf.shape[1], lanes, 0, steps,
-                           mode='encode', cyc=cyc):
+                           mode='encode', cyc=cyc, batch=batch_hint):
         from .pallas_kernel import pallas_cyclic_encode
         streams, lengths, x_final = pallas_cyclic_encode(
             cdf_lane, vc, steps,
@@ -469,7 +489,7 @@ def _finish_encode(chunks, masks, x_final, ok, lanes, n):
 def device_rans_decode(streams, states, indexes, quantized_cdf, cdf_length,
                        offset, n_symbols: int, num_lanes: int = 256,
                        cyclic_channels: int | None = None,
-                       backend: str = 'auto'):
+                       backend: str = 'auto', batch_hint: int = 1):
     """Decode (N, L) uint16 `streams` + (N,) uint32 `states` back into the
     flat symbol array. `indexes` must match the encoder's. Jittable.
     `cyclic_channels=C` with C | num_lanes enables the gather-free
@@ -494,7 +514,7 @@ def device_rans_decode(streams, states, indexes, quantized_cdf, cdf_length,
         cyc = 0
     if cyc and _use_pallas(backend, cdf.shape[1], lanes,
                            jnp.asarray(streams).shape[-1], steps,
-                           cyc=cyc):
+                           cyc=cyc, batch=batch_hint):
         from .pallas_kernel import pallas_cyclic_decode
         return pallas_cyclic_decode(
             streams, states, cdf, cdf_len, off, n_symbols, lanes, cyc,
