@@ -21,9 +21,9 @@ the per-image device-rANS wire, where entropy coding is fused
 on-device); best-of-trials is kept as "best_ips". The host-coder loop —
 the format-identical apples-to-apples number vs the torch baseline — is
 always recorded as "host_coder_ips"; micro-batched modes (decode_batch=8
-/ wire_batch=8/32, per-image bitstreams and accounting unchanged) are
+/ wire_batch=8/64, per-image bitstreams and accounting unchanged) are
 informational fields, with "throughput_mode_*" recording the
-chip-saturation serving numbers at wire_batch=32.
+chip-saturation serving numbers at wire_batch=64.
 Also recorded:
   - trials + per-mode medians: the remote-TPU tunnel's load varies
     by 2-3x between minutes; the median is the typical number, max the
@@ -218,7 +218,7 @@ def bench_device_programs(rt, image):
     }
 
 
-def bench_throughput_mode(rt, images, wire_batch=32, n_iter=256,
+def bench_throughput_mode(rt, images, wire_batch=64, n_iter=256,
                           n_trials=3):
     """Throughput-mode serving: the device-rANS wire grouped `wire_batch`
     images per fused dispatch (per-image bitstreams + byte accounting
@@ -246,7 +246,8 @@ def bench_throughput_mode(rt, images, wire_batch=32, n_iter=256,
                    if str(k).startswith(f'encode_devwire_b{wire_batch}_'))
     enc = rt._jit_cache[enc_key]
     cdf, cdf_len, off = rt._device_tables()
-    enc_args = (rt.variables, rt._medians_dev, cdf, cdf_len, off, *grp)
+    enc_args = (rt.variables, rt._medians_dev, cdf, cdf_len, off,
+                jnp.stack(grp))
     enc_flops = program_flops(enc, *enc_args)
     logits, valid = rt.decode_device_streams_batch(
         ops['streams'], ops['states'], ops['shape'])

@@ -112,17 +112,20 @@ class FactorizedDeviceWire:
         cdf, cdf_len, off = self._device_tables()
         enc1 = self._wire_enc_fn(num_lanes, batch_hint=len(xs_list))
 
-        def enc_many(v, m, cdf, cdf_len, off, *xs):
+        def enc_many(v, m, cdf, cdf_len, off, xs):
             return jax.vmap(
                 enc1, in_axes=(None, 0, None, None, None, None))(
-                v, jnp.stack(xs), m, cdf, cdf_len, off)
+                v, xs, m, cdf, cdf_len, off)
 
+        # one stacked (k, ...) input instead of k separate program
+        # arguments (per-argument dispatch overhead grows superlinearly
+        # with k on this runtime; see runtime.encode_device_wire_batch)
         k = len(xs_list)
         out = self._jitted(
             f'enc_devwire_b{k}_{num_lanes}_{xs_list[0].shape[1:3]}',
             enc_many)(
             self.variables, self._medians_dev, cdf, cdf_len, off,
-            *xs_list)
+            jnp.stack(xs_list))
         out['lat_shape'] = self._latent_shape(tuple(xs_list[0].shape))
         return out
 

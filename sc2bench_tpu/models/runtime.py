@@ -759,15 +759,18 @@ class SplitClassifierRuntime(AnalyzerHolder):
                                      out['nbytes']])
             return out
 
-        def enc_many(variables, medians, cdf, cdf_len, off, *xs):
+        def enc_many(variables, medians, cdf, cdf_len, off, xs):
             return jax.vmap(
                 enc1, in_axes=(None, 0, None, None, None, None))(
-                variables, jnp.stack(xs), medians, cdf, cdf_len, off)
+                variables, xs, medians, cdf, cdf_len, off)
 
+        # one stacked (k, ...) input instead of k separate program
+        # arguments: per-argument dispatch overhead grows superlinearly
+        # with k on this runtime (measured 1.7k vs 10.2k img/s at k=128)
         k = len(xs_list)
         out = self._jitted(f'encode_devwire_b{k}_{num_lanes}', enc_many)(
             self.variables, self._medians_dev, cdf, cdf_len, off,
-            *xs_list)
+            jnp.stack(xs_list))
         out['shape'] = self._latent_shape(tuple(xs_list[0].shape))
         return out
 
