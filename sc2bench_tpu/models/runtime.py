@@ -618,16 +618,18 @@ class SplitClassifierRuntime(AnalyzerHolder):
                                   batch_hint=len(xs_list))
 
         def enc_many(variables, z_med, st, cdf, cdf_len, off,
-                     g_cdf, g_len, g_off, *xs):
+                     g_cdf, g_len, g_off, xs):
             return jax.vmap(enc1, in_axes=(None, 0) + (None,) * 8)(
-                variables, jnp.stack(xs), z_med, st, cdf, cdf_len, off,
+                variables, xs, z_med, st, cdf, cdf_len, off,
                 g_cdf, g_len, g_off)
 
+        # one stacked (k, ...) input, not k program arguments — see
+        # encode_device_wire_batch
         k = len(xs_list)
         out = self._jitted(
             f'enc_devwire_hyper_b{k}_{num_lanes}_{z_lanes}', enc_many)(
             self.variables, self._medians_dev, self._scale_table_dev,
-            cdf, cdf_len, off, g_cdf, g_len, g_off, *xs_list)
+            cdf, cdf_len, off, g_cdf, g_len, g_off, jnp.stack(xs_list))
         out['shapes'] = self._hyper_latent_shapes(tuple(xs_list[0].shape))
         return out
 
