@@ -25,22 +25,38 @@ def _path_str(path) -> str:
     return '.'.join(str(getattr(k, 'key', k)) for k in path)
 
 
-def label_params(params, frozen_prefixes: Sequence[str] = ()):
+def _matches(path_str: str, prefix: str) -> bool:
+    """True when `prefix` (dotted) appears as consecutive full path
+    segments — so 'fc' does not also match 'fc_head.*'. Segments may be
+    fnmatch globs: flax Sequential flattens named children to the parent
+    scope, so the reference's `bottleneck_layer.encoder` module boundary
+    is expressed as `bottleneck_layer.enc_*` here."""
+    from fnmatch import fnmatchcase
+    segs = path_str.split('.')
+    pre = prefix.split('.')
+
+    def seg_eq(s, p):
+        return fnmatchcase(s, p) if any(ch in p for ch in '*?[') else s == p
+
+    return any(all(seg_eq(s, p) for s, p in zip(segs[i:], pre))
+               for i in range(len(segs) - len(pre) + 1))
+
+
+def label_params(params, frozen_prefixes: Sequence[str] = (),
+                 module_wise: Sequence[dict] = ()):
     """Label pytree: 'aux' for quantile params, 'frozen' for frozen-module
-    prefixes, 'main' otherwise."""
+    prefixes, 'mw{i}' for module-wise optimizer groups, 'main' otherwise."""
 
     def label(path, _):
         p = _path_str(path)
         if p.endswith('quantiles'):
             return 'aux'
-        segs = p.split('.')
         for prefix in frozen_prefixes:
-            pre = prefix.split('.')
-            # match on full path segments so frozen 'fc' does not also
-            # freeze 'fc_head.*'
-            if any(segs[i:i + len(pre)] == pre
-                   for i in range(len(segs) - len(pre) + 1)):
+            if _matches(p, prefix):
                 return 'frozen'
+        for i, entry in enumerate(module_wise):
+            if _matches(p, entry['module']):
+                return f'mw{i}'
         return 'main'
 
     return jax.tree_util.tree_map_with_path(label, params)
@@ -111,12 +127,21 @@ def build_multi_optimizer(params, optimizer_config, scheduler_config=None,
                           steps_per_epoch: int = 1, num_epochs: int = 1,
                           grad_accum_step: int = 1, aux_lr: float = 1e-3):
     """(labels, optax transform): main optimizer + aux Adam for quantiles +
-    zero-updates for frozen params."""
-    labels = label_params(params, frozen_modules)
+    zero-updates for frozen params + per-module-group optimizers for the
+    reference's `module_wise_kwargs` parameter groups (e.g. the seg
+    recipe's 10x head LR, reference voc es yaml stage2 optimizer)."""
+    module_wise = list(optimizer_config.get('module_wise_kwargs', ()))
+    labels = label_params(params, frozen_modules, module_wise)
     main_tx = build_optimizer(optimizer_config, scheduler_config,
                               steps_per_epoch, num_epochs, grad_accum_step)
-    tx = optax.multi_transform(
-        {'main': main_tx, 'aux': optax.adam(aux_lr),
-         'frozen': optax.set_to_zero()},
-        labels)
+    branches = {'main': main_tx, 'aux': optax.adam(aux_lr),
+                'frozen': optax.set_to_zero()}
+    for i, entry in enumerate(module_wise):
+        group_cfg = {'key': optimizer_config['key'],
+                     'kwargs': {**optimizer_config.get('kwargs', {}),
+                                **entry.get('kwargs', {})}}
+        branches[f'mw{i}'] = build_optimizer(
+            group_cfg, scheduler_config, steps_per_epoch, num_epochs,
+            grad_accum_step)
+    tx = optax.multi_transform(branches, labels)
     return labels, tx

@@ -155,20 +155,23 @@ class SegmentationEngine:
 
                 self._eval_fn[key] = jax.jit(_conf)
             # Device matrix is int32; fold into the host int64 evaluator
-            # matrix every 256 batches so a dominant cell can never wrap
-            # (int32 overflows past ~2.1e9 pixels — VOC val is ~4e8, but
-            # this engine must stay safe on larger/higher-res val sets).
+            # matrix before the accumulated pixel count can wrap a single
+            # cell (int32 overflows past ~2.1e9 — a dominant background
+            # class can absorb nearly every pixel, so the flush interval
+            # is derived from the per-batch pixel count, not a fixed batch
+            # count: flush once ~1e9 pixels have accumulated).
             mat = None
-            pending = 0
+            pending_px = 0
             for x, y in data_loader:
-                m = self._eval_fn[key](variables, jnp.asarray(x),
+                xa = jnp.asarray(x)
+                m = self._eval_fn[key](variables, xa,
                                        jnp.asarray(np.asarray(y)))
                 mat = m if mat is None else mat + m
-                pending += 1
-                if pending >= 256:
+                pending_px += int(np.prod(xa.shape[:1] + xa.shape[1:3]))
+                if pending_px >= 1_000_000_000:
                     evaluator.mat += np.asarray(
                         jax.device_get(mat)).astype(np.int64)
-                    mat, pending = None, 0
+                    mat, pending_px = None, 0
             if mat is not None:
                 evaluator.mat += np.asarray(
                     jax.device_get(mat)).astype(np.int64)

@@ -368,8 +368,8 @@ class CocoEvaluator:
         ap = self._ap_all
         stats = {
             'AP': nm(ap['all']),
-            'AP50': float(ap['all'][0]),
-            'AP75': float(ap['all'][5]),
+            'AP50': nm(ap['all'][0]),
+            'AP75': nm(ap['all'][5]),
             'AP_small': nm(ap['small']),
             'AP_medium': nm(ap['medium']),
             'AP_large': nm(ap['large']),

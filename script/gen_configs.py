@@ -146,12 +146,29 @@ def es_stage1(beta, hint_pairs, entropy_paths, epochs=10, frozen=()):
     }
 
 
-def es_stage2(epochs=10):
+def es_frozen_stage2(kind):
+    """Stage-2 frozen modules: encoder + entropy models stay fixed, the
+    bottleneck DECODER keeps training with the tail (reference es yaml
+    stage2 `frozen_modules`: fp freezes encoder+entropy_bottleneck; mshp
+    freezes g_a/h_a/h_s/entropy_bottleneck/gaussian_conditional, leaving
+    g_s trainable). Flax Sequential flattens named children to the parent
+    scope, so the reference's `.encoder`/`.g_a` module boundaries are
+    expressed as segment globs (train/optim._matches); the reference's
+    `gaussian_conditional` entry is omitted — it holds no learnable
+    parameters here (the scale table is built at update())."""
+    if kind == 'mshp':
+        return ['bottleneck_layer.g_a_*', 'bottleneck_layer.h_a_*',
+                'bottleneck_layer.h_s_*',
+                'bottleneck_layer.entropy_bottleneck']
+    return ['bottleneck_layer.enc_*', 'bottleneck_layer.entropy_bottleneck']
+
+
+def es_stage2(epochs=10, kind='fp'):
     return {
         'num_epochs': epochs, 'train_bn': True,
-        'frozen_modules': ['bottleneck_layer'],
+        'frozen_modules': es_frozen_stage2(kind),
         'optimizer': {'key': 'SGD', 'kwargs': {'lr': 0.001, 'momentum': 0.9,
-                                               'weight_decay': 0.0001}},
+                                               'weight_decay': 0.0005}},
         'scheduler': {'key': 'MultiStepLR',
                       'kwargs': {'milestones': [5], 'gamma': 0.1}},
         'criterion': {'key': 'KDLoss', 'kwargs': {
@@ -207,20 +224,26 @@ def student_block(backbone, kind):
 
 
 def hint_pairs(backbone):
+    """(student, teacher) sown-key hint pairs + stage-1 frozen modules per
+    family, mirroring the reference's forward_hook pairs and frozen lists
+    exactly (resnet: reference es yaml `:135,170-226`; regnet: bottleneck
+    pairs teacher `s1`, frozen s2-s4; hybrid vit: bottleneck pairs teacher
+    `patch_embed.backbone.stages.0` = our teacher `stage0_out`, frozen =
+    the pruned stages `patch_embed_pruned_stages` = our stage1-3)."""
     if backbone in ('resnet50', 'resnet101'):
         return ([('bottleneck_layer_out', 'layer1_out'),
                  ('layer2_out', 'layer2_out'), ('layer3_out', 'layer3_out'),
                  ('layer4_out', 'layer4_out')],
-                ['layer2', 'layer3', 'layer4', 'fc'])
+                ['layer2', 'layer3', 'layer4'])
     if backbone == 'regnety6.4gf':
         return ([('bottleneck_layer_out', 's1_out'),
                  ('s2_out', 's2_out'), ('s3_out', 's3_out'),
                  ('s4_out', 's4_out')],
-                ['s2', 's3', 's4', 'head_fc'])
-    return ([('bottleneck_layer_out', 'stage1_out'),
-             ('stage2_out', 'stage2_out'), ('stage3_out', 'stage3_out'),
-             ('block11_out', 'block11_out')],
-            ['stage2', 'stage3', 'patch_proj', 'head'])
+                ['s2', 's3', 's4'])
+    return ([('bottleneck_layer_out', 'stage0_out'),
+             ('stage1_out', 'stage1_out'), ('stage2_out', 'stage2_out'),
+             ('stage3_out', 'stage3_out')],
+            ['stage1', 'stage2', 'stage3'])
 
 
 # ---------------------------------------------------------------------------
@@ -254,7 +277,7 @@ def gen_entropic_student_ilsvrc():
                     'train': {**ilsvrc_loaders(),
                               'stage1': es_stage1(beta, pairs, entropy_paths,
                                                   frozen=frozen),
-                              'stage2': es_stage2()},
+                              'stage2': es_stage2(kind=kind)},
                     'test': ilsvrc_test(),
                 }
                 dump(CFG / 'ilsvrc2012/supervised_compression/'
@@ -284,33 +307,49 @@ def gen_entropic_student_coco():
             'train': {
                 'train_data_loader': coco_loader('train', 4, shuffle=True),
                 'val_data_loader': coco_loader('val', 1),
+                # Reference coco es yaml: epoch_to_update 0 (the bottleneck
+                # arrives ImageNet-trained, tables built before stage1);
+                # stage1 = 5-epoch HeadRCNN hint distillation (bottleneck
+                # vs teacher layer1 + layers 2-4 pairwise, NO rate term —
+                # beta only names the inherited ckpt lineage), encoder +
+                # entropy bottleneck frozen so the decoder+tail adapt;
+                # stage2 = 5-epoch full detection fine-tune, same frozen set.
                 'stage1': {
-                    'num_epochs': 3, 'epoch_to_update': 0, 'train_bn': False,
+                    'num_epochs': 5, 'epoch_to_update': 0, 'train_bn': False,
                     'detection_loss_weight': 0.0,
-                    'frozen_modules': ['layer2', 'layer3', 'layer4',
-                                       'rpn_head', 'box_head',
-                                       'box_predictor'],
+                    'frozen_modules': es_frozen_stage2('fp'),
                     'optimizer': {'key': 'Adam', 'kwargs': {'lr': 0.001}},
+                    'scheduler': {'key': 'MultiStepLR',
+                                  'kwargs': {'milestones': [3],
+                                             'gamma': 0.1}},
                     'criterion': {'key': 'WeightedSumLoss', 'kwargs': {
-                        'sub_terms': {
-                            'c2': {'criterion': {'key': 'MSELoss', 'kwargs': {
-                                'student_module_path':
-                                    'backbone.bottleneck_layer_out',
-                                'teacher_module_path': 'backbone.layer1_out',
-                                'reduction': 'sum'}}, 'weight': 1.0},
-                            'bpp': {'criterion': {'key': 'BppLoss',
-                                                  'kwargs': {
-                                'entropy_module_path':
-                                    'backbone.bottleneck_layer.eb_out',
-                                'reduction': 'batchmean'}},
-                                'weight': float(beta)}}}},
+                        'sub_terms': dict(
+                            {'hint1': {'criterion': {
+                                'key': 'MSELoss', 'kwargs': {
+                                    'student_module_path':
+                                        'backbone.bottleneck_layer_out',
+                                    'teacher_module_path':
+                                        'backbone.layer1_out',
+                                    'reduction': 'sum'}}, 'weight': 1.0}},
+                            **{f'hint{i}': {'criterion': {
+                                'key': 'MSELoss', 'kwargs': {
+                                    'student_module_path':
+                                        f'backbone.layer{i}_out',
+                                    'teacher_module_path':
+                                        f'backbone.layer{i}_out',
+                                    'reduction': 'sum'}}, 'weight': 1.0}
+                               for i in (2, 3, 4)})}},
                 },
                 'stage2': {
-                    'num_epochs': 2, 'train_bn': True,
+                    'num_epochs': 5, 'train_bn': True,
                     'detection_loss_weight': 1.0,
-                    'frozen_modules': ['bottleneck_layer'],
+                    'frozen_modules': es_frozen_stage2('fp'),
                     'optimizer': {'key': 'SGD', 'kwargs': {
-                        'lr': 0.0001, 'momentum': 0.9}},
+                        'lr': 0.0001, 'momentum': 0.9,
+                        'weight_decay': 0.0005}},
+                    'scheduler': {'key': 'MultiStepLR',
+                                  'kwargs': {'milestones': [3],
+                                             'gamma': 0.1}},
                     'criterion': {'key': 'WeightedSumLoss',
                                   'kwargs': {'sub_terms': {}}}},
             },
@@ -334,21 +373,50 @@ def gen_entropic_student_voc():
                     'key': 'deeplabv3_model',
                     'kwargs': {
                         'backbone_name': 'resnet50', 'num_classes': 21,
-                        'uses_aux': False,
+                        'uses_aux': True,
                         'bottleneck_config': {
                             'key': 'FPBasedResNetBottleneck',
                             'kwargs': {'num_bottleneck_channels': 24,
                                        'num_target_channels': 256}}},
                     'ckpt': f'./resource/ckpt/pascal_voc2012/'
                             f'entropic_student/deeplabv3_fp-beta{beta}.ckpt'}},
+            # Reference voc es yaml: epoch_to_update 0 (ImageNet-trained
+            # bottleneck reused); stage1 = 40-epoch backbone hint
+            # distillation on layer2-4 with encoder+entropy bottleneck AND
+            # layer3/layer4 frozen (only the bottleneck decoder + layer2
+            # adapt); stage2 = 10-epoch seg CE (+0.5 aux) fine-tune with
+            # poly LR and a 10x head LR, encoder+entropy bottleneck frozen.
             'train': {
-                'train_data_loader': voc_loader('train', 8, shuffle=True),
+                'train_data_loader': voc_loader('train', 16, shuffle=True),
                 'val_data_loader': voc_loader('val', 1),
                 'stage1': {
-                    'num_epochs': 5, 'epoch_to_update': 0, 'train_bn': True,
-                    'frozen_modules': ['bottleneck_layer'],
-                    'optimizer': {'key': 'SGD', 'kwargs': {
-                        'lr': 0.007, 'momentum': 0.9, 'weight_decay': 1e-4}},
+                    'num_epochs': 40, 'epoch_to_update': 0,
+                    'train_bn': False,
+                    'frozen_modules': es_frozen_stage2('fp')
+                    + ['layer3', 'layer4'],
+                    'optimizer': {'key': 'Adam', 'kwargs': {'lr': 0.001}},
+                    'scheduler': {'key': 'MultiStepLR',
+                                  'kwargs': {'milestones': [30, 35],
+                                             'gamma': 0.1}},
+                    'criterion': {'key': 'WeightedSumLoss', 'kwargs': {
+                        'sub_terms': {f'hint{i}': {'criterion': {
+                            'key': 'MSELoss', 'kwargs': {
+                                'student_module_path':
+                                    f'backbone.layer{i}_out',
+                                'teacher_module_path':
+                                    f'backbone.layer{i}_out',
+                                'reduction': 'sum'}}, 'weight': 1.0}
+                            for i in (2, 3, 4)}}}},
+                'stage2': {
+                    'num_epochs': 10, 'train_bn': True,
+                    'frozen_modules': es_frozen_stage2('fp'),
+                    'optimizer': {
+                        'key': 'SGD',
+                        'kwargs': {'lr': 0.0025, 'momentum': 0.9,
+                                   'weight_decay': 1e-4},
+                        'module_wise_kwargs': [
+                            {'module': 'aux_classifier',
+                             'kwargs': {'lr': 0.025}}]},
                     'scheduler': {'key': 'poly', 'kwargs': {'power': 0.9}},
                     'criterion': {'key': 'SegCrossEntropyLoss', 'kwargs': {
                         'module_path': 'output',
@@ -478,25 +546,34 @@ def gen_end_to_end():
              f'deeplabv3_splittable_resnet50-fp-beta{beta}.yaml', config)
 
 
-def ghnd_stage(frozen, hint_prefix=''):
-    """GHND head-distillation stage (hint MSE only, no rate term)."""
+def ghnd_stage(frozen, hint_prefix='', epochs=20, milestones=(5, 10, 15),
+               bottleneck_hint=True):
+    """GHND head-distillation stage (hint MSE only, no rate term).
+
+    Reference grids: ilsvrc 20 epochs MultiStep[5,10,15] frozen layer2-4
+    with a bottleneck-vs-layer1 hint; coco 20 epochs MultiStep[5,15]
+    frozen [] with the same 4 hints; voc 50 epochs MultiStep[30,40]
+    frozen layer3/4 with layer2-4 hints only (no bottleneck pair)."""
     sub_terms = {}
+    if bottleneck_hint:
+        sub_terms['hint1'] = {
+            'criterion': {'key': 'MSELoss', 'kwargs': {
+                'student_module_path': f'{hint_prefix}bottleneck_layer_out',
+                'teacher_module_path': f'{hint_prefix}layer1_out',
+                'reduction': 'sum'}}, 'weight': 1.0}
     for i, layer in enumerate(['layer2', 'layer3', 'layer4'], start=2):
         sub_terms[f'hint{i}'] = {
             'criterion': {'key': 'MSELoss', 'kwargs': {
                 'student_module_path': f'{hint_prefix}{layer}_out',
                 'teacher_module_path': f'{hint_prefix}{layer}_out',
                 'reduction': 'sum'}}, 'weight': 1.0}
-    sub_terms['hint1'] = {
-        'criterion': {'key': 'MSELoss', 'kwargs': {
-            'student_module_path': f'{hint_prefix}bottleneck_layer_out',
-            'teacher_module_path': f'{hint_prefix}layer1_out',
-            'reduction': 'sum'}}, 'weight': 1.0}
     return {
-        'num_epochs': 20, 'train_bn': False, 'frozen_modules': list(frozen),
+        'num_epochs': epochs, 'train_bn': False,
+        'frozen_modules': list(frozen),
         'optimizer': {'key': 'Adam', 'kwargs': {'lr': 0.001}},
         'scheduler': {'key': 'MultiStepLR',
-                      'kwargs': {'milestones': [5, 10, 15], 'gamma': 0.1}},
+                      'kwargs': {'milestones': list(milestones),
+                                 'gamma': 0.1}},
         'criterion': {'key': 'WeightedSumLoss',
                       'kwargs': {'sub_terms': sub_terms}},
     }
@@ -528,8 +605,7 @@ def gen_ghnd_bq():
                     'decompressor': {'key': 'SimpleDequantizer',
                                      'kwargs': {'num_bits': 8}}}},
             'train': {**ilsvrc_loaders(),
-                      'stage1': ghnd_stage(['layer2', 'layer3', 'layer4',
-                                            'fc'])},
+                      'stage1': ghnd_stage(['layer2', 'layer3', 'layer4'])},
             'test': ilsvrc_test(),
         }
         dump(CFG / 'ilsvrc2012/supervised_compression/ghnd-bq' /
@@ -557,8 +633,7 @@ def gen_ghnd_bq():
                 'train_data_loader': coco_loader('train', 4, shuffle=True),
                 'val_data_loader': coco_loader('val', 1),
                 'stage1': {**ghnd_stage(
-                    ['layer2', 'layer3', 'layer4', 'rpn_head', 'box_head',
-                     'box_predictor'], hint_prefix='backbone.'),
+                    [], hint_prefix='backbone.', milestones=(5, 15)),
                     'detection_loss_weight': 0.0},
             },
             'test': {'test_data_loader': coco_loader('val', 1)},
@@ -588,8 +663,10 @@ def gen_ghnd_bq():
             'train': {
                 'train_data_loader': voc_loader('train', 8, shuffle=True),
                 'val_data_loader': voc_loader('val', 1),
-                'stage1': ghnd_stage(['classifier'],
-                                     hint_prefix='backbone.'),
+                'stage1': ghnd_stage(['layer3', 'layer4'],
+                                     hint_prefix='backbone.', epochs=50,
+                                     milestones=(30, 40),
+                                     bottleneck_hint=False),
             },
             'test': {'test_data_loader': voc_loader('val', 1)},
         }
@@ -610,11 +687,16 @@ def gen_fine_tuning():
                                'num_classes': 1000},
                     'ckpt': f'./resource/ckpt/ilsvrc2012/fine-tuning/'
                             f'resnet50-eb_after_{split}-beta{beta}.ckpt'}},
+                # reference fine-tuning yaml `:96-160`: 10 epochs Adam 1e-3
+                # MultiStep[5,8], grad accum 2, CE(mean) + beta*bpp(batchmean)
                 'train': {**ilsvrc_loaders(),
                           'num_epochs': 10, 'epoch_to_update': 10,
-                          'train_bn': False, 'grad_accum_step': 4,
+                          'train_bn': False, 'grad_accum_step': 2,
                           'optimizer': {'key': 'Adam',
-                                        'kwargs': {'lr': 1e-4}},
+                                        'kwargs': {'lr': 1e-3}},
+                          'scheduler': {'key': 'MultiStepLR',
+                                        'kwargs': {'milestones': [5, 8],
+                                                   'gamma': 0.1}},
                           'criterion': {'key': 'WeightedSumLoss', 'kwargs': {
                               'sub_terms': {
                                   'ce': {'criterion': {
@@ -624,7 +706,7 @@ def gen_fine_tuning():
                                   'bpp': {'criterion': {
                                       'key': 'BppLoss', 'kwargs': {
                                           'entropy_module_path': 'eb_out',
-                                          'reduction': 'sum'}},
+                                          'reduction': 'batchmean'}},
                                       'weight': float(beta)}}}}},
                 'test': ilsvrc_test(),
             }
