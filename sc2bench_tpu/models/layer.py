@@ -251,20 +251,20 @@ class FPBasedResNetBottleneck(nn.Module):
         self.encoder = nn.Sequential([
             nn.Conv(enc[1], (5, 5), (2, 2), ((2, 2), (2, 2)), use_bias=False,
                     dtype=d, name='enc_conv0'),
-            GDN1(enc[1], name='enc_gdn0'),
+            GDN1(enc[1], dtype=d, name='enc_gdn0'),
             nn.Conv(enc[2], (5, 5), (2, 2), ((2, 2), (2, 2)), use_bias=False,
                     dtype=d, name='enc_conv1'),
-            GDN1(enc[2], name='enc_gdn1'),
+            GDN1(enc[2], dtype=d, name='enc_gdn1'),
             nn.Conv(enc[3], (2, 2), (1, 1), ((0, 0), (0, 0)), use_bias=False,
                     dtype=d, name='enc_conv2'),
         ])
         self.decoder = nn.Sequential([
             nn.Conv(dec[1], (2, 2), (1, 1), ((1, 1), (1, 1)), use_bias=False,
                     dtype=d, name='dec_conv0'),
-            GDN1(dec[1], inverse=True, name='dec_igdn0'),
+            GDN1(dec[1], inverse=True, dtype=d, name='dec_igdn0'),
             nn.Conv(dec[2], (2, 2), (1, 1), ((0, 0), (0, 0)), use_bias=False,
                     dtype=d, name='dec_conv1'),
-            GDN1(dec[2], inverse=True, name='dec_igdn1'),
+            GDN1(dec[2], inverse=True, dtype=d, name='dec_igdn1'),
             nn.Conv(dec[3], (2, 2), (1, 1), ((1, 1), (1, 1)), use_bias=False,
                     dtype=d, name='dec_conv2'),
         ])
@@ -322,20 +322,20 @@ class SHPBasedResNetBottleneck(nn.Module):
         self.g_a = nn.Sequential([
             nn.Conv(g_a[1], (5, 5), (2, 2), ((2, 2), (2, 2)), use_bias=False,
                     dtype=self.dtype, name='g_a_conv0'),
-            GDN1(g_a[1], name='g_a_gdn0'),
+            GDN1(g_a[1], dtype=self.dtype, name='g_a_gdn0'),
             nn.Conv(g_a[2], (5, 5), (2, 2), ((2, 2), (2, 2)), use_bias=False,
                     dtype=self.dtype, name='g_a_conv1'),
-            GDN1(g_a[2], name='g_a_gdn1'),
+            GDN1(g_a[2], dtype=self.dtype, name='g_a_gdn1'),
             nn.Conv(g_a[3], (2, 2), (1, 1), ((0, 0), (0, 0)), use_bias=False,
                     dtype=self.dtype, name='g_a_conv2'),
         ])
         self.g_s = nn.Sequential([
             nn.Conv(g_s[1], (2, 2), (1, 1), ((1, 1), (1, 1)), use_bias=False,
                     dtype=self.dtype, name='g_s_conv0'),
-            GDN1(g_s[1], inverse=True, name='g_s_igdn0'),
+            GDN1(g_s[1], inverse=True, dtype=self.dtype, name='g_s_igdn0'),
             nn.Conv(g_s[2], (2, 2), (1, 1), ((0, 0), (0, 0)), use_bias=False,
                     dtype=self.dtype, name='g_s_conv1'),
-            GDN1(g_s[2], inverse=True, name='g_s_igdn1'),
+            GDN1(g_s[2], inverse=True, dtype=self.dtype, name='g_s_igdn1'),
             nn.Conv(g_s[3], (2, 2), (1, 1), ((1, 1), (1, 1)), use_bias=False,
                     dtype=self.dtype, name='g_s_conv2'),
         ])

@@ -210,7 +210,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
 
     def __init__(self, module, variables, analyzer_configs=None,
                  analysis_unit='KB', deploy_bf16_tail=False,
-                 input_norm=None):
+                 deploy_bf16_decode=False, input_norm=None):
         if analyzer_configs is None:
             analyzer_configs = [{'key': 'FileSizeAnalyzer',
                                  'kwargs': {'unit': analysis_unit}}]
@@ -237,6 +237,22 @@ class SplitClassifierRuntime(AnalyzerHolder):
         # matches training exactly. ~1.5x decode-program speedup on v5e;
         # logits differ only by bf16 rounding in the tail.
         self.deploy_bf16_tail = deploy_bf16_tail
+        # Mixed-precision DEVICE-WIRE serving: the decode-side programs
+        # (entropy decode -> bottleneck decoder -> tail) apply a bfloat16
+        # CLONE of the module with the ORIGINAL f32 variables — decoder/
+        # tail convs compute on the MXU in bf16 (params cast at compute
+        # time), while everything that must stay bit-exact does:
+        #   * the ENCODE program is untouched (same f32 program), so
+        #     per-image bitstreams and byte accounting are byte-identical
+        #     (the reference's compress contract, layer.py:496-521);
+        #   * entropy decode is integer;
+        #   * the hyperprior's h_a/h_s convs carry no compute-dtype
+        #     attribute, so the clone leaves their f32 kernels alone and
+        #     decode-side gaussian indexes match the encoder's exactly.
+        # Logits differ from the f32 wire only by bf16 rounding
+        # (asserted in tests/test_device_rans.py).
+        self.deploy_bf16_decode = deploy_bf16_decode
+        self._module_bf16 = None
         # Module-level deploy ops (EntropicClassifierModule) vs. a
         # bottleneck_layer submodule (SplittableResNet family).
         self._module_level_ops = hasattr(module, 'encode_ops') and not \
@@ -479,6 +495,26 @@ class SplitClassifierRuntime(AnalyzerHolder):
         return self._decode_call(jnp.asarray(symbols))
 
     # ---- device-rANS wire mode (entropy coding ON the TPU) --------------
+    def _decode_module(self):
+        """Module used by the device-wire DECODE programs: the plain
+        module, or its bfloat16 clone under `deploy_bf16_decode` (see
+        __init__ — encode/bitstreams stay byte-identical either way)."""
+        if not self.deploy_bf16_decode:
+            return self.module
+        if self._module_bf16 is None:
+            updates = {}
+            if hasattr(self.module, 'dtype'):
+                updates['dtype'] = jnp.bfloat16
+            if self._bneck is not None and hasattr(self._bneck, 'dtype'):
+                updates['bottleneck_layer'] = self._bneck.clone(
+                    dtype=jnp.bfloat16)
+            self._module_bf16 = self.module.clone(**updates)
+        return self._module_bf16
+
+    @property
+    def _dec_tag(self):
+        return '_bf16' if self.deploy_bf16_decode else ''
+
     def _device_tables(self):
         if getattr(self, '_cdf_dev', None) is None:
             t = self.codec.tables
@@ -549,6 +585,10 @@ class SplitClassifierRuntime(AnalyzerHolder):
         encoder) -> decode y -> decoder + tail."""
         from ..ops.rans.device import device_rans_decode
         (hy, wy, cy), (hz, wz, cz) = shapes
+        # The clone's dtype only reaches g_a/g_s (+GDNs) and the tail —
+        # h_a/h_s kernels stay f32, so decode_scales' gaussian indexes
+        # are bit-identical to the (always-f32) encoder's.
+        module = self._decode_module()
 
         def dec(variables, z_streams, z_states, y_streams, y_states,
                 z_med, st, cdf, cdf_len, off, g_cdf, g_len, g_off):
@@ -558,7 +598,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
                 n_symbols=hz * wz * cz, num_lanes=z_lanes,
                 cyclic_channels=cz, batch_hint=batch_hint)
             z_sym = z_flat.reshape(1, hz, wz, cz)
-            y_idx, _means = self.module.apply(
+            y_idx, _means = module.apply(
                 variables, z_sym, z_med, st,
                 method=lambda m, zs, zm, stt:
                     m.bottleneck_layer.decode_scales(zs, zm, stt))
@@ -571,9 +611,9 @@ class SplitClassifierRuntime(AnalyzerHolder):
             def m_fn(m, ys, zs, zm):
                 feat = m.bottleneck_layer.decode_ops(ys, zs, zm)
                 return m.forward_tail(feat)
-            logits = self.module.apply(variables, y_sym, z_sym, z_med,
-                                       method=m_fn)
-            return logits, z_valid & y_valid
+            logits = module.apply(variables, y_sym, z_sym, z_med,
+                                  method=m_fn)
+            return logits.astype(jnp.float32), z_valid & y_valid
         return dec
 
     def _auto_hyper_lanes(self, x_shape):
@@ -654,7 +694,8 @@ class SplitClassifierRuntime(AnalyzerHolder):
         g_cdf, g_len, g_off = self._device_gaussian_tables()
         (hy, wy, cy), _ = ops['shapes']
         return self._jitted(
-            f'dec_devwire_hyper{hy}x{wy}x{cy}_{num_lanes}_{z_lanes}',
+            f'dec_devwire_hyper{hy}x{wy}x{cy}_{num_lanes}_{z_lanes}'
+            f'{self._dec_tag}',
             self._hyper_dec_fn(ops['shapes'], num_lanes, z_lanes))(
             self.variables, ops['z']['streams'], ops['z']['states'],
             ops['y']['streams'], ops['y']['states'], self._medians_dev,
@@ -676,7 +717,8 @@ class SplitClassifierRuntime(AnalyzerHolder):
         dec1 = self._hyper_dec_fn(ops['shapes'], num_lanes, z_lanes,
                                   batch_hint=k)
         return self._jitted(
-            f'dec_devwire_hyper_b{k}_{hy}x{wy}x{cy}_{num_lanes}_{z_lanes}',
+            f'dec_devwire_hyper_b{k}_{hy}x{wy}x{cy}_{num_lanes}_{z_lanes}'
+            f'{self._dec_tag}',
             jax.vmap(dec1, in_axes=(None, 0, 0, 0, 0) + (None,) * 8))(
             self.variables, ops['z']['streams'], ops['z']['states'],
             ops['y']['streams'], ops['y']['states'], self._medians_dev,
@@ -788,6 +830,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
         n_symbols = h * w * c
 
         k = int(streams.shape[0])
+        module = self._decode_module()
 
         def dec1(variables, streams, states, medians, cdf, cdf_len, off):
             idx = jnp.tile(jnp.arange(c, dtype=jnp.int32), h * w)
@@ -800,10 +843,10 @@ class SplitClassifierRuntime(AnalyzerHolder):
             def m_fn(m, s, med):
                 feat = m.bottleneck_layer.decode_ops(s, med)
                 return m.forward_tail(feat)
-            return self.module.apply(variables, sym, medians,
-                                     method=m_fn), valid
+            logits = module.apply(variables, sym, medians, method=m_fn)
+            return logits.astype(jnp.float32), valid
         return self._jitted(
-            f'decode_devwire_b{k}_{h}x{w}x{c}_l{num_lanes}',
+            f'decode_devwire_b{k}_{h}x{w}x{c}_l{num_lanes}{self._dec_tag}',
             jax.vmap(dec1, in_axes=(None, 0, 0, None, None, None, None)))(
             self.variables, streams, states, self._medians_dev,
             cdf, cdf_len, off)
@@ -832,6 +875,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
         cdf, cdf_len, off = self._device_tables()
         h, w, c = shape
         n_symbols = h * w * c
+        module = self._decode_module()
 
         def dec(variables, streams, states, medians, cdf, cdf_len, off):
             idx = jnp.tile(jnp.arange(c, dtype=jnp.int32), h * w)
@@ -844,10 +888,10 @@ class SplitClassifierRuntime(AnalyzerHolder):
             def m_fn(m, s, med):
                 feat = m.bottleneck_layer.decode_ops(s, med)
                 return m.forward_tail(feat)
-            return self.module.apply(variables, sym, medians,
-                                     method=m_fn), valid
-        return self._jitted(f'decode_devwire{h}x{w}x{c}_l{num_lanes}',
-                            dec)(
+            logits = module.apply(variables, sym, medians, method=m_fn)
+            return logits.astype(jnp.float32), valid
+        return self._jitted(f'decode_devwire{h}x{w}x{c}_l{num_lanes}'
+                            f'{self._dec_tag}', dec)(
             self.variables, streams, states, self._medians_dev,
             cdf, cdf_len, off)
 

@@ -37,12 +37,20 @@ def nonneg_forward(stored, minimum: float):
 
 class GDN1(nn.Module):
     """Simplified GDN: y = x / (beta + sum_j gamma_ij |x_j|); inverse
-    multiplies instead of divides. Input layout NHWC (or any (..., C))."""
+    multiplies instead of divides. Input layout NHWC (or any (..., C)).
+
+    `dtype` is the compute dtype of the channel-mixing matmul (mirrors
+    flax's Conv convention: params stay f32, cast at compute time).
+    None keeps jnp promotion (f32 whenever params are f32) — the exact
+    train/parity behavior; deploy's bf16 decode programs set bfloat16 so
+    the GDN matmul rides the MXU between the bf16 convs instead of
+    bouncing the activation back to f32."""
 
     channels: int
     inverse: bool = False
     beta_min: float = 1e-6
     gamma_init: float = 0.1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -55,6 +63,10 @@ class GDN1(nn.Module):
                 nonneg_init(self.gamma_init * np.eye(c)), jnp.float32))
         beta = nonneg_forward(beta_raw, self.beta_min)
         gamma = nonneg_forward(gamma_raw, 0.0)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            beta = beta.astype(self.dtype)
+            gamma = gamma.astype(self.dtype)
         # norm_i = beta_i + sum_j gamma[i, j] * |x_j|  →  |x| @ gamma^T
         norm = jnp.abs(x) @ gamma.T + beta
         return x * norm if self.inverse else x / norm

@@ -995,3 +995,71 @@ def test_cls_wire_batch_mixed_shapes_group_break():
     assert sizes_batched == sizes_per_image
     for h, d in zip(host_logits, batched):
         np.testing.assert_allclose(h, np.asarray(d), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('kind', ['fp', 'shp'])
+def test_bf16_decode_wire_byte_identical_and_logits_agree(kind):
+    """`deploy_bf16_decode`: the decode-side device-wire programs run
+    their decoder/tail convs in bfloat16 while the ENCODE program is the
+    exact same f32 program — per-image streams, states, and [ok, nbytes]
+    metas must be BYTE-IDENTICAL to the f32 wire (the reference's
+    compress/data-size contract, sc2bench/models/layer.py:496-521), the
+    bf16 decode must still validate (for SHP this proves the f32-kernel
+    h_s keeps gaussian indexes bit-exact with the encoder), and logits
+    agree on top-1 within bf16 tolerance."""
+    from sc2bench_tpu.models.backbone import SplittableResNet
+    from sc2bench_tpu.models.layer import (FPBasedResNetBottleneck,
+                                           SHPBasedResNetBottleneck)
+    from sc2bench_tpu.models.runtime import SplitClassifierRuntime
+    if kind == 'fp':
+        bneck = FPBasedResNetBottleneck(num_bottleneck_channels=8,
+                                        num_target_channels=64)
+    else:
+        bneck = SHPBasedResNetBottleneck(num_bottleneck_channels=8,
+                                         num_target_channels=64,
+                                         num_latent_channels=4)
+    model = SplittableResNet(bottleneck_layer=bneck,
+                             stage_sizes=(1, 1, 1, 1), num_classes=10)
+    x0 = jnp.zeros((1, 64, 64, 3))
+    v = jax.jit(lambda r, x: model.init(r, x, mode='train'))(
+        {'params': jax.random.key(0), 'noise': jax.random.key(1)}, x0)
+    v = {'params': v['params'], 'batch_stats': v.get('batch_stats', {})}
+    rt32 = SplitClassifierRuntime(model, v)
+    rt16 = SplitClassifierRuntime(model, v, deploy_bf16_decode=True)
+    for rt in (rt32, rt16):
+        rt.update()
+        rt.eval()
+    imgs = [jax.random.normal(jax.random.key(i), (1, 64, 64, 3)) * 0.25
+            for i in range(4)]
+
+    # byte-identical accounting through the full batched serving loop
+    for rt in (rt32, rt16):
+        rt.activate_analysis()
+    out32 = rt32.stream_deploy_device(imgs, depth=2, workers=2,
+                                      wire_batch=2)
+    out16 = rt16.stream_deploy_device(imgs, depth=2, workers=2,
+                                      wire_batch=2)
+    sizes32 = list(rt32.analyzers[0].file_size_list)
+    sizes16 = list(rt16.analyzers[0].file_size_list)
+    assert sizes32 == sizes16 and len(sizes32) == len(imgs)
+    for a, b in zip(out32, out16):
+        a, b = np.asarray(a), np.asarray(b)
+        assert b.dtype == np.float32
+        assert int(np.argmax(a)) == int(np.argmax(b))
+        np.testing.assert_allclose(a, b, rtol=0.1, atol=0.15)
+
+    # stream/state bit-identity of the encode programs (same program)
+    if kind == 'fp':
+        e32 = rt32.encode_device_wire(imgs[0])
+        e16 = rt16.encode_device_wire(imgs[0])
+        for k in ('streams', 'states', 'lengths', 'meta'):
+            np.testing.assert_array_equal(np.asarray(e32[k]),
+                                          np.asarray(e16[k]))
+    else:
+        e32 = rt32.encode_device_wire_hyper(imgs[0])
+        e16 = rt16.encode_device_wire_hyper(imgs[0])
+        for part in ('z', 'y'):
+            for k in ('streams', 'states', 'lengths'):
+                np.testing.assert_array_equal(np.asarray(e32[part][k]),
+                                              np.asarray(e16[part][k]))
