@@ -23,7 +23,9 @@ the format-identical apples-to-apples number vs the torch baseline — is
 always recorded as "host_coder_ips"; micro-batched modes (decode_batch=8
 / wire_batch=8/64, per-image bitstreams and accounting unchanged) are
 informational fields, with "throughput_mode_*" recording the
-chip-saturation serving numbers at wire_batch=64.
+chip-saturation serving numbers at wire_batch=128 (bf16-decode runtime +
+aligned device-wire streams; per-image bitstreams byte-identical to the
+f32 batch-1 wire).
 Also recorded:
   - trials + per-mode medians: the remote-TPU tunnel's load varies
     by 2-3x between minutes; the median is the typical number, max the
@@ -108,7 +110,7 @@ def device_loop_rate(dispatch, n=30):
     return n / (time.perf_counter() - t0)
 
 
-def build_runtime(input_norm=None):
+def build_runtime(input_norm=None, deploy_bf16_decode=False):
     from sc2bench_tpu.models.backbone import SplittableResNet
     from sc2bench_tpu.models.layer import FPBasedResNetBottleneck
     from sc2bench_tpu.models.runtime import SplitClassifierRuntime
@@ -122,7 +124,8 @@ def build_runtime(input_norm=None):
         {'params': jax.random.key(0), 'noise': jax.random.key(1)}, x)
     variables = {'params': variables['params'],
                  'batch_stats': variables.get('batch_stats', {})}
-    rt = SplitClassifierRuntime(model, variables, input_norm=input_norm)
+    rt = SplitClassifierRuntime(model, variables, input_norm=input_norm,
+                                deploy_bf16_decode=deploy_bf16_decode)
     rt.update()
     rt.eval()
     return rt
@@ -218,7 +221,7 @@ def bench_device_programs(rt, image):
     }
 
 
-def bench_throughput_mode(rt, images, wire_batch=64, n_iter=256,
+def bench_throughput_mode(rt, images, wire_batch=128, n_iter=512,
                           n_trials=3):
     """Throughput-mode serving: the device-rANS wire grouped `wire_batch`
     images per fused dispatch (per-image bitstreams + byte accounting
@@ -226,7 +229,10 @@ def bench_throughput_mode(rt, images, wire_batch=64, n_iter=256,
     serving, reference README.md:99-103). Records end-to-end images/sec
     plus the device-loop rate/MFU of the fused encode+code and
     decode+tail programs at this group size (the chip-saturation
-    number, free of tunnel latency)."""
+    number, free of tunnel latency). `rt` should be the bf16-decode
+    runtime (byte-identical bitstreams, bf16 decoder+tail — see
+    test_device_rans.py bf16 byte-identity tests); the streams use the
+    ALIGNED layout (compaction-free kernels, identical wire bytes)."""
     rt.stream_deploy_device([images[i % len(images)]
                              for i in range(wire_batch * 2)],
                             wire_batch=wire_batch)  # warm/compile
@@ -258,8 +264,10 @@ def bench_throughput_mode(rt, images, wire_batch=64, n_iter=256,
     dec_args = (rt.variables, ops['streams'], ops['states'],
                 rt._medians_dev, cdf, cdf_len, off)
     dec_flops = program_flops(dec, *dec_args)
-    enc_rate = device_loop_rate(lambda: enc(*enc_args), n=10) * wire_batch
-    dec_rate = device_loop_rate(lambda: dec(*dec_args), n=10) * wire_batch
+    # n=100: shorter loops carry a ~30 ms queue-warmup artifact on the
+    # tunneled runtime (measured: n=10 understates these rates ~25%)
+    enc_rate = device_loop_rate(lambda: enc(*enc_args), n=100) * wire_batch
+    dec_rate = device_loop_rate(lambda: dec(*dec_args), n=100) * wire_batch
     pair_rate = 1.0 / (1.0 / enc_rate + 1.0 / dec_rate)
     flops_per_img = (enc_flops + dec_flops) / wire_batch
     return {
@@ -360,8 +368,11 @@ def main():
     fresh_ips = _section('fresh_upload', bench_fresh_upload, None)
     device = _section('device_programs',
                       lambda: bench_device_programs(rt, images[0]), {})
-    throughput = _section('throughput_mode',
-                          lambda: bench_throughput_mode(rt, images), {})
+    def _throughput():
+        rt16 = build_runtime(deploy_bf16_decode=True)
+        rt16.activate_analysis()
+        return bench_throughput_mode(rt16, images)
+    throughput = _section('throughput_mode', _throughput, {})
     train = _section('train', bench_train, {})
 
     n_iter = 120

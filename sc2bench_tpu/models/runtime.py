@@ -548,11 +548,14 @@ class SplitClassifierRuntime(AnalyzerHolder):
                                     tuple(shp['z_symbols'].shape[1:]))
         return self._jit_cache[key]
 
-    def _hyper_enc_fn(self, num_lanes, z_lanes, batch_hint=1):
+    def _hyper_enc_fn(self, num_lanes, z_lanes, batch_hint=1,
+                      aligned=False):
         """Per-image SHP/MSHP mobile-side body: bottleneck encode + BOTH
         entropy coders fused (z factorized/cyclic, y gaussian with
         device-computed scale indexes). Shared by the per-image and the
-        vmapped (wire_batch) programs."""
+        vmapped (wire_batch) programs. `aligned` selects the time-aligned
+        stream layout (batched fused serving; see ops/rans/device.py) —
+        wire bytes/accounting identical, compaction-free kernels."""
         from ..ops.rans.device import device_rans_encode
 
         def enc(variables, x, z_med, st, cdf, cdf_len, off,
@@ -568,18 +571,21 @@ class SplitClassifierRuntime(AnalyzerHolder):
             z_out = device_rans_encode(z.reshape(-1), z_idx, cdf,
                                        cdf_len, off, num_lanes=z_lanes,
                                        cyclic_channels=cz,
-                                       batch_hint=batch_hint)
+                                       batch_hint=batch_hint,
+                                       aligned=aligned)
             y_out = device_rans_encode(
                 ops['y_symbols'].reshape(-1),
                 ops['y_indexes'].reshape(-1).astype(jnp.int32),
-                g_cdf, g_len, g_off, num_lanes=num_lanes)
+                g_cdf, g_len, g_off, num_lanes=num_lanes,
+                aligned=aligned)
             meta = jnp.stack([
                 (z_out['ok'] & y_out['ok']).astype(jnp.int32),
                 z_out['nbytes'] + y_out['nbytes']])
             return {'z': z_out, 'y': y_out, 'meta': meta}
         return enc
 
-    def _hyper_dec_fn(self, shapes, num_lanes, z_lanes, batch_hint=1):
+    def _hyper_dec_fn(self, shapes, num_lanes, z_lanes, batch_hint=1,
+                      aligned=False):
         """Per-image SHP/MSHP server-side body: decode z -> recompute
         gaussian indexes from z_hat (same deterministic ops as the
         encoder) -> decode y -> decoder + tail."""
@@ -596,7 +602,8 @@ class SplitClassifierRuntime(AnalyzerHolder):
             z_flat, z_valid = device_rans_decode(
                 z_streams, z_states, z_idx, cdf, cdf_len, off,
                 n_symbols=hz * wz * cz, num_lanes=z_lanes,
-                cyclic_channels=cz, batch_hint=batch_hint)
+                cyclic_channels=cz, batch_hint=batch_hint,
+                aligned=aligned)
             z_sym = z_flat.reshape(1, hz, wz, cz)
             y_idx, _means = module.apply(
                 variables, z_sym, z_med, st,
@@ -605,7 +612,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
             y_flat, y_valid = device_rans_decode(
                 y_streams, y_states, y_idx.reshape(-1).astype(jnp.int32),
                 g_cdf, g_len, g_off, n_symbols=hy * wy * cy,
-                num_lanes=num_lanes)
+                num_lanes=num_lanes, aligned=aligned)
             y_sym = y_flat.reshape(1, hy, wy, cy)
 
             def m_fn(m, ys, zs, zm):
@@ -655,7 +662,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
         cdf, cdf_len, off = self._device_tables()
         g_cdf, g_len, g_off = self._device_gaussian_tables()
         enc1 = self._hyper_enc_fn(num_lanes, z_lanes,
-                                  batch_hint=len(xs_list))
+                                  batch_hint=len(xs_list), aligned=True)
 
         def enc_many(variables, z_med, st, cdf, cdf_len, off,
                      g_cdf, g_len, g_off, xs):
@@ -667,7 +674,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
         # encode_device_wire_batch
         k = len(xs_list)
         out = self._jitted(
-            f'enc_devwire_hyper_b{k}_{num_lanes}_{z_lanes}', enc_many)(
+            f'enc_devwire_hyper_b{k}_{num_lanes}_{z_lanes}a', enc_many)(
             self.variables, self._medians_dev, self._scale_table_dev,
             cdf, cdf_len, off, g_cdf, g_len, g_off, jnp.stack(xs_list))
         out['shapes'] = self._hyper_latent_shapes(tuple(xs_list[0].shape))
@@ -715,10 +722,10 @@ class SplitClassifierRuntime(AnalyzerHolder):
         (hy, wy, cy), _ = ops['shapes']
         k = int(ops['z']['streams'].shape[0])
         dec1 = self._hyper_dec_fn(ops['shapes'], num_lanes, z_lanes,
-                                  batch_hint=k)
+                                  batch_hint=k, aligned=True)
         return self._jitted(
             f'dec_devwire_hyper_b{k}_{hy}x{wy}x{cy}_{num_lanes}_{z_lanes}'
-            f'{self._dec_tag}',
+            f'a{self._dec_tag}',
             jax.vmap(dec1, in_axes=(None, 0, 0, 0, 0) + (None,) * 8))(
             self.variables, ops['z']['streams'], ops['z']['states'],
             ops['y']['streams'], ops['y']['states'], self._medians_dev,
@@ -798,7 +805,8 @@ class SplitClassifierRuntime(AnalyzerHolder):
             out = device_rans_encode(flat, idx, cdf, cdf_len, off,
                                      num_lanes=num_lanes,
                                      cyclic_channels=c,
-                                     batch_hint=len(xs_list))
+                                     batch_hint=len(xs_list),
+                                     aligned=True)
             out['meta'] = jnp.stack([out['ok'].astype(jnp.int32),
                                      out['nbytes']])
             return out
@@ -812,7 +820,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
         # arguments: per-argument dispatch overhead grows superlinearly
         # with k on this runtime (measured 1.7k vs 10.2k img/s at k=128)
         k = len(xs_list)
-        out = self._jitted(f'encode_devwire_b{k}_{num_lanes}', enc_many)(
+        out = self._jitted(f'encode_devwire_b{k}_{num_lanes}a', enc_many)(
             self.variables, self._medians_dev, cdf, cdf_len, off,
             jnp.stack(xs_list))
         out['shape'] = self._latent_shape(tuple(xs_list[0].shape))
@@ -837,7 +845,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
             flat, valid = device_rans_decode(
                 streams, states, idx, cdf, cdf_len, off,
                 n_symbols=n_symbols, num_lanes=num_lanes,
-                cyclic_channels=c, batch_hint=k)
+                cyclic_channels=c, batch_hint=k, aligned=True)
             sym = flat.reshape(1, h, w, c)
 
             def m_fn(m, s, med):
@@ -846,7 +854,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
             logits = module.apply(variables, sym, medians, method=m_fn)
             return logits.astype(jnp.float32), valid
         return self._jitted(
-            f'decode_devwire_b{k}_{h}x{w}x{c}_l{num_lanes}{self._dec_tag}',
+            f'decode_devwire_b{k}_{h}x{w}x{c}_l{num_lanes}a{self._dec_tag}',
             jax.vmap(dec1, in_axes=(None, 0, 0, None, None, None, None)))(
             self.variables, streams, states, self._medians_dev,
             cdf, cdf_len, off)

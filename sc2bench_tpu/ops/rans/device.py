@@ -163,6 +163,44 @@ def _run_pallas_probe_body() -> bool:
         ok = ok and bool(jax.device_get(validb).all()) \
             and np.array_equal(jax.device_get(decb),
                                np.stack([sym] * 2))
+        # ALIGNED layout: kernels vs the aligned XLA scan, plus the
+        # round trip, unbatched and under vmap (the batched-serving
+        # lowering). Wire equality also pins compacted == compact(aligned)
+        refa = jax.device_get(device_rans_encode(
+            sym, idx, cdf, cdf_len, off, num_lanes=lanes,
+            cyclic_channels=C, backend='xla', aligned=True,
+            want_masks=True))
+        ok = ok and pack_stream_aligned(refa) == pack_stream(ref)
+        gota = jax.device_get(device_rans_encode(
+            sym, idx, cdf, cdf_len, off, num_lanes=lanes,
+            cyclic_channels=C, backend='pallas', aligned=True))
+        ok = ok and all(
+            np.array_equal(refa[f], gota[f])
+            for f in ('streams', 'lengths', 'states'))
+        deca, valida = device_rans_decode(
+            refa['streams'], refa['states'], idx, cdf, cdf_len, off,
+            n_symbols=n, num_lanes=lanes, cyclic_channels=C,
+            backend='pallas', aligned=True)
+        ok = ok and bool(valida) \
+            and np.array_equal(jax.device_get(deca), sym)
+        gotab = jax.device_get(jax.vmap(
+            lambda s: device_rans_encode(
+                s, idx, cdf, cdf_len, off, num_lanes=lanes,
+                cyclic_channels=C, backend='pallas', aligned=True))(
+            jnp.stack([jnp.asarray(sym)] * 2)))
+        ok = ok and all(
+            np.array_equal(np.stack([refa[f]] * 2), gotab[f])
+            for f in ('streams', 'lengths', 'states'))
+        decab, validab = jax.vmap(
+            lambda st, xs: device_rans_decode(
+                st, xs, idx, cdf, cdf_len, off, n_symbols=n,
+                num_lanes=lanes, cyclic_channels=C,
+                backend='pallas', aligned=True))(
+            jnp.stack([jnp.asarray(refa['streams'])] * 2),
+            jnp.stack([jnp.asarray(refa['states'])] * 2))
+        ok = ok and bool(jax.device_get(validab).all()) \
+            and np.array_equal(jax.device_get(decab),
+                               np.stack([sym] * 2))
     if not ok:
         _warn_probe_failed('kernel output mismatched the XLA scan')
     return ok
@@ -195,10 +233,17 @@ def _use_pallas(backend: str, cols: int, lanes: int, lmax: int,
         return False
     if jax.default_backend() != 'tpu':
         return False
-    from .pallas_kernel import pick_decode_plan, pick_encode_plan
+    from .pallas_kernel import (pick_decode_plan, pick_decode_plan_aligned,
+                                pick_encode_plan, pick_encode_plan_aligned)
     if mode == 'encode':
         applies = pick_encode_plan(int(cols), int(lanes),
                                    int(steps)) is not None
+    elif mode == 'encode_aligned':
+        applies = pick_encode_plan_aligned(int(cols), int(lanes),
+                                           int(steps)) is not None
+    elif mode == 'decode_aligned':
+        applies = pick_decode_plan_aligned(int(cols), int(lanes),
+                                           int(steps)) is not None
     else:
         applies = pick_decode_plan(int(cols), int(lanes), int(lmax),
                                    int(steps)) is not None
@@ -294,7 +339,8 @@ def _time_pallas_vs_xla(mode, cols, lanes, lmax, steps, cyc, batch=1):
         a = jnp.asarray(a)
         return a if batch <= 1 else jnp.stack([a] * batch)
 
-    if mode == 'encode':
+    aligned = mode.endswith('_aligned')
+    if mode.startswith('encode'):
         def run(backend):
             # the timed program must DEPEND on every encode output:
             # returning only 'states' would let XLA dead-code-eliminate
@@ -304,7 +350,7 @@ def _time_pallas_vs_xla(mode, cols, lanes, lmax, steps, cyc, batch=1):
             def one(s):
                 out = device_rans_encode(
                     s, idx, cdf, cdf_len, off, num_lanes=lanes,
-                    cyclic_channels=C, backend=backend)
+                    cyclic_channels=C, backend=backend, aligned=aligned)
                 return (jnp.sum(out['states'])
                         + jnp.sum(out['streams'].astype(jnp.uint32))
                         + jnp.sum(out['lengths'].astype(jnp.uint32)))
@@ -313,18 +359,22 @@ def _time_pallas_vs_xla(mode, cols, lanes, lmax, steps, cyc, batch=1):
     else:
         enc = device_rans_encode(sym, idx, cdf, cdf_len, off,
                                  num_lanes=lanes, cyclic_channels=C,
-                                 backend='xla')
-        streams = np.zeros((lanes, lmax), np.uint16)
+                                 backend='xla', aligned=aligned)
         src = np.asarray(jax.device_get(enc['streams']))
-        w = min(lmax, src.shape[1])
-        streams[:, :w] = src[:, :w]
+        if aligned:
+            streams = src                      # width == steps by format
+        else:
+            streams = np.zeros((lanes, lmax), np.uint16)
+            w = min(lmax, src.shape[1])
+            streams[:, :w] = src[:, :w]
         states = np.asarray(jax.device_get(enc['states']))
 
         def run(backend):
             def one(st, xs):
                 flat, valid = device_rans_decode(
                     st, xs, idx, cdf, cdf_len, off, n_symbols=n,
-                    num_lanes=lanes, cyclic_channels=C, backend=backend)
+                    num_lanes=lanes, cyclic_channels=C, backend=backend,
+                    aligned=aligned)
                 return jnp.sum(flat) + valid.astype(jnp.int32)
             full = lambda st, xs: jnp.sum(batched(one)(st, xs))  # noqa: E731
             return jax.jit(full), (tile(streams), tile(states))
@@ -370,7 +420,8 @@ def _blocks(symbols, indexes, num_lanes):
 def device_rans_encode(symbols, indexes, quantized_cdf, cdf_length, offset,
                        num_lanes: int = 256,
                        cyclic_channels: int | None = None,
-                       backend: str = 'auto', batch_hint: int = 1):
+                       backend: str = 'auto', batch_hint: int = 1,
+                       aligned: bool = False, want_masks: bool = False):
     """Encode flat int32 `symbols` with per-symbol distribution `indexes`
     against 16-bit-precision CDF tables (the same tables the host coder
     uses). Returns dict with:
@@ -381,7 +432,19 @@ def device_rans_encode(symbols, indexes, quantized_cdf, cdf_length, offset,
       ok      ()  bool       — all symbols in CDF support (else fall back
                                to the host escape-coding path)
       nbytes  ()  int32      — exact packed wire size
-    Jittable; all shapes static given (n, num_lanes)."""
+    Jittable; all shapes static given (n, num_lanes).
+
+    `aligned=True` switches the in-memory stream layout from compacted
+    to TIME-ALIGNED: streams[:, t] holds the chunk emitted while coding
+    symbol row t (0 where none). rANS renorm emissions/consumptions are
+    symmetric per symbol position, so an aligned decoder reads row t
+    directly — no per-lane pointer chase — and the encoder skips the
+    compaction pass entirely (the dominant cost of the compacted
+    kernels). The per-lane chunk SEQUENCES, lengths, states, and hence
+    the packed wire bytes are identical; only the layout differs.
+    `want_masks=True` additionally returns 'masks' (N, L) bool marking
+    real chunks, which `pack_stream_aligned` uses to produce the exact
+    compacted wire on the host."""
     backend = _resolve_backend(backend)
     cdf = jnp.asarray(quantized_cdf, jnp.int32)
     cdf_len = jnp.asarray(cdf_length, jnp.int32)
@@ -419,11 +482,25 @@ def device_rans_encode(symbols, indexes, quantized_cdf, cdf_length, offset,
     ok = jnp.all((v >= 0) & (v < maxv))
     vc = jnp.clip(v, 0, maxv - 1)
     if cyc and _use_pallas(backend, cdf.shape[1], lanes, 0, steps,
-                           mode='encode', cyc=cyc, batch=batch_hint):
+                           mode='encode_aligned' if aligned else 'encode',
+                           cyc=cyc, batch=batch_hint):
+        interpret = backend == 'pallas-interpret'
+        if aligned:
+            from .pallas_kernel import pallas_cyclic_encode_aligned
+            outs = pallas_cyclic_encode_aligned(
+                cdf_lane, vc, steps, emit_masks=want_masks,
+                interpret=interpret)
+            streams, lengths, x_final = outs[:3]
+            nbytes = 4 + 6 * lanes + 2 * jnp.sum(lengths)
+            out = {'streams': streams, 'lengths': lengths,
+                   'states': x_final, 'ok': ok,
+                   'nbytes': nbytes.astype(jnp.int32), 'n_symbols': n}
+            if want_masks:
+                out['masks'] = outs[3]
+            return out
         from .pallas_kernel import pallas_cyclic_encode
         streams, lengths, x_final = pallas_cyclic_encode(
-            cdf_lane, vc, steps,
-            interpret=(backend == 'pallas-interpret'))
+            cdf_lane, vc, steps, interpret=interpret)
         nbytes = 4 + 2 * lanes + 4 * lanes + 2 * jnp.sum(lengths)
         return {'streams': streams, 'lengths': lengths,
                 'states': x_final, 'ok': ok,
@@ -470,6 +547,16 @@ def device_rans_encode(symbols, indexes, quantized_cdf, cdf_length, offset,
     # decoder reads in forward symbol order -> flip emissions back
     chunks = jnp.flip(chunks, 0)                 # (L, N), decode order
     masks = jnp.flip(masks, 0)
+    if aligned:
+        streams = jnp.where(masks, chunks, 0).T           # (N, L)
+        lengths = jnp.sum(masks, axis=0).astype(jnp.int32)
+        nbytes = 4 + 6 * lanes + 2 * jnp.sum(lengths)
+        out = {'streams': streams, 'lengths': lengths, 'states': x_final,
+               'ok': ok, 'nbytes': nbytes.astype(jnp.int32),
+               'n_symbols': n}
+        if want_masks:
+            out['masks'] = masks.T
+        return out
     return _finish_encode(chunks, masks, x_final, ok, lanes, n)
 
 
@@ -489,12 +576,15 @@ def _finish_encode(chunks, masks, x_final, ok, lanes, n):
 def device_rans_decode(streams, states, indexes, quantized_cdf, cdf_length,
                        offset, n_symbols: int, num_lanes: int = 256,
                        cyclic_channels: int | None = None,
-                       backend: str = 'auto', batch_hint: int = 1):
+                       backend: str = 'auto', batch_hint: int = 1,
+                       aligned: bool = False):
     """Decode (N, L) uint16 `streams` + (N,) uint32 `states` back into the
     flat symbol array. `indexes` must match the encoder's. Jittable.
     `cyclic_channels=C` with C | num_lanes enables the gather-free
     fixed-lane-CDF fast path (the per-step row gather dominates the
-    general path on TPU).
+    general path on TPU). `aligned=True` consumes the TIME-ALIGNED
+    layout (`device_rans_encode(aligned=True)`): the chunk for step t is
+    at streams[:, t], so the per-lane read pointer disappears.
 
     `backend`: 'auto' (VMEM-resident Pallas kernel on TPU when the
     cyclic layout applies, the working set fits, and a per-shape timing
@@ -512,13 +602,24 @@ def device_rans_decode(streams, states, indexes, quantized_cdf, cdf_length,
     cyc = int(cyclic_channels) if cyclic_channels else 0
     if cyc and lanes % cyc != 0:
         cyc = 0
+    if aligned and int(jnp.asarray(streams).shape[-1]) < steps:
+        raise ValueError(
+            f'aligned decode needs stream width >= steps ({steps}); got '
+            f'{int(jnp.asarray(streams).shape[-1])} — compacted wire?')
     if cyc and _use_pallas(backend, cdf.shape[1], lanes,
                            jnp.asarray(streams).shape[-1], steps,
+                           mode='decode_aligned' if aligned else 'decode',
                            cyc=cyc, batch=batch_hint):
+        interpret = backend == 'pallas-interpret'
+        if aligned:
+            from .pallas_kernel import pallas_cyclic_decode_aligned
+            return pallas_cyclic_decode_aligned(
+                streams, states, cdf, cdf_len, off, n_symbols, lanes,
+                cyc, interpret=interpret)
         from .pallas_kernel import pallas_cyclic_decode
         return pallas_cyclic_decode(
             streams, states, cdf, cdf_len, off, n_symbols, lanes, cyc,
-            interpret=(backend == 'pallas-interpret'))
+            interpret=interpret)
     if idx2.shape[0] * lanes != n_symbols and not cyc:  # padded tail
         lane_pos = jnp.arange(lanes)
         pad_mask = (jnp.arange(steps)[:, None] * lanes + lane_pos) \
@@ -533,8 +634,8 @@ def device_rans_decode(streams, states, indexes, quantized_cdf, cdf_length,
         off_lane = off[lane_ch]
         len_lane = cdf_len[lane_ch]
 
-    def step(carry, idx_t):
-        x, ptr = carry
+    def symbol_and_next_state(x, idx_t):
+        """Shared per-step symbol search + state update (pre-renorm)."""
         slot = (x & _MASK16).astype(jnp.int32)
         if cyc:
             rows = cdf_lane                     # constant inside the scan
@@ -558,13 +659,34 @@ def device_rans_decode(streams, states, indexes, quantized_cdf, cdf_length,
             fr = (cdf[idx_t, v + 1] - cdf[idx_t, v]).astype(jnp.uint32)
             sym_off = off[idx_t]
         x = fr * (x >> 16) + slot.astype(jnp.uint32) - st
+        return x, v + sym_off
+
+    if aligned:
+        # chunk for step t is streams[:, t] — consume it iff x < RANS_L
+        rows_t = streams[:, :steps].T.astype(jnp.uint32)  # (L, N)
+
+        def step_a(x, inp):
+            idx_t, chunk_t = inp
+            x, sym = symbol_and_next_state(x, idx_t)
+            need = x < RANS_L
+            x = jnp.where(need, (x << 16) | chunk_t, x)
+            return x, sym
+
+        x_end, out = jax.lax.scan(step_a, jnp.asarray(states, jnp.uint32),
+                                  (idx2, rows_t))
+        valid = jnp.all(x_end == RANS_L)
+        return out.reshape(-1)[:n_symbols], valid
+
+    def step(carry, idx_t):
+        x, ptr = carry
+        x, sym = symbol_and_next_state(x, idx_t)
         need = x < RANS_L
         nxt = jnp.take_along_axis(
             streams, jnp.clip(ptr, 0, streams.shape[1] - 1)[:, None],
             axis=1)[:, 0].astype(jnp.uint32)
         x = jnp.where(need, (x << 16) | nxt, x)
         ptr = ptr + need.astype(jnp.int32)
-        return (x, ptr), v + sym_off
+        return (x, ptr), sym
 
     x0 = jnp.asarray(states, jnp.uint32)
     ptr0 = jnp.zeros((lanes,), jnp.int32)
@@ -595,6 +717,26 @@ def pack_stream(encoded: dict) -> bytes:
             states.astype(np.uint32).tobytes()]
     for j in range(lanes):
         body.append(streams[j, :lengths[j]].astype(np.uint16).tobytes())
+    return b''.join(body)
+
+
+def pack_stream_aligned(encoded: dict) -> bytes:
+    """Pack an `aligned=True, want_masks=True` encode result into the
+    SAME wire bytes as `pack_stream` on the compacted layout: per lane,
+    the real chunks (mask-selected) appear in time order, which IS the
+    compacted decode order."""
+    streams = np.asarray(encoded['streams'])
+    masks = np.asarray(encoded['masks']).astype(bool)
+    lengths = np.asarray(encoded['lengths'])
+    states = np.asarray(encoded['states'])
+    lanes = streams.shape[0]
+    if lengths.size and int(lengths.max()) > 0xFFFF:
+        raise ValueError('lane stream length exceeds the u16 wire header')
+    head = np.asarray([lanes, 0], np.uint16).tobytes()
+    body = [head, lengths.astype(np.uint16).tobytes(),
+            states.astype(np.uint32).tobytes()]
+    for j in range(lanes):
+        body.append(streams[j][masks[j]].astype(np.uint16).tobytes())
     return b''.join(body)
 
 

@@ -92,6 +92,95 @@ def _decode_kernel(cdf_ref, streams_ref, states_ref, out_ref, xend_ref,
     xend_ref[:] = x
 
 
+def _decode_kernel_aligned(cdf_ref, streams_ref, states_ref, out_ref,
+                           xend_ref, *, steps: int):
+    """Aligned-layout decode: the renorm chunk consumed at forward step t
+    sits at ROW t of the time-major stream block (rANS encode emissions
+    and decode consumptions are symmetric per symbol position — see
+    `device.py` "aligned" notes), so the per-step one-hot stream search
+    of `_decode_kernel` disappears entirely: each step is three masked
+    CDF reductions plus a direct row read.
+
+    cdf_ref     (cols_p, N) int32 — transposed lane-expanded CDF
+    streams_ref (steps_p, N) int32 — ALIGNED chunks: row t holds the
+                chunk consumed at step t (0 where none is consumed)
+    states_ref  (1, N) uint32
+    out_ref     (steps_p, N) int32 — decoded v (no offset applied)
+    xend_ref    (1, N) uint32
+    """
+    cdf = cdf_ref[:]
+
+    def body(t, x):
+        slot = (x & 0xFFFF).astype(jnp.int32)
+        m = cdf <= slot                                  # (cols_p, N)
+        v = jnp.sum(m.astype(jnp.int32), axis=0, keepdims=True) - 1
+        st = jnp.max(jnp.where(m, cdf, 0), axis=0, keepdims=True)
+        nxt = jnp.min(jnp.where(m, _BIG, cdf), axis=0, keepdims=True)
+        fr = (nxt - st).astype(jnp.uint32)
+        x = fr * (x >> 16) + slot.astype(jnp.uint32) - st.astype(jnp.uint32)
+        need = x < _RANS_L
+        chunk = streams_ref[pl.ds(t, 1), :].astype(jnp.uint32)
+        x = jnp.where(need, (x << 16) | chunk, x)
+        out_ref[pl.ds(t, 1), :] = v
+        return x
+
+    xend_ref[:] = jax.lax.fori_loop(0, steps, body, states_ref[:])
+
+
+def _encode_kernel_aligned(cdf_ref, vc_ref, streams_ref, lengths_ref,
+                           xend_ref, *rest, steps: int,
+                           emit_masks: bool):
+    """Aligned-layout encode: phase 1 of `_encode_kernel` only — each
+    reverse step writes its (masked) chunk straight to ROW t of the
+    output block, so the O(steps^2) in-VMEM compaction phase is gone.
+    `lengths` (= emitted chunks per lane, for exact byte accounting)
+    accumulate in the loop carry. With `emit_masks` the renorm mask is
+    also written out (hosts compact a real wire from it; the fused
+    device->device path skips it)."""
+    masks_ref = rest[0] if emit_masks else None
+    cdf = cdf_ref[:]
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, cdf.shape, 0)
+
+    def body(i, carry):
+        x, cnt = carry
+        t = steps - 1 - i                     # encode in reverse order
+        vc = vc_ref[pl.ds(t, 1), :]           # (1, N)
+        h0 = col_iota == vc
+        h1 = col_iota == vc + 1
+        st = jnp.sum(jnp.where(h0, cdf, 0), axis=0,
+                     keepdims=True).astype(jnp.uint32)
+        nxt = jnp.sum(jnp.where(h1, cdf, 0), axis=0,
+                      keepdims=True).astype(jnp.uint32)
+        fr = nxt - st
+        renorm = x >= (fr << 16)
+        chunk = (x & 0xFFFF).astype(jnp.int32)
+        x = jnp.where(renorm, x >> 16, x)
+        # exact x // fr via f32 + correction (see `_encode_kernel`)
+        as_f32 = lambda u: u.astype(jnp.int32).astype(jnp.float32)  # noqa: E731
+        xf = as_f32(x >> 16) * 65536.0 + as_f32(x & 0xFFFF)
+        q = (xf / as_f32(fr)).astype(jnp.int32).astype(jnp.uint32)
+        r = x - q * fr
+        too_big = r >= fr
+        q = jnp.where(too_big, q - 1, q)
+        r = jnp.where(too_big, r + fr, r)
+        still_big = r >= fr
+        q = jnp.where(still_big, q + 2, q)
+        r = jnp.where(still_big, r - 2 * fr, r)
+        x = (q << 16) + r + st
+        mk = renorm.astype(jnp.int32)
+        streams_ref[pl.ds(t, 1), :] = jnp.where(renorm, chunk, 0)
+        if emit_masks:
+            masks_ref[pl.ds(t, 1), :] = mk
+        return x, cnt + mk
+
+    n = cdf.shape[1]
+    x0 = jnp.full((1, n), _RANS_L, jnp.uint32)
+    cnt0 = jnp.zeros((1, n), jnp.int32)
+    xend, cnt = jax.lax.fori_loop(0, steps, body, (x0, cnt0))
+    xend_ref[:] = xend
+    lengths_ref[:] = cnt
+
+
 def vmem_bytes_estimate(cols: int, lanes: int, lmax: int,
                         steps: int) -> int:
     """Working-set estimate used by the auto backend gate."""
@@ -197,6 +286,57 @@ def pick_encode_plan(cols: int, lanes: int,
             continue
         for b in _lane_blocks(ng):
             est = _encode_block_bytes(cols, b, steps)
+            if est <= (10 << 20) and \
+                    stacked + 2 * est <= _SCOPED_VMEM_CALL_LIMIT:
+                return g, b
+    return None
+
+
+def _encode_block_bytes_aligned(cols: int, b: int, steps: int,
+                                emit_masks: bool) -> int:
+    # cdf (+ onehot temp) + vc + aligned streams out (+ masks out)
+    return 4 * b * (2 * _round_up(cols, 8)
+                    + (3 + int(emit_masks)) * _round_up(steps, 8))
+
+
+def pick_encode_plan_aligned(cols: int, lanes: int, steps: int,
+                             emit_masks: bool = False
+                             ) -> tuple[int, int] | None:
+    """(groups, lane_block) for the ALIGNED encode call, or None — same
+    grouped-vmap scheme as `pick_decode_plan`."""
+    lanes_p = _round_up(lanes, 128)
+    outs = 4 * lanes_p * ((2 + int(emit_masks)) * _round_up(steps, 8) + 2
+                          + _round_up(cols, 8))
+    for g in _divisors_ascending(lanes_p // 128):
+        ng = lanes_p // g
+        stacked = outs if g == 1 else 0
+        if stacked > _SCOPED_VMEM_CALL_LIMIT:
+            continue
+        for b in _lane_blocks(ng):
+            est = _encode_block_bytes_aligned(cols, b, steps, emit_masks)
+            if est <= (10 << 20) and \
+                    stacked + 2 * est <= _SCOPED_VMEM_CALL_LIMIT:
+                return g, b
+    return None
+
+
+def _decode_block_bytes_aligned(cols: int, b: int, steps: int) -> int:
+    # cdf (+ mask temp) + aligned streams + out block
+    return 4 * b * (2 * _round_up(cols, 8) + 2 * _round_up(steps, 8))
+
+
+def pick_decode_plan_aligned(cols: int, lanes: int,
+                             steps: int) -> tuple[int, int] | None:
+    """(groups, lane_block) for the ALIGNED decode call, or None."""
+    lanes_p = _round_up(lanes, 128)
+    full = 4 * lanes_p * (_round_up(cols, 8) + 2 * _round_up(steps, 8) + 2)
+    for g in _divisors_ascending(lanes_p // 128):
+        ng = lanes_p // g
+        stacked = full if g == 1 else 0
+        if stacked > _SCOPED_VMEM_CALL_LIMIT:
+            continue
+        for b in _lane_blocks(ng):
+            est = _decode_block_bytes_aligned(cols, b, steps)
             if est <= (10 << 20) and \
                     stacked + 2 * est <= _SCOPED_VMEM_CALL_LIMIT:
                 return g, b
@@ -478,6 +618,178 @@ def pallas_cyclic_decode(streams, states, quantized_cdf, cdf_length,
                              lane_block=block, interpret=interpret)
     cdf_t = cdf_lane.T
     streams_t = streams.astype(jnp.int32).T
+    if groups == 1:
+        out, xend = call(cdf_t, streams_t, states)
+    else:
+        out, xend = _grouped(call, groups, cdf_t, streams_t, states)
+    valid = jnp.all(xend[:lanes] == _RANS_L)
+    flat = (out[:, :lanes] + off[lane_ch][None, :]) \
+        .reshape(-1)[:n_symbols]
+    return flat, valid
+
+
+# ---------------------------------------------------------------------------
+# Aligned-layout call wrappers (see `device.py` "aligned" notes)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit,
+                   static_argnames=('steps', 'lane_block', 'emit_masks',
+                                    'interpret'))
+def _pallas_encode_call_aligned(cdf_t, vc, steps: int,
+                                lane_block: int | None = None,
+                                emit_masks: bool = False,
+                                interpret: bool = False):
+    """Aligned variant of `_pallas_encode_call`: returns
+    (streams (steps, N) int32 — row t holds step t's chunk or 0 —
+    lengths (N,) int32, xend (N,) uint32[, masks (steps, N) int32])."""
+    cols, n = cdf_t.shape
+    cols_p = _round_up(cols, 8)
+    if cols_p != cols:
+        cdf_t = jnp.pad(cdf_t, ((0, cols_p - cols), (0, 0)),
+                        constant_values=_BIG)
+    steps_p = _round_up(steps, 8)
+    if steps_p != vc.shape[0]:
+        vc = jnp.pad(vc, ((0, steps_p - vc.shape[0]), (0, 0)))
+    b = n if lane_block is None else int(lane_block)
+    lane_map = lambda i: (0, i)  # noqa: E731
+    out_shape = [jax.ShapeDtypeStruct((steps_p, n), jnp.int32),
+                 jax.ShapeDtypeStruct((1, n), jnp.int32),
+                 jax.ShapeDtypeStruct((1, n), jnp.uint32)]
+    out_specs = [pl.BlockSpec((steps_p, b), lane_map),
+                 pl.BlockSpec((1, b), lane_map),
+                 pl.BlockSpec((1, b), lane_map)]
+    if emit_masks:
+        out_shape.append(jax.ShapeDtypeStruct((steps_p, n), jnp.int32))
+        out_specs.append(pl.BlockSpec((steps_p, b), lane_map))
+    outs = pl.pallas_call(
+        functools.partial(_encode_kernel_aligned, steps=steps,
+                          emit_masks=emit_masks),
+        grid=(n // b,),
+        out_shape=tuple(out_shape),
+        in_specs=[pl.BlockSpec((cols_p, b), lane_map),
+                  pl.BlockSpec((steps_p, b), lane_map)],
+        out_specs=tuple(out_specs),
+        interpret=interpret,
+    )(cdf_t, vc)
+    streams, lengths, xend = outs[0][:steps], outs[1][0], outs[2][0]
+    if emit_masks:
+        return streams, lengths, xend, outs[3][:steps]
+    return streams, lengths, xend
+
+
+def pallas_cyclic_encode_aligned(cdf_lane, vc, steps: int,
+                                 emit_masks: bool = False,
+                                 interpret: bool = False):
+    """Aligned-wire encode: returns (streams (N, steps) uint16 — column t
+    holds the chunk emitted while coding symbol row t, 0 where none —
+    lengths (N,) int32, states (N,) uint32[, masks (N, steps) bool]).
+    The per-lane chunk SEQUENCES (and hence the packed wire) are
+    byte-identical to the compacted `pallas_cyclic_encode`; only the
+    in-memory layout differs."""
+    cdf_lane, vc, lanes = _pad_lanes_encode(cdf_lane, vc)
+    plan = pick_encode_plan_aligned(int(cdf_lane.shape[1]),
+                                    int(cdf_lane.shape[0]), steps,
+                                    emit_masks)
+    if plan is None and not interpret:
+        raise ValueError(
+            f'no VMEM-fitting call plan for the aligned Pallas rANS '
+            f'encode kernel (lanes={lanes}, steps={steps}); use '
+            f'backend="xla"')
+    groups, block = plan if plan is not None else (1, None)
+    call = functools.partial(_pallas_encode_call_aligned, steps=steps,
+                             lane_block=block, emit_masks=emit_masks,
+                             interpret=interpret)
+    cdf_t = jnp.asarray(cdf_lane, jnp.int32).T
+    if groups == 1:
+        outs = call(cdf_t, vc)
+    else:
+        outs = _grouped(call, groups, cdf_t, vc)
+    streams = outs[0][:, :lanes].astype(jnp.uint16).T
+    lengths, xend = outs[1][:lanes], outs[2][:lanes]
+    if emit_masks:
+        return streams, lengths, xend, outs[3][:, :lanes].astype(bool).T
+    return streams, lengths, xend
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('steps', 'lane_block', 'interpret'))
+def _pallas_decode_call_aligned(cdf_t, streams_t, states, steps: int,
+                                lane_block: int | None = None,
+                                interpret: bool = False):
+    """Aligned variant of `_pallas_decode_call`: `streams_t` is
+    (steps, N) int32 time-major ALIGNED chunks."""
+    cols, n = cdf_t.shape
+    cols_p = _round_up(cols, 8)
+    if cols_p != cols:
+        cdf_t = jnp.pad(cdf_t, ((0, cols_p - cols), (0, 0)),
+                        constant_values=_BIG)
+    steps_p = _round_up(steps, 8)
+    if steps_p != streams_t.shape[0]:
+        streams_t = jnp.pad(
+            streams_t, ((0, steps_p - streams_t.shape[0]), (0, 0)))
+    b = n if lane_block is None else int(lane_block)
+    lane_map = lambda i: (0, i)  # noqa: E731
+    out, xend = pl.pallas_call(
+        functools.partial(_decode_kernel_aligned, steps=steps),
+        grid=(n // b,),
+        out_shape=(jax.ShapeDtypeStruct((steps_p, n), jnp.int32),
+                   jax.ShapeDtypeStruct((1, n), jnp.uint32)),
+        in_specs=[
+            pl.BlockSpec((cols_p, b), lane_map),
+            pl.BlockSpec((steps_p, b), lane_map),
+            pl.BlockSpec((1, b), lane_map),
+        ],
+        out_specs=(pl.BlockSpec((steps_p, b), lane_map),
+                   pl.BlockSpec((1, b), lane_map)),
+        interpret=interpret,
+    )(cdf_t, streams_t, states[None, :].astype(jnp.uint32))
+    return out[:steps], xend[0]
+
+
+def pallas_cyclic_decode_aligned(streams, states, quantized_cdf,
+                                 cdf_length, offset, n_symbols: int,
+                                 num_lanes: int, cyclic_channels: int,
+                                 interpret: bool = False):
+    """Drop-in for `device_rans_decode(aligned=True)`'s cyclic fast
+    path. `streams` is the (N, steps) ALIGNED layout produced by
+    `pallas_cyclic_encode_aligned` / the aligned XLA scan."""
+    c = int(cyclic_channels)
+    lanes = int(num_lanes)
+    steps = -(-int(n_symbols) // lanes)
+    cdf = jnp.asarray(quantized_cdf, jnp.int32)
+    cdf_len = jnp.asarray(cdf_length, jnp.int32)
+    off = jnp.asarray(offset, jnp.int32)
+    lane_ch = jnp.arange(lanes, dtype=jnp.int32) % c
+    col = jnp.arange(cdf.shape[1], dtype=jnp.int32)
+    cdf_lane = jnp.where(col[None, :] < cdf_len[lane_ch][:, None],
+                         cdf[lane_ch], _BIG)           # (N, cols)
+    streams = jnp.asarray(streams)
+    if int(streams.shape[-1]) < steps:
+        raise ValueError(
+            f'aligned decode needs width >= steps ({steps}); got '
+            f'{int(streams.shape[-1])} — was this wire compacted?')
+    lanes_p = _round_up(lanes, 128)
+    states = jnp.asarray(states, jnp.uint32)
+    if lanes_p != lanes:
+        pad_row = jnp.full((lanes_p - lanes, cdf_lane.shape[1]), _BIG,
+                           jnp.int32)
+        pad_row = pad_row.at[:, 0].set(0)
+        pad_row = pad_row.at[:, 1].set(1 << 16)
+        cdf_lane = jnp.concatenate([cdf_lane, pad_row])
+        streams = jnp.pad(streams, ((0, lanes_p - lanes), (0, 0)))
+        states = jnp.concatenate(
+            [states, jnp.full((lanes_p - lanes,), _RANS_L, jnp.uint32)])
+    plan = pick_decode_plan_aligned(int(cdf.shape[1]), lanes, steps)
+    if plan is None and not interpret:
+        raise ValueError(
+            f'no VMEM-fitting call plan for the aligned Pallas rANS '
+            f'decode kernel (lanes={lanes}, steps={steps}); use '
+            f'backend="xla"')
+    groups, block = plan if plan is not None else (1, None)
+    call = functools.partial(_pallas_decode_call_aligned, steps=steps,
+                             lane_block=block, interpret=interpret)
+    cdf_t = cdf_lane.T
+    streams_t = streams[:, :steps].astype(jnp.int32).T
     if groups == 1:
         out, xend = call(cdf_t, streams_t, states)
     else:

@@ -1063,3 +1063,109 @@ def test_bf16_decode_wire_byte_identical_and_logits_agree(kind):
             for k in ('streams', 'states', 'lengths'):
                 np.testing.assert_array_equal(np.asarray(e32[part][k]),
                                               np.asarray(e16[part][k]))
+
+
+# ---------------------------------------------------------------------------
+# Aligned stream layout (the batched fused-serving format)
+# ---------------------------------------------------------------------------
+
+def _assert_aligned_equals_compacted(enc_c, enc_a):
+    """Pin the aligned-layout contract: identical lengths/states/nbytes,
+    and per lane the mask-selected aligned chunks ARE the compacted row
+    (hence the identical packed wire)."""
+    from sc2bench_tpu.ops.rans.device import pack_stream_aligned
+    for k in ('lengths', 'states', 'nbytes', 'ok'):
+        np.testing.assert_array_equal(np.asarray(enc_c[k]),
+                                      np.asarray(enc_a[k]), k)
+    sa = np.asarray(enc_a['streams'])
+    ma = np.asarray(enc_a['masks']).astype(bool)
+    sc = np.asarray(enc_c['streams'])
+    lens = np.asarray(enc_c['lengths'])
+    for j in range(sa.shape[0]):
+        np.testing.assert_array_equal(sa[j][ma[j]], sc[j][:lens[j]])
+    assert pack_stream_aligned(enc_a) == pack_stream(
+        {k: np.asarray(enc_c[k]) for k in ('streams', 'lengths',
+                                           'states')})
+
+
+@pytest.mark.parametrize('cyclic', [False, True])
+def test_aligned_layout_matches_compacted_and_roundtrips(cyclic):
+    """aligned=True changes only the in-memory layout: same lengths,
+    states, byte accounting, and packed wire as the compacted format;
+    the aligned decoder recovers the symbols bit-exactly (both the
+    cyclic fast path and the general per-symbol-index path)."""
+    if cyclic:
+        cdf, cdf_length, offset, idx, sym = _cyclic_case(C=8, lanes=32,
+                                                         n=3000)
+        kw = dict(num_lanes=32, cyclic_channels=8)
+    else:
+        cdf, cdf_length, offset = _tables()
+        sym, idx = _symbols(cdf, cdf_length, offset, 3000)
+        kw = dict(num_lanes=64)
+    enc_c = device_rans_encode(sym, idx, cdf, cdf_length, offset,
+                               backend='xla', **kw)
+    enc_a = device_rans_encode(sym, idx, cdf, cdf_length, offset,
+                               backend='xla', aligned=True,
+                               want_masks=True, **kw)
+    assert bool(enc_a['ok'])
+    _assert_aligned_equals_compacted(enc_c, enc_a)
+    dec, valid = device_rans_decode(
+        enc_a['streams'], enc_a['states'], idx, cdf, cdf_length, offset,
+        n_symbols=len(sym), backend='xla', aligned=True, **kw)
+    assert bool(valid)
+    np.testing.assert_array_equal(np.asarray(dec), sym)
+    # feeding a compacted wire to the aligned decoder is rejected when
+    # the width is too narrow (compacted width == steps here, so instead
+    # pin that decoding the WRONG layout fails the validity check)
+    dec_w, valid_w = device_rans_decode(
+        enc_c['streams'], enc_c['states'], idx, cdf, cdf_length, offset,
+        n_symbols=len(sym), backend='xla', aligned=True, **kw)
+    assert not bool(valid_w) or not np.array_equal(np.asarray(dec_w), sym)
+
+
+@pytest.mark.slow
+def test_aligned_pallas_kernels_bit_exact_interpret():
+    """Aligned Pallas encode/decode kernels (interpret mode) are
+    bit-identical to the aligned XLA scan, including under vmap (the
+    batched-serving lowering) and with padded (non-multiple-of-128)
+    lane counts."""
+    for lanes, n in ((128, 4096), (96, 3072)):
+        cdf, cdf_length, offset, idx, sym = _cyclic_case(C=8, lanes=lanes,
+                                                         n=n)
+        ref = device_rans_encode(sym, idx, cdf, cdf_length, offset,
+                                 num_lanes=lanes, cyclic_channels=8,
+                                 backend='xla', aligned=True,
+                                 want_masks=True)
+        got = device_rans_encode(sym, idx, cdf, cdf_length, offset,
+                                 num_lanes=lanes, cyclic_channels=8,
+                                 backend='pallas-interpret', aligned=True,
+                                 want_masks=True)
+        for k in ('streams', 'lengths', 'states', 'masks'):
+            np.testing.assert_array_equal(np.asarray(ref[k]),
+                                          np.asarray(got[k]), k)
+        dec, valid = device_rans_decode(
+            ref['streams'], ref['states'], idx, cdf, cdf_length, offset,
+            n_symbols=n, num_lanes=lanes, cyclic_channels=8,
+            backend='pallas-interpret', aligned=True)
+        assert bool(valid)
+        np.testing.assert_array_equal(np.asarray(dec), sym)
+        # vmapped (batched) lowering
+        syms = np.stack([np.roll(sym, k * 8) for k in range(2)])
+        encb = jax.vmap(lambda s: device_rans_encode(
+            s, idx, cdf, cdf_length, offset, num_lanes=lanes,
+            cyclic_channels=8, backend='pallas-interpret',
+            aligned=True))(jnp.asarray(syms))
+        refb = jax.vmap(lambda s: device_rans_encode(
+            s, idx, cdf, cdf_length, offset, num_lanes=lanes,
+            cyclic_channels=8, backend='xla', aligned=True))(
+            jnp.asarray(syms))
+        for k in ('streams', 'lengths', 'states'):
+            np.testing.assert_array_equal(np.asarray(encb[k]),
+                                          np.asarray(refb[k]), k)
+        decb, validb = jax.vmap(lambda st, xs: device_rans_decode(
+            st, xs, idx, cdf, cdf_length, offset, n_symbols=n,
+            num_lanes=lanes, cyclic_channels=8,
+            backend='pallas-interpret', aligned=True))(
+            encb['streams'], encb['states'])
+        assert bool(np.asarray(validb).all())
+        np.testing.assert_array_equal(np.asarray(decb), syms)
