@@ -61,8 +61,10 @@ class MBConv(nn.Module):
                 y, use_running_average=ura)
             y = nn.silu(y)
         k, s = self.kernel, self.stride
-        p = k // 2
-        y = nn.Conv(mid, (k, k), (s, s), ((p, p), (p, p)),
+        # 'SAME' == TF-style asymmetric padding — the timm `tf_` variants
+        # pad bottom/right-heavy on stride 2, and real tf_efficientnet_l2
+        # weights reproduce only under the same convention
+        y = nn.Conv(mid, (k, k), (s, s), 'SAME',
                     feature_group_count=mid, use_bias=False,
                     name='dw_conv')(y)
         y = nn.BatchNorm(momentum=0.9, epsilon=1e-3, name='dw_bn')(
@@ -95,7 +97,7 @@ class EfficientNet(nn.Module):
     def __call__(self, x, train: bool = False, **_):
         ura = not train
         stem = round_channels(self.stem_channels, self.width_coefficient)
-        z = nn.Conv(stem, (3, 3), (2, 2), ((1, 1), (1, 1)), use_bias=False,
+        z = nn.Conv(stem, (3, 3), (2, 2), 'SAME', use_bias=False,
                     name='stem_conv')(x)
         z = nn.BatchNorm(momentum=0.9, epsilon=1e-3, name='stem_bn')(
             z, use_running_average=ura)

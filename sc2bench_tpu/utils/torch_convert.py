@@ -473,3 +473,114 @@ def merge_into_variables(variables: dict, converted: dict) -> dict:
         if converted[coll]:
             merge(out.setdefault(coll, {}), converted[coll], coll)
     return out
+
+
+# ---- GHND (CR+BQ) bottleneck + DenseNet / InceptionV3 / EfficientNet
+# families (VERDICT r4 item 3) ------------------------------------------
+# Reference SimpleBottleneck (`/root/reference/sc2bench/models/layer.py:
+# 41-105,108-247`): encoder/decoder are torch Sequentials whose child
+# indices equal the spec indices of `models/layer.py:LayerSeq` 1:1 (both
+# sides renumber the decoder from 0).
+SIMPLE_BOTTLENECK_RULES = [
+    (r'^encoder\.(\d+)$', r'encoder/layer\1'),
+    (r'^decoder\.(\d+)$', r'decoder/layer\1'),
+]
+
+
+def _dense_layer(m):
+    """torchvision `denseblockB.denselayerL.normN/convN` (L 1-indexed) ->
+    flax `blockB_l{L-1}_bnN/convN` (models/backbone.py:140-160)."""
+    leaf = m.group(3).replace('norm', 'bn')
+    return f'block{m.group(1)}_l{int(m.group(2)) - 1}_{leaf}'
+
+
+# Student key space: reference SplittableDenseNet (`backbone.py:279-372`)
+# keeps the torchvision child names under `features.` (hub default
+# short_feature_names = denseblock3/transition3/denseblock4/norm5,
+# `hubconf.py:85`).
+SPLITTABLE_DENSENET_RULES = [
+    (rf'^bottleneck_layer\.{pat[1:]}', 'bottleneck_layer/' + repl)
+    for pat, repl in SIMPLE_BOTTLENECK_RULES
+] + [
+    (r'^features\.denseblock(\d)\.denselayer(\d+)\.'
+     r'(norm1|conv1|norm2|conv2)$', _dense_layer),
+    (r'^features\.transition(\d)\.norm$', r'trans\1_bn'),
+    (r'^features\.transition(\d)\.conv$', r'trans\1_conv'),
+    (r'^features\.norm5$', 'final_bn'),
+    (r'^classifier$', 'classifier'),
+]
+
+# InceptionV3 branch names per torchvision block type -> the flax names in
+# models/inception.py. The same torch branch name maps differently by
+# block (branch3x3dbl_* is b3_* in InceptionA but bd_* in InceptionB), so
+# the rule dispatches on the Mixed_* block name.
+_INCEPTION_KIND = {'Mixed_5b': 'A', 'Mixed_5c': 'A', 'Mixed_5d': 'A',
+                   'Mixed_6a': 'B', 'Mixed_6b': 'C', 'Mixed_6c': 'C',
+                   'Mixed_6d': 'C', 'Mixed_6e': 'C', 'Mixed_7a': 'D',
+                   'Mixed_7b': 'E', 'Mixed_7c': 'E'}
+_INCEPTION_BRANCH = {
+    'A': {'branch1x1': 'b1', 'branch5x5_1': 'b5_1', 'branch5x5_2': 'b5_2',
+          'branch3x3dbl_1': 'b3_1', 'branch3x3dbl_2': 'b3_2',
+          'branch3x3dbl_3': 'b3_3', 'branch_pool': 'bp'},
+    'B': {'branch3x3': 'b3', 'branch3x3dbl_1': 'bd_1',
+          'branch3x3dbl_2': 'bd_2', 'branch3x3dbl_3': 'bd_3'},
+    'C': {'branch1x1': 'b1', 'branch7x7_1': 'b7_1', 'branch7x7_2': 'b7_2',
+          'branch7x7_3': 'b7_3', 'branch7x7dbl_1': 'bd_1',
+          'branch7x7dbl_2': 'bd_2', 'branch7x7dbl_3': 'bd_3',
+          'branch7x7dbl_4': 'bd_4', 'branch7x7dbl_5': 'bd_5',
+          'branch_pool': 'bp'},
+    'D': {'branch3x3_1': 'b3_1', 'branch3x3_2': 'b3_2',
+          'branch7x7x3_1': 'b7_1', 'branch7x7x3_2': 'b7_2',
+          'branch7x7x3_3': 'b7_3', 'branch7x7x3_4': 'b7_4'},
+    'E': {'branch1x1': 'b1', 'branch3x3_1': 'b3_1',
+          'branch3x3_2a': 'b3_2a', 'branch3x3_2b': 'b3_2b',
+          'branch3x3dbl_1': 'bd_1', 'branch3x3dbl_2': 'bd_2',
+          'branch3x3dbl_3a': 'bd_3a', 'branch3x3dbl_3b': 'bd_3b',
+          'branch_pool': 'bp'},
+}
+
+
+def _inception_branch(m):
+    blk, branch, leaf = m.group(1), m.group(2), m.group(3)
+    return f'{blk}/{_INCEPTION_BRANCH[_INCEPTION_KIND[blk]][branch]}/{leaf}'
+
+
+# Student key space: reference SplittableInceptionV3 (`backbone.py:
+# 375-484`) keeps the torchvision Mixed_* children under
+# `inception_modules.` + top-level fc.
+SPLITTABLE_INCEPTION_RULES = [
+    (rf'^bottleneck_layer\.{pat[1:]}', 'bottleneck_layer/' + repl)
+    for pat, repl in SIMPLE_BOTTLENECK_RULES
+] + [
+    (r'^inception_modules\.(Mixed_\w+)\.([a-z0-9_]+)\.(conv|bn)$',
+     _inception_branch),
+    (r'^fc$', 'fc'),
+]
+
+# timm tf_efficientnet_* key space (`registry.py:108-139` resolves
+# tf_efficientnet_l2_ns(_475) via timm): stage 0 blocks are
+# DepthwiseSeparableConv (conv_dw/bn1/se/conv_pw/bn2 — conv_pw is the
+# PROJECTION there), stages 1-6 InvertedResidual (conv_pw=expand/bn1/
+# conv_dw/bn2/se/conv_pwl=project/bn3).
+EFFICIENTNET_RULES = [
+    (r'^conv_stem$', 'stem_conv'), (r'^bn1$', 'stem_bn'),
+    (r'^blocks\.0\.(\d+)\.conv_dw$', r'stage0_block\1/dw_conv'),
+    (r'^blocks\.0\.(\d+)\.bn1$', r'stage0_block\1/dw_bn'),
+    (r'^blocks\.0\.(\d+)\.se\.conv_reduce$', r'stage0_block\1/se_reduce'),
+    (r'^blocks\.0\.(\d+)\.se\.conv_expand$', r'stage0_block\1/se_expand'),
+    (r'^blocks\.0\.(\d+)\.conv_pw$', r'stage0_block\1/project_conv'),
+    (r'^blocks\.0\.(\d+)\.bn2$', r'stage0_block\1/project_bn'),
+    (r'^blocks\.([1-6])\.(\d+)\.conv_pw$', r'stage\1_block\2/expand_conv'),
+    (r'^blocks\.([1-6])\.(\d+)\.bn1$', r'stage\1_block\2/expand_bn'),
+    (r'^blocks\.([1-6])\.(\d+)\.conv_dw$', r'stage\1_block\2/dw_conv'),
+    (r'^blocks\.([1-6])\.(\d+)\.bn2$', r'stage\1_block\2/dw_bn'),
+    (r'^blocks\.([1-6])\.(\d+)\.se\.conv_reduce$',
+     r'stage\1_block\2/se_reduce'),
+    (r'^blocks\.([1-6])\.(\d+)\.se\.conv_expand$',
+     r'stage\1_block\2/se_expand'),
+    (r'^blocks\.([1-6])\.(\d+)\.conv_pwl$',
+     r'stage\1_block\2/project_conv'),
+    (r'^blocks\.([1-6])\.(\d+)\.bn3$', r'stage\1_block\2/project_bn'),
+    (r'^conv_head$', 'head_conv'), (r'^bn2$', 'head_bn'),
+    (r'^classifier$', 'classifier'),
+]
