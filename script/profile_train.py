@@ -103,6 +103,37 @@ def main(batch=128, image=224, steps=8):
         return box.state.params
     add('full_step', _time(one_step, steps=steps), fl_step)
 
+    # measured backward slice: grad of the FULL criterion wrt student
+    # params with the teacher io precomputed (constant device arrays), so
+    # grad_full - student_fwd isolates the backward pass itself (VJP convs
+    # + loss epilogue), free of teacher fwd and optimizer update
+    from sc2bench_tpu.train.box import factorized_aux_loss, flatten_io
+    tio = jax.jit(box._teacher_io)(xr)
+
+    def loss_fn(params, x, k, teacher_io):
+        params = jax.tree.map(
+            lambda p, label: jax.lax.stop_gradient(p)
+            if label == 'frozen' else p, params, box.labels)
+        variables = {'params': params, 'batch_stats': box.state.batch_stats}
+        s_out, s_state = student.apply(
+            variables, x, mode='train', train=box.train_bn,
+            rngs={'noise': k}, mutable=['intermediates', 'entropy'])
+        io = flatten_io(s_state.get('intermediates', {}))
+        io.update(flatten_io(s_state.get('entropy', {})))
+        io['output'] = s_out
+        main_loss, _ = box.criterion(io, teacher_io, y)
+        return main_loss + factorized_aux_loss(params)
+
+    grad_full = jax.jit(jax.grad(loss_fn))
+    add('grad_full', _time(grad_full, box.state.params, xr, key, tio,
+                           steps=steps),
+        _flops(jax.grad(loss_fn), box.state.params, xr, key, tio))
+    bwd_ms = rows[-1][1] - rows[1][1]
+    bwd_fl = rows[-1][2] - rows[1][2]
+    print(f'  -> backward slice (grad_full - student_fwd): {bwd_ms:.2f} ms'
+          f'   {bwd_fl / 1e9:9.1f} GFLOP   '
+          f'MFU {bwd_fl / (bwd_ms * 1e-3) / peak * 100:5.1f}%')
+
     # density model alone at the bottleneck tensor shape
     from sc2bench_tpu.ops.entropy.factorized import EntropyBottleneck
     cb, hb, wb = 24, image // 4, image // 4
