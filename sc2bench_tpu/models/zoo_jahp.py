@@ -195,8 +195,13 @@ class _HostAutoregressive:
         return feat[:, :half], feat[:, half:]
 
 
-class JointAutoregressiveRuntime:
-    """compress()/decompress() with host raster-scan coding."""
+from .zoo_jahp_device import JointAutoregressiveDeviceMixin
+
+
+class JointAutoregressiveRuntime(JointAutoregressiveDeviceMixin):
+    """compress()/decompress() with host raster-scan coding, plus the
+    fused TPU wavefront wire (`encode_device_wire`/`decode_device_wire`,
+    zoo_jahp_device.py)."""
 
     def __init__(self, module, variables):
         from .runtime import FactorizedCodec
@@ -219,6 +224,10 @@ class JointAutoregressiveRuntime:
         eb = EntropyBottleneck(channels=self.module.n)
         self.codec.update(self.module, self.variables, eb)
         self._medians_dev = jnp.asarray(self.codec.tables.medians)
+        t = self.codec.tables
+        self._z_cdf = jnp.asarray(t.quantized_cdf, jnp.int32)
+        self._z_len = jnp.asarray(t.cdf_length, jnp.int32)
+        self._z_off = jnp.asarray(t.offset, jnp.int32)
         return True
 
     def _jitted(self, name, fn):
