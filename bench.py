@@ -240,7 +240,11 @@ def bench_throughput_mode(rt, images, wire_batch=128, n_iter=512,
     for _ in range(n_trials):
         stream = [images[i % len(images)] for i in range(n_iter)]
         t0 = time.perf_counter()
-        rt.stream_deploy_device(stream, depth=8, workers=8,
+        # depth 16: the loop is host-dispatch-marshaling-bound on this
+        # tunnel (~135 ms/group of GIL-serialized arg marshaling,
+        # script/probe_e2e_budget.py); deeper pipelining hides more of
+        # the device time under it (714 -> ~1,050 img/s measured)
+        rt.stream_deploy_device(stream, depth=16, workers=8,
                                 wire_batch=wire_batch)
         trials.append(n_iter / (time.perf_counter() - t0))
 

@@ -93,6 +93,18 @@ def to_wire(ops):
         lambda a: a.astype(jnp.int16) if a.dtype == jnp.int32 else a, ops)
 
 
+def _stack_group(xs_list):
+    """Stack a wire_batch group. For HOST numpy frames (a real serving
+    frontend), np.stack + ONE upload; for device-resident arrays, an
+    on-device jnp.stack — a 128-operand concatenate whose host-side
+    marshaling costs ~86 ms/group on a tunneled runtime (measured,
+    script/probe_e2e_budget.py) and is the e2e throughput-mode floor
+    there. A local PCIe host pays ~1 ms for either."""
+    if all(isinstance(x, np.ndarray) for x in xs_list):
+        return jnp.asarray(np.stack(xs_list))
+    return jnp.stack(xs_list)
+
+
 def _narrow(symbols: np.ndarray) -> np.ndarray:
     """Narrow a host symbol array to the smallest lossless integer dtype for
     the host->device hop (int8 when the range allows, else int16 — trained
@@ -676,7 +688,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
         out = self._jitted(
             f'enc_devwire_hyper_b{k}_{num_lanes}_{z_lanes}a', enc_many)(
             self.variables, self._medians_dev, self._scale_table_dev,
-            cdf, cdf_len, off, g_cdf, g_len, g_off, jnp.stack(xs_list))
+            cdf, cdf_len, off, g_cdf, g_len, g_off, _stack_group(xs_list))
         out['shapes'] = self._hyper_latent_shapes(tuple(xs_list[0].shape))
         return out
 
@@ -822,7 +834,7 @@ class SplitClassifierRuntime(AnalyzerHolder):
         k = len(xs_list)
         out = self._jitted(f'encode_devwire_b{k}_{num_lanes}a', enc_many)(
             self.variables, self._medians_dev, cdf, cdf_len, off,
-            jnp.stack(xs_list))
+            _stack_group(xs_list))
         out['shape'] = self._latent_shape(tuple(xs_list[0].shape))
         return out
 

@@ -634,6 +634,9 @@ def device_rans_decode(streams, states, indexes, quantized_cdf, cdf_length,
         off_lane = off[lane_ch]
         len_lane = cdf_len[lane_ch]
 
+    # bisection depth for the general path's per-row symbol search
+    bisect_steps = max(int(np.ceil(np.log2(max(max_cols, 2)))), 1)
+
     def symbol_and_next_state(x, idx_t):
         """Shared per-step symbol search + state update (pre-renorm)."""
         slot = (x & _MASK16).astype(jnp.int32)
@@ -641,12 +644,7 @@ def device_rans_decode(streams, states, indexes, quantized_cdf, cdf_length,
             rows = cdf_lane                     # constant inside the scan
             within = (rows <= slot[:, None]) \
                 & (col[None, :] < len_lane[:, None])
-        else:
-            rows = cdf[idx_t]                               # (N, max_cols)
-            within = (rows <= slot[:, None]) \
-                & (col[None, :] < cdf_len[idx_t][:, None])
-        v = jnp.sum(within, axis=1).astype(jnp.int32) - 1
-        if cyc:
+            v = jnp.sum(within, axis=1).astype(jnp.int32) - 1
             hit = v[:, None] == col[None, :]
             hit1 = v[:, None] + 1 == col[None, :]
             st = jnp.sum(jnp.where(hit, rows, 0), axis=1) \
@@ -655,6 +653,20 @@ def device_rans_decode(streams, states, indexes, quantized_cdf, cdf_length,
                 .astype(jnp.uint32) - st
             sym_off = off_lane
         else:
+            # fixed-depth bisection with POINT gathers: materializing
+            # cdf[idx_t] rows per step costs >100 ms/img for the
+            # (64, ~3.2k) gaussian tables on the TPU gather engine
+            # (measured for the JAHP wire; same trap here). Invariant:
+            # cdf[idx, lo] <= slot < cdf[idx, hi] (cdf[0] = 0,
+            # cdf[len-1] = 2^16 > slot).
+            lo = jnp.zeros_like(idx_t)
+            hi = cdf_len[idx_t] - 1
+            for _ in range(bisect_steps):
+                mid = (lo + hi) // 2
+                go = cdf[idx_t, mid] <= slot
+                lo = jnp.where(go, mid, lo)
+                hi = jnp.where(go, hi, mid)
+            v = lo
             st = cdf[idx_t, v].astype(jnp.uint32)
             fr = (cdf[idx_t, v + 1] - cdf[idx_t, v]).astype(jnp.uint32)
             sym_off = off[idx_t]
