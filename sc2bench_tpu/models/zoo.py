@@ -318,6 +318,14 @@ def build_image_codec(key: str, ckpt=None, image_size=(256, 256), **kwargs):
             variables, _, _ = load_ckpt(ckpt, variables)
         except FileNotFoundError:
             pass
-    rt = ImageCodecRuntime(module, variables)
+    from .zoo_jahp import (JointAutoregressiveCodec,
+                           JointAutoregressiveRuntime)
+    if isinstance(module, JointAutoregressiveCodec):
+        # mbt2018 needs the autoregressive runtime (wavefront context
+        # model drives the coder); ImageCodecRuntime's factorized path
+        # would KeyError on its encode_ops contract
+        rt = JointAutoregressiveRuntime(module, variables)
+    else:
+        rt = ImageCodecRuntime(module, variables)
     rt.update()
     return rt

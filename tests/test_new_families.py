@@ -366,3 +366,39 @@ def test_efficientnet_forward():
     out = jax.jit(lambda v, x: m.apply(v, x))(
         {'params': v['params'], 'batch_stats': v.get('batch_stats', {})}, x)
     assert out.shape == (1, 7)
+
+
+@pytest.mark.slow
+def test_jahp_input_compression_wrapper_engine():
+    """ilsvrc2012/input_compression mbt2018 family: the registry must
+    route `joint_autoregressive_hierarchical_prior` to the
+    autoregressive runtime (r5 fix — ImageCodecRuntime's factorized
+    path KeyErrors on its encode_ops contract), and the wrapper must
+    run the full compress→decompress→classify protocol with byte
+    accounting."""
+    from sc2bench_tpu.train.engine import ClassificationEngine
+    config = {
+        'dependencies': ['sc2bench_tpu.models', 'sc2bench_tpu.transforms'],
+        'models': {'wrapper': {
+            'key': 'NeuralInputCompressionClassifier',
+            'classification_model': {'key': 'resnet50',
+                                     'kwargs': {'num_classes': 5}},
+            'compression_model': {
+                'key': 'joint_autoregressive_hierarchical_prior',
+                'kwargs': {'quality': 1, 'n': 6, 'm': 6,
+                           'image_size': [64, 64]}},
+            'kwargs': {
+                'analysis_config': {'analyzer_configs': [
+                    {'key': 'FileSizeAnalyzer', 'kwargs': {'unit': 'KB'}}]},
+            }}},
+        'test': {'test_data_loader': _synthetic_cls_loader(
+            size=(64, 64))},
+    }
+    engine = ClassificationEngine(config, image_size=(64, 64))
+    from sc2bench_tpu.models.zoo_jahp import JointAutoregressiveRuntime
+    assert isinstance(engine.wrapper.compression_model,
+                      JointAutoregressiveRuntime)
+    result, summaries = engine.test()
+    assert 'acc1' in result
+    assert summaries and summaries[0]['num_samples'] == 2
+    assert summaries[0]['mean'] > 0
