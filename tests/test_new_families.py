@@ -340,8 +340,13 @@ def test_hybrid_vit_entropic_student_stage1_converges():
         bottleneck_layer=FPBasedResNetBottleneck(
             num_bottleneck_channels=8, num_target_channels=256),
         embed_dim=64, depth=2, num_heads=2, num_classes=10)
+    # r5 key space: the teacher sows stage0..stage3 with ORIGINAL timm
+    # indices, so the bottleneck (which replaces stem+stage0) pairs with
+    # teacher stage0_out (reference hook patch_embed.backbone.stages.0)
+    # and the retained stages pair 1:1.
     _es_stage1_smoke(student, teacher,
-                     [('bottleneck_layer_out', 'stage1_out'),
+                     [('bottleneck_layer_out', 'stage0_out'),
+                      ('stage1_out', 'stage1_out'),
                       ('stage2_out', 'stage2_out'),
                       ('stage3_out', 'stage3_out')])
 
