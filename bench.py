@@ -110,7 +110,8 @@ def device_loop_rate(dispatch, n=30):
     return n / (time.perf_counter() - t0)
 
 
-def build_runtime(input_norm=None, deploy_bf16_decode=False):
+def build_runtime(input_norm=None, deploy_bf16_decode=False,
+                  deploy_bf16_encode=False):
     from sc2bench_tpu.models.backbone import SplittableResNet
     from sc2bench_tpu.models.layer import FPBasedResNetBottleneck
     from sc2bench_tpu.models.runtime import SplitClassifierRuntime
@@ -125,7 +126,8 @@ def build_runtime(input_norm=None, deploy_bf16_decode=False):
     variables = {'params': variables['params'],
                  'batch_stats': variables.get('batch_stats', {})}
     rt = SplitClassifierRuntime(model, variables, input_norm=input_norm,
-                                deploy_bf16_decode=deploy_bf16_decode)
+                                deploy_bf16_decode=deploy_bf16_decode,
+                                deploy_bf16_encode=deploy_bf16_encode)
     rt.update()
     rt.eval()
     return rt
@@ -221,6 +223,36 @@ def bench_device_programs(rt, image):
     }
 
 
+def fused_pair_stats(rt, images, wire_batch):
+    """Device-loop rate (img/s) and GFLOP/image of the fused
+    encode+code and decode+tail program pair at this group size —
+    the chip-saturation number, free of tunnel latency. n=100:
+    shorter loops carry a ~30 ms queue-warmup artifact on the
+    tunneled runtime (measured: n=10 understates these rates ~25%)."""
+    grp = [images[i % len(images)] for i in range(wire_batch)]
+    ops = rt.encode_device_wire_batch(grp)
+    enc_key = next(k for k in rt._jit_cache
+                   if str(k).startswith(f'encode_devwire_b{wire_batch}_'))
+    enc = rt._jit_cache[enc_key]
+    cdf, cdf_len, off = rt._device_tables()
+    enc_args = (rt.variables, rt._medians_dev, cdf, cdf_len, off,
+                jnp.stack(grp))
+    enc_flops = program_flops(enc, *enc_args)
+    logits, valid = rt.decode_device_streams_batch(
+        ops['streams'], ops['states'], ops['shape'])
+    force(logits)
+    dec_key = next(k for k in rt._jit_cache
+                   if str(k).startswith(f'decode_devwire_b{wire_batch}_'))
+    dec = rt._jit_cache[dec_key]
+    dec_args = (rt.variables, ops['streams'], ops['states'],
+                rt._medians_dev, cdf, cdf_len, off)
+    dec_flops = program_flops(dec, *dec_args)
+    enc_rate = device_loop_rate(lambda: enc(*enc_args), n=100) * wire_batch
+    dec_rate = device_loop_rate(lambda: dec(*dec_args), n=100) * wire_batch
+    pair_rate = 1.0 / (1.0 / enc_rate + 1.0 / dec_rate)
+    return pair_rate, (enc_flops + dec_flops) / wire_batch
+
+
 def bench_throughput_mode(rt, images, wire_batch=128, n_iter=512,
                           n_trials=3):
     """Throughput-mode serving: the device-rANS wire grouped `wire_batch`
@@ -250,30 +282,7 @@ def bench_throughput_mode(rt, images, wire_batch=128, n_iter=512,
 
     # device-loop rates of the fused batched programs (one dispatch = k
     # images), decoupled from the host/tunnel: this is the MFU claim.
-    grp = [images[i % len(images)] for i in range(wire_batch)]
-    ops = rt.encode_device_wire_batch(grp)
-    enc_key = next(k for k in rt._jit_cache
-                   if str(k).startswith(f'encode_devwire_b{wire_batch}_'))
-    enc = rt._jit_cache[enc_key]
-    cdf, cdf_len, off = rt._device_tables()
-    enc_args = (rt.variables, rt._medians_dev, cdf, cdf_len, off,
-                jnp.stack(grp))
-    enc_flops = program_flops(enc, *enc_args)
-    logits, valid = rt.decode_device_streams_batch(
-        ops['streams'], ops['states'], ops['shape'])
-    force(logits)
-    dec_key = next(k for k in rt._jit_cache
-                   if str(k).startswith(f'decode_devwire_b{wire_batch}_'))
-    dec = rt._jit_cache[dec_key]
-    dec_args = (rt.variables, ops['streams'], ops['states'],
-                rt._medians_dev, cdf, cdf_len, off)
-    dec_flops = program_flops(dec, *dec_args)
-    # n=100: shorter loops carry a ~30 ms queue-warmup artifact on the
-    # tunneled runtime (measured: n=10 understates these rates ~25%)
-    enc_rate = device_loop_rate(lambda: enc(*enc_args), n=100) * wire_batch
-    dec_rate = device_loop_rate(lambda: dec(*dec_args), n=100) * wire_batch
-    pair_rate = 1.0 / (1.0 / enc_rate + 1.0 / dec_rate)
-    flops_per_img = (enc_flops + dec_flops) / wire_batch
+    pair_rate, flops_per_img = fused_pair_stats(rt, images, wire_batch)
     return {
         'throughput_mode_wire_batch': wire_batch,
         'throughput_mode_ips': round(max(trials), 2),
@@ -377,6 +386,22 @@ def main():
         rt16.activate_analysis()
         return bench_throughput_mode(rt16, images)
     throughput = _section('throughput_mode', _throughput, {})
+
+    def _throughput_bf16enc():
+        # opt-in bf16 ENCODER on top of the bf16 decoder: encoder convs
+        # at MXU bf16 rate, f32 symbol rounding/entropy math — streams
+        # self-consistent and ~1e-4 of the f32 wire size, but NOT
+        # byte-identical to the f32 encoder (so it is a separate,
+        # non-headline field; see runtime.deploy_bf16_encode).
+        rte = build_runtime(deploy_bf16_decode=True,
+                            deploy_bf16_encode=True)
+        pair, fpi = fused_pair_stats(rte, images, 128)
+        return {
+            'throughput_bf16enc_device_ips': round(pair, 1),
+            'throughput_bf16enc_mfu_vs_bf16_peak':
+                round(fpi * pair / V5E_PEAK_BF16_FLOPS, 4)}
+    throughput_bf16e = _section('throughput_bf16enc',
+                                _throughput_bf16enc, {})
     train = _section('train', bench_train, {})
 
     n_iter = 120
@@ -431,6 +456,7 @@ def main():
             for k, v in sorted(best_timings.items())},
         **device,
         **throughput,
+        **throughput_bf16e,
         **train,
     }))
 

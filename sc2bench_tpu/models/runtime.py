@@ -222,7 +222,8 @@ class SplitClassifierRuntime(AnalyzerHolder):
 
     def __init__(self, module, variables, analyzer_configs=None,
                  analysis_unit='KB', deploy_bf16_tail=False,
-                 deploy_bf16_decode=False, input_norm=None):
+                 deploy_bf16_decode=False, deploy_bf16_encode=False,
+                 input_norm=None):
         if analyzer_configs is None:
             analyzer_configs = [{'key': 'FileSizeAnalyzer',
                                  'kwargs': {'unit': analysis_unit}}]
@@ -264,6 +265,18 @@ class SplitClassifierRuntime(AnalyzerHolder):
         # Logits differ from the f32 wire only by bf16 rounding
         # (asserted in tests/test_device_rans.py).
         self.deploy_bf16_decode = deploy_bf16_decode
+        # OPT-IN mixed-precision ENCODE for the device-wire programs: the
+        # encoder convs of the same bf16 clone feed the (always-f32)
+        # symbol rounding and entropy coder. Unlike deploy_bf16_decode
+        # this CHANGES the bitstream slightly (~0.3% of latent symbols
+        # move by +-1 where the bf16 latent crosses a rounding boundary;
+        # wire size within ~1e-4, measured script/probe_bf16_encode.py)
+        # — the stream is equally valid and self-consistent (the decoder
+        # consumes the transmitted symbols), but it is NOT byte-identical
+        # to the reference-semantics f32 encoder, so the data-size
+        # protocol's byte-identity tests keep this off. Encode program
+        # measured 1.5x at wire_batch=128 on v5e.
+        self.deploy_bf16_encode = deploy_bf16_encode
         self._module_bf16 = None
         # Module-level deploy ops (EntropicClassifierModule) vs. a
         # bottleneck_layer submodule (SplittableResNet family).
@@ -507,12 +520,11 @@ class SplitClassifierRuntime(AnalyzerHolder):
         return self._decode_call(jnp.asarray(symbols))
 
     # ---- device-rANS wire mode (entropy coding ON the TPU) --------------
-    def _decode_module(self):
-        """Module used by the device-wire DECODE programs: the plain
-        module, or its bfloat16 clone under `deploy_bf16_decode` (see
-        __init__ — encode/bitstreams stay byte-identical either way)."""
-        if not self.deploy_bf16_decode:
-            return self.module
+    def _bf16_clone(self):
+        """Lazily-built bfloat16 clone of the module over the ORIGINAL
+        f32 variables (params cast at compute time). Shared by the
+        decode-side (deploy_bf16_decode) and encode-side
+        (deploy_bf16_encode) device-wire programs."""
         if self._module_bf16 is None:
             updates = {}
             if hasattr(self.module, 'dtype'):
@@ -523,9 +535,29 @@ class SplitClassifierRuntime(AnalyzerHolder):
             self._module_bf16 = self.module.clone(**updates)
         return self._module_bf16
 
+    def _decode_module(self):
+        """Module used by the device-wire DECODE programs: the plain
+        module, or its bfloat16 clone under `deploy_bf16_decode` (see
+        __init__ — encode/bitstreams stay byte-identical either way)."""
+        return self._bf16_clone() if self.deploy_bf16_decode \
+            else self.module
+
+    def _encode_module(self):
+        """Module used by the device-wire ENCODE programs: the plain f32
+        module (byte-identical bitstreams, the default), or the bfloat16
+        clone under opt-in `deploy_bf16_encode` (see __init__ — symbol
+        rounding and entropy math stay f32; the encoder convs run at
+        MXU bf16 rate)."""
+        return self._bf16_clone() if self.deploy_bf16_encode \
+            else self.module
+
     @property
     def _dec_tag(self):
         return '_bf16' if self.deploy_bf16_decode else ''
+
+    @property
+    def _enc_tag(self):
+        return '_ebf16' if self.deploy_bf16_encode else ''
 
     def _device_tables(self):
         if getattr(self, '_cdf_dev', None) is None:
@@ -569,10 +601,11 @@ class SplitClassifierRuntime(AnalyzerHolder):
         stream layout (batched fused serving; see ops/rans/device.py) —
         wire bytes/accounting identical, compaction-free kernels."""
         from ..ops.rans.device import device_rans_encode
+        module = self._encode_module()
 
         def enc(variables, x, z_med, st, cdf, cdf_len, off,
                 g_cdf, g_len, g_off):
-            ops = self.module.apply(
+            ops = module.apply(
                 variables, self._prep_input(x), z_med, st,
                 method=lambda m, x, zm, stt:
                     m.bottleneck_layer.encode_ops(x, zm, stt))
@@ -654,8 +687,9 @@ class SplitClassifierRuntime(AnalyzerHolder):
             z_lanes = auto_z if z_lanes is None else z_lanes
         cdf, cdf_len, off = self._device_tables()
         g_cdf, g_len, g_off = self._device_gaussian_tables()
-        out = self._jitted(f'enc_devwire_hyper{num_lanes}_{z_lanes}',
-                           self._hyper_enc_fn(num_lanes, z_lanes))(
+        out = self._jitted(
+            f'enc_devwire_hyper{num_lanes}_{z_lanes}{self._enc_tag}',
+            self._hyper_enc_fn(num_lanes, z_lanes))(
             self.variables, x, self._medians_dev, self._scale_table_dev,
             cdf, cdf_len, off, g_cdf, g_len, g_off)
         out['shapes'] = self._hyper_latent_shapes(x.shape)
@@ -686,7 +720,8 @@ class SplitClassifierRuntime(AnalyzerHolder):
         # encode_device_wire_batch
         k = len(xs_list)
         out = self._jitted(
-            f'enc_devwire_hyper_b{k}_{num_lanes}_{z_lanes}a', enc_many)(
+            f'enc_devwire_hyper_b{k}_{num_lanes}_{z_lanes}a{self._enc_tag}',
+            enc_many)(
             self.variables, self._medians_dev, self._scale_table_dev,
             cdf, cdf_len, off, g_cdf, g_len, g_off, _stack_group(xs_list))
         out['shapes'] = self._hyper_latent_shapes(tuple(xs_list[0].shape))
@@ -765,9 +800,10 @@ class SplitClassifierRuntime(AnalyzerHolder):
         if num_lanes is None:
             num_lanes = self._auto_wire_lanes(self._latent_shape(x.shape))
         cdf, cdf_len, off = self._device_tables()
+        module = self._encode_module()
 
         def enc(variables, x, medians, cdf, cdf_len, off):
-            ops = self.module.apply(
+            ops = module.apply(
                 variables, self._prep_input(x), medians,
                 method=lambda m, x, med:
                     m.bottleneck_layer.encode_ops(x, med))
@@ -785,7 +821,8 @@ class SplitClassifierRuntime(AnalyzerHolder):
             out['meta'] = jnp.stack([out['ok'].astype(jnp.int32),
                                      out['nbytes']])
             return out
-        out = self._jitted(f'encode_devwire{num_lanes}', enc)(
+        out = self._jitted(f'encode_devwire{num_lanes}{self._enc_tag}',
+                           enc)(
             self.variables, x, self._medians_dev, cdf, cdf_len, off)
         out['shape'] = self._latent_shape(x.shape)
         return out
@@ -803,9 +840,10 @@ class SplitClassifierRuntime(AnalyzerHolder):
             num_lanes = self._auto_wire_lanes(
                 self._latent_shape(tuple(xs_list[0].shape)))
         cdf, cdf_len, off = self._device_tables()
+        module = self._encode_module()
 
         def enc1(variables, x, medians, cdf, cdf_len, off):
-            ops = self.module.apply(
+            ops = module.apply(
                 variables, self._prep_input(x), medians,
                 method=lambda m, x, med:
                     m.bottleneck_layer.encode_ops(x, med))
@@ -832,7 +870,8 @@ class SplitClassifierRuntime(AnalyzerHolder):
         # arguments: per-argument dispatch overhead grows superlinearly
         # with k on this runtime (measured 1.7k vs 10.2k img/s at k=128)
         k = len(xs_list)
-        out = self._jitted(f'encode_devwire_b{k}_{num_lanes}a', enc_many)(
+        out = self._jitted(
+            f'encode_devwire_b{k}_{num_lanes}a{self._enc_tag}', enc_many)(
             self.variables, self._medians_dev, cdf, cdf_len, off,
             _stack_group(xs_list))
         out['shape'] = self._latent_shape(tuple(xs_list[0].shape))

@@ -1065,6 +1065,70 @@ def test_bf16_decode_wire_byte_identical_and_logits_agree(kind):
                                               np.asarray(e16[part][k]))
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize('kind', ['fp', 'shp'])
+def test_bf16_encode_wire_self_consistent_and_near_f32(kind):
+    """Opt-in `deploy_bf16_encode`: the device-wire ENCODE programs run
+    the encoder convs in bfloat16 (symbol rounding and entropy math stay
+    f32 — the layer's dtype contract, models/layer.py). The bitstream is
+    NOT byte-identical to the f32 encoder (bf16 latents occasionally
+    cross a rounding boundary), but it must be (a) self-consistent —
+    the full serving loop decodes its own streams into logits that
+    agree with the f32 pipeline's top-1 within bf16 tolerance — and
+    (b) rate-neutral: per-image accounted bytes within 2% of the f32
+    wire (measured drift ~1e-4, script/probe_bf16_encode.py)."""
+    from sc2bench_tpu.models.backbone import SplittableResNet
+    from sc2bench_tpu.models.layer import (FPBasedResNetBottleneck,
+                                           SHPBasedResNetBottleneck)
+    from sc2bench_tpu.models.runtime import SplitClassifierRuntime
+    if kind == 'fp':
+        bneck = FPBasedResNetBottleneck(num_bottleneck_channels=8,
+                                        num_target_channels=64)
+    else:
+        bneck = SHPBasedResNetBottleneck(num_bottleneck_channels=8,
+                                         num_target_channels=64,
+                                         num_latent_channels=4)
+    model = SplittableResNet(bottleneck_layer=bneck,
+                             stage_sizes=(1, 1, 1, 1), num_classes=10)
+    x0 = jnp.zeros((1, 64, 64, 3))
+    v = jax.jit(lambda r, x: model.init(r, x, mode='train'))(
+        {'params': jax.random.key(0), 'noise': jax.random.key(1)}, x0)
+    v = {'params': v['params'], 'batch_stats': v.get('batch_stats', {})}
+    rt32 = SplitClassifierRuntime(model, v)
+    rte = SplitClassifierRuntime(model, v, deploy_bf16_decode=True,
+                                 deploy_bf16_encode=True)
+    for rt in (rt32, rte):
+        rt.update()
+        rt.eval()
+        rt.activate_analysis()
+    imgs = [jax.random.normal(jax.random.key(i), (1, 64, 64, 3)) * 0.25
+            for i in range(4)]
+
+    out32 = rt32.stream_deploy_device(imgs, depth=2, workers=2,
+                                      wire_batch=2)
+    oute = rte.stream_deploy_device(imgs, depth=2, workers=2,
+                                    wire_batch=2)
+    sizes32 = list(rt32.analyzers[0].file_size_list)
+    sizese = list(rte.analyzers[0].file_size_list)
+    assert len(sizese) == len(imgs)
+    for s32, se in zip(sizes32, sizese):
+        assert abs(se - s32) <= max(0.02 * s32, 2.0 / 1024), (s32, se)
+    for a, b in zip(out32, oute):
+        a, b = np.asarray(a), np.asarray(b)
+        assert b.dtype == np.float32
+        assert int(np.argmax(a)) == int(np.argmax(b))
+        np.testing.assert_allclose(a, b, rtol=0.1, atol=0.15)
+
+    # the bf16-encode program pair round-trips ITS OWN wire: decode
+    # validates (no out-of-support escape) on every image
+    if kind == 'fp':
+        e = rte.encode_device_wire(imgs[0])
+        logits, valid = rte.decode_device_streams(
+            e['streams'], e['states'], e['shape'])
+        assert bool(np.asarray(valid))
+        assert np.isfinite(np.asarray(logits)).all()
+
+
 # ---------------------------------------------------------------------------
 # Aligned stream layout (the batched fused-serving format)
 # ---------------------------------------------------------------------------
