@@ -111,17 +111,12 @@ def _scale_indexes(scales, scale_table):
         .astype(jnp.int32)
 
 
-def _cdf_search(g_cdf, g_len, idx, slot, steps=13):
-    """v with cdf[idx, v] <= slot < cdf[idx, v+1], fixed-depth binary
-    search (two-element gathers per probe; rows up to ~3.2k wide)."""
-    lo = jnp.zeros_like(idx)
-    hi = g_len[idx] - 1
-    for _ in range(steps):
-        mid = (lo + hi) // 2
-        go_right = g_cdf[idx, mid] <= slot
-        lo = jnp.where(go_right, mid, lo)
-        hi = jnp.where(go_right, hi, mid)
-    return lo
+def _cdf_search(g_cdf, g_len, idx, slot):
+    """v with cdf[idx, v] <= slot < cdf[idx, v+1] — the shared
+    fixed-depth point-gather bisection (depth derived from the table
+    width; see `ops.rans.device.cdf_bisect`)."""
+    from ..ops.rans.device import cdf_bisect
+    return cdf_bisect(g_cdf, g_len, idx, slot)
 
 
 def _rans_encode_step(x, st, fr, active):
@@ -192,7 +187,11 @@ class JointAutoregressiveDeviceMixin:
         z, one dispatch. Returns device-resident ops."""
         from ..ops.rans.device import auto_lanes, device_rans_encode
         x = jnp.asarray(x, jnp.float32)
-        hh, ww = int(x.shape[1]) // 16, int(x.shape[2]) // 16
+        # g_a is four ceil(h/2) stride-2 convs -> ceil(h/16) latent (floor
+        # division silently CROPPED non-multiple-of-16 inputs); asserted
+        # against the traced latent below
+        hh = -(-int(x.shape[1]) // 16)
+        ww = -(-int(x.shape[2]) // 16)
         ii, jj, act = self._front_consts(hh, ww)
         g_cdf, g_len, g_off, stab = self._gauss_dev()
         zh, zw = self._z_latent_hw(hh, ww)
@@ -209,6 +208,11 @@ class JointAutoregressiveDeviceMixin:
             y = ops['y'][0]
             hyper = ops['hyper'][0]
             zsym = ops['z_symbols']
+            # trace-time guard: the wavefront constants must cover the
+            # ACTUAL traced latent (a mismatch here would silently code
+            # a crop of y)
+            assert y.shape[:2] == (hh, ww), (y.shape, hh, ww)
+            assert zsym.shape[1:3] == (zh, zw), (zsym.shape, zh, zw)
             T, F = ii.shape
             N = F * m
             pad = [(k2, k2), (k2, k2), (0, 0)]

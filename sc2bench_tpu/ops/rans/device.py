@@ -218,7 +218,8 @@ def _resolve_backend(backend: str) -> str:
 
 def _use_pallas(backend: str, cols: int, lanes: int, lmax: int,
                 steps: int, mode: str = 'decode',
-                cyc: int = 0, batch: int = 1) -> bool:
+                cyc: int = 0, batch: int = 1,
+                emit_masks: bool = False) -> bool:
     """Trace-time backend gate for the cyclic encode/decode fast paths.
     `backend` must already be resolved via `_resolve_backend`. Under
     'auto' the verdict is a per-shape AUTOTUNE: after the one-time
@@ -239,8 +240,12 @@ def _use_pallas(backend: str, cols: int, lanes: int, lmax: int,
         applies = pick_encode_plan(int(cols), int(lanes),
                                    int(steps)) is not None
     elif mode == 'encode_aligned':
+        # emit_masks grows the call's output VMEM footprint — gate on
+        # the SAME plan the kernel call will pick, or want_masks callers
+        # crash instead of falling back to the XLA scan
         applies = pick_encode_plan_aligned(int(cols), int(lanes),
-                                           int(steps)) is not None
+                                           int(steps),
+                                           emit_masks) is not None
     elif mode == 'decode_aligned':
         applies = pick_decode_plan_aligned(int(cols), int(lanes),
                                            int(steps)) is not None
@@ -401,6 +406,28 @@ def _time_pallas_vs_xla(mode, cols, lanes, lmax, steps, cyc, batch=1):
     return (float(np.median(trials[0])), float(np.median(trials[1])))
 
 
+def cdf_bisect(cdf, cdf_len, idx, slot, steps: int | None = None):
+    """v with cdf[idx, v] <= slot < cdf[idx, v+1] — fixed-depth binary
+    search using POINT gathers only. Materializing cdf[idx] rows per
+    step costs >100 ms/img for wide (e.g. 64 x ~3.2k) gaussian tables
+    on the TPU gather engine (measured for the JAHP wavefront wire and
+    the general decode path alike). Invariant from (lo=0, hi=len-1):
+    every cdf row starts at 0 and ends at 2^16 > slot within cdf_len,
+    and `steps` >= ceil(log2(row width)) probes reach hi == lo+1.
+    Shared by `device_rans_decode`'s general path and
+    `models/zoo_jahp_device.py`."""
+    if steps is None:
+        steps = max(int(np.ceil(np.log2(max(int(cdf.shape[-1]), 2)))), 1)
+    lo = jnp.zeros_like(idx)
+    hi = cdf_len[idx] - 1
+    for _ in range(steps):
+        mid = (lo + hi) // 2
+        go_right = cdf[idx, mid] <= slot
+        lo = jnp.where(go_right, mid, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return lo
+
+
 def _blocks(symbols, indexes, num_lanes):
     """Pad to a multiple of num_lanes (with index-0 symbols at the lowest
     in-support value) and reshape lane-major to (L, N)."""
@@ -483,7 +510,8 @@ def device_rans_encode(symbols, indexes, quantized_cdf, cdf_length, offset,
     vc = jnp.clip(v, 0, maxv - 1)
     if cyc and _use_pallas(backend, cdf.shape[1], lanes, 0, steps,
                            mode='encode_aligned' if aligned else 'encode',
-                           cyc=cyc, batch=batch_hint):
+                           cyc=cyc, batch=batch_hint,
+                           emit_masks=aligned and want_masks):
         interpret = backend == 'pallas-interpret'
         if aligned:
             from .pallas_kernel import pallas_cyclic_encode_aligned
@@ -634,9 +662,6 @@ def device_rans_decode(streams, states, indexes, quantized_cdf, cdf_length,
         off_lane = off[lane_ch]
         len_lane = cdf_len[lane_ch]
 
-    # bisection depth for the general path's per-row symbol search
-    bisect_steps = max(int(np.ceil(np.log2(max(max_cols, 2)))), 1)
-
     def symbol_and_next_state(x, idx_t):
         """Shared per-step symbol search + state update (pre-renorm)."""
         slot = (x & _MASK16).astype(jnp.int32)
@@ -653,20 +678,7 @@ def device_rans_decode(streams, states, indexes, quantized_cdf, cdf_length,
                 .astype(jnp.uint32) - st
             sym_off = off_lane
         else:
-            # fixed-depth bisection with POINT gathers: materializing
-            # cdf[idx_t] rows per step costs >100 ms/img for the
-            # (64, ~3.2k) gaussian tables on the TPU gather engine
-            # (measured for the JAHP wire; same trap here). Invariant:
-            # cdf[idx, lo] <= slot < cdf[idx, hi] (cdf[0] = 0,
-            # cdf[len-1] = 2^16 > slot).
-            lo = jnp.zeros_like(idx_t)
-            hi = cdf_len[idx_t] - 1
-            for _ in range(bisect_steps):
-                mid = (lo + hi) // 2
-                go = cdf[idx_t, mid] <= slot
-                lo = jnp.where(go, mid, lo)
-                hi = jnp.where(go, hi, mid)
-            v = lo
+            v = cdf_bisect(cdf, cdf_len, idx_t, slot)
             st = cdf[idx_t, v].astype(jnp.uint32)
             fr = (cdf[idx_t, v + 1] - cdf[idx_t, v]).astype(jnp.uint32)
             sym_off = off[idx_t]

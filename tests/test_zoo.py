@@ -143,3 +143,27 @@ def test_jahp_device_wire_rejects_corrupt_stream():
     ops['y_streams'] = jnp.asarray(streams)
     _, valid = rt.decode_device_wire(ops)
     assert not bool(np.asarray(valid))
+
+
+def test_jahp_device_wire_non_multiple_of_16():
+    """H/W not divisible by 16 must code the FULL ceil-chain latent:
+    the floor-derived front grid silently cropped y (72x72 -> a 4x4
+    crop of the true 5x5 latent) and decoded a smaller image with
+    valid=True. The encode program now sizes fronts with ceil and
+    asserts coverage against the traced latent at trace time."""
+    rt = _jahp_nonvacuous(seed=7)
+    x = jax.random.uniform(jax.random.key(7), (1, 72, 72, 3)) * 2.0
+    ops = rt.encode_device_wire(x)
+    assert tuple(ops['shape']) == (5, 5)   # ceil(72/16), not 72//16
+    ok, nbytes = (int(v) for v in np.asarray(ops['meta']))
+    assert ok == 1 and nbytes > 0
+    img, valid = rt.decode_device_wire(ops)
+    assert bool(np.asarray(valid))
+    # g_s upsamples the 5x5 latent 16x (the host path instead
+    # AdaptivePads the INPUT to its stride multiple before coding —
+    # a different, wrapper-level shape policy — so the meaningful
+    # check here is the wire's own bit-exact context-model sync)
+    assert np.asarray(img).shape == (1, 80, 80, 3)
+    np.testing.assert_array_equal(
+        np.asarray(rt._last_y_hat_dec_device),
+        np.asarray(ops['y_hat']))
